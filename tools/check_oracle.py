@@ -1,0 +1,127 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given sf dir, compares row count, column-name set,
+and order-insensitive values (columns sorted by name, rows sorted,
+float-tolerant). Usage:
+
+    python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S").str.replace(
+                " 00:00:00", "", regex=False
+            )
+        elif df[c].dtype == object:
+            # dates / datetimes / decimals arrive as python objects from
+            # Spark's toPandas; stringify uniformly.
+            df[c] = df[c].map(
+                lambda v: str(v).replace(" 00:00:00", "") if v is not None else "None"
+            )
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        problems.append(f"columns spark={scols} oracle={ocols}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.number) and np.issubdtype(ov.dtype, np.number):
+            sv64 = sv.astype(float)
+            ov64 = ov.astype(float)
+            both_nan = np.isnan(sv64) & np.isnan(ov64)
+            close = np.isclose(sv64, ov64, rtol=1e-9, atol=1e-9) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                problems.append(
+                    f"col {c}: {int((~close).sum())} mismatches, first at row {i}: "
+                    f"spark={sv64[i]} oracle={ov64[i]}"
+                )
+        else:
+            eq = (sv.astype(str) == ov.astype(str))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, first at row {i}: "
+                    f"spark={sv[i]!r} oracle={ov[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from var_elasticnet_bigdata_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only check, {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"OK   {name}: {len(sdf)} rows")
+    spark.stop()
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

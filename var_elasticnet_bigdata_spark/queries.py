@@ -1,0 +1,589 @@
+"""Query registry: every SURVEY §2 operator declared as a
+(spark_fn, oracle_sql) pair over the driver's testdata tables.
+
+Contract (``__spark_entry__.py``): each spark_fn takes
+``(spark, sf_dir)`` and returns a DataFrame; oracle_sql is the
+equivalent DuckDB SQL over the same parquet (views pre-registered).
+The driver hash-compares values column-name-sorted, so every computed
+column is aliased IDENTICALLY on both sides, and floating-point
+outputs are rounded (6 dp for ratios/logs, 2 dp for currency sums) in
+BOTH engines so cross-engine 1-ulp drift cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources import load_table
+
+
+# --------------------------------------------------------------------------
+# registry plumbing
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def r2(c):  # currency-scale round
+    return F.round(c, 2)
+
+
+def r6(c):  # ratio/log-scale round
+    return F.round(c, 6)
+
+
+# --------------------------------------------------------------------------
+# M0 relational spine — scans, filters, joins, aggs, windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "flagship_quarterly_revenue_growth",
+    """
+    WITH q AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT quarter, revenue,
+           ROUND(LN(revenue) - LN(LAG(revenue) OVER (ORDER BY quarter)), 6)
+             AS log_growth
+    FROM q ORDER BY quarter
+    """,
+)
+def flagship_quarterly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY §7 M0): quarterly revenue roll-up (A1) +
+    log-diff growth (W2) in one DAG. Partial+final hash agg, then a
+    single tiny window over ~40 quarter rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = (
+        orders.groupBy(
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter")
+        )
+        .agg(r2(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("quarter")
+    return q.select(
+        "quarter",
+        "revenue",
+        r6(F.log("revenue") - F.log(F.lag("revenue", 1).over(w))).alias("log_growth"),
+    ).orderBy("quarter")
+
+
+@query(
+    "p_filter_project",
+    """
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+    """,
+)
+def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 projection + predicate; both push into the parquet scan
+    (PushedFilters + 3-column ReadSchema in `.explain`)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0)
+    ).select("c_custkey", "c_name", r2(F.col("c_acctbal")).alias("acctbal"))
+
+
+@query(
+    "p3_time_slice",
+    """
+    SELECT o_orderkey, o_orderdate, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def p3_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 time-window slice ≡ zoo window(start, end); at scale this is
+    partition pruning on a date-partitioned fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_orderdate", r2(F.col("o_totalprice")).alias("totalprice"))
+
+
+@query(
+    "p5_dropna_after_diff",
+    """
+    WITH m AS (
+      SELECT event_type AS series_id,
+             CAST(date_trunc('day', ts) AS DATE) AS obs_date,
+             ROUND(SUM(value), 6) AS value
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT series_id, obs_date,
+             ROUND(value - LAG(value) OVER
+               (PARTITION BY series_id ORDER BY obs_date), 6) AS diff1
+      FROM m
+    )
+    SELECT series_id, obs_date, diff1 FROM d WHERE diff1 IS NOT NULL
+    """,
+)
+def p5_dropna_after_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 NA-row drop ≡ na.omit before estimation (Main.R:196): the
+    leading NULL each differenced series carries (na.pad) is dropped
+    — `dropna` compiles to an IsNotNull filter on the window output."""
+    from .operators import timeseries as ts
+
+    m = _daily_events(spark, sf_dir)
+    d = ts.diff(m, out_col="diff1", na_pad=False)
+    return d.select("series_id", "obs_date", r6(F.col("diff1")).alias("diff1"))
+
+
+@query(
+    "p6_all_positive_groups",
+    """
+    WITH m AS (
+      SELECT event_type AS series_id,
+             CAST(date_trunc('day', ts) AS DATE) AS obs_date,
+             ROUND(SUM(value), 6) AS value
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT series_id,
+             value - LAG(value) OVER
+               (PARTITION BY series_id ORDER BY obs_date) AS diff1
+      FROM m
+    )
+    SELECT series_id, MIN(diff1) > 0 AS all_positive
+    FROM d WHERE diff1 IS NOT NULL GROUP BY 1
+    """,
+)
+def p6_all_positive_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 NA-aware all-positive predicate (`all(na.omit(x)>0)`,
+    Main.R:72) — the currency-series log-diff eligibility test — as a
+    grouped min over the NA-dropped diff series. Map-side combinable."""
+    from .operators import timeseries as ts
+
+    m = _daily_events(spark, sf_dir)
+    d = ts.diff(m, out_col="diff1", na_pad=False)
+    return d.groupBy("series_id").agg((F.min("diff1") > 0).alias("all_positive"))
+
+
+@query(
+    "j1_align_join",
+    """
+    WITH o AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+             ROUND(SUM(l_quantity), 2) AS shipped_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.quarter, l.quarter) AS quarter, o.revenue, l.shipped_qty
+    FROM o FULL OUTER JOIN l ON o.quarter = l.quarter
+    """,
+)
+def j1_align_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 time-index align merge ≡ merge.zoo (Main.R:96): full-outer
+    equi-join of two quarterly roll-ups, NULL-filling gaps."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter"))
+        .agg(r2(F.sum("o_totalprice")).alias("revenue"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("quarter", "l_shipdate").cast("date").alias("quarter"))
+        .agg(r2(F.sum("l_quantity")).alias("shipped_qty"))
+    )
+    return o.join(li, on="quarter", how="full_outer")
+
+
+@query(
+    "j_broadcast_dim_join",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS customers, ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def j_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim join: both dims explicitly broadcast — no
+    shuffle of the fact side for the join, only the final group-by."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            r2(F.sum("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# time-series windows W1-W10 over testdata series
+# --------------------------------------------------------------------------
+
+_DAILY_EVENTS_CTE = """
+    WITH m AS (
+      SELECT event_type AS series_id,
+             CAST(date_trunc('day', ts) AS DATE) AS obs_date,
+             ROUND(SUM(value), 6) AS value
+      FROM events
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture frame: events rolled up to a daily long series
+    table (series_id=event_type, obs_date=day, value=sum) — the
+    engine's canonical long layout over the driver's testdata."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("day", "ts").cast("date").alias("obs_date"),
+    ).agg(r6(F.sum("value")).alias("value"))
+
+
+@query(
+    "w1_diff",
+    _DAILY_EVENTS_CTE
+    + """
+    SELECT series_id, obs_date,
+           ROUND(value - LAG(value) OVER
+             (PARTITION BY series_id ORDER BY obs_date), 6) AS diff1
+    FROM m
+    """,
+)
+def w1_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 first difference per series (na.pad=TRUE semantics)."""
+    from .operators import timeseries as ts
+
+    m = _daily_events(spark, sf_dir)
+    return ts.diff(m, out_col="diff1").select(
+        "series_id", "obs_date", r6(F.col("diff1")).alias("diff1")
+    )
+
+
+@query(
+    "w2_log_diff",
+    _DAILY_EVENTS_CTE
+    + """
+    SELECT series_id, obs_date,
+           ROUND(LN(value) - LN(LAG(value) OVER
+             (PARTITION BY series_id ORDER BY obs_date)), 6) AS log_diff
+    FROM m WHERE value > 0
+    """,
+)
+def w2_log_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 log first difference (growth rates) for positive series."""
+    from .operators import timeseries as ts
+
+    m = _daily_events(spark, sf_dir).filter(F.col("value") > 0)
+    return ts.log_diff(m, out_col="log_diff").select(
+        "series_id", "obs_date", r6(F.col("log_diff")).alias("log_diff")
+    )
+
+
+@query(
+    "w3_second_diff",
+    _DAILY_EVENTS_CTE
+    + """
+    , d1 AS (
+      SELECT series_id, obs_date,
+             value - LAG(value) OVER
+               (PARTITION BY series_id ORDER BY obs_date) AS d
+      FROM m
+    )
+    SELECT series_id, obs_date,
+           ROUND(d - LAG(d) OVER
+             (PARTITION BY series_id ORDER BY obs_date), 6) AS diff2
+    FROM d1
+    """,
+)
+def w3_second_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 second difference with na.pad (leading NULLs kept)."""
+    from .operators import timeseries as ts
+
+    m = _daily_events(spark, sf_dir)
+    return ts.diff(m, order=2, out_col="diff2").select(
+        "series_id", "obs_date", r6(F.col("diff2")).alias("diff2")
+    )
+
+
+@query(
+    "w4_lag_embed",
+    """
+    WITH q AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS obs_date,
+             ROUND(SUM(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1
+    ), z AS (
+      SELECT obs_date, y,
+             LAG(y, 1) OVER (ORDER BY obs_date) AS "y.l1",
+             LAG(y, 2) OVER (ORDER BY obs_date) AS "y.l2",
+             LAG(y, 3) OVER (ORDER BY obs_date) AS "y.l3",
+             ROW_NUMBER() OVER (ORDER BY obs_date) AS rn
+      FROM q
+    )
+    SELECT obs_date, y, "y.l1", "y.l2", "y.l3" FROM z WHERE rn > 3
+    """,
+)
+def w4_lag_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 lag embedding (VAR.Z, enetVAR.R:277-319): p=3 design over
+    the quarterly revenue series; first p rows dropped."""
+    from .operators.lag_embed import var_z
+
+    q = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("quarter", "o_orderdate").cast("date").alias("obs_date"))
+        .agg(r2(F.sum("o_totalprice")).alias("y"))
+    )
+    return var_z(q, series=["y"], p=3).df
+
+
+@query(
+    "w7_reconstruct_levels",
+    """
+    WITH q AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS obs_date,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT obs_date,
+             ROUND(LN(revenue) - LN(LAG(revenue) OVER (ORDER BY obs_date)), 6)
+               AS log_growth
+      FROM q
+    )
+    SELECT obs_date,
+           ROUND(100.0 * EXP(SUM(COALESCE(log_growth, 0.0)) OVER
+             (ORDER BY obs_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS level
+    FROM g
+    """,
+)
+def w7_reconstruct_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 diff_log2norm (enetVAR.R:886-889): rebuild an index level
+    series (init=100) from log-diffs via exp-of-running-sum."""
+    from .operators import timeseries as ts
+
+    q = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("quarter", "o_orderdate").cast("date").alias("obs_date"))
+        .agg(r2(F.sum("o_totalprice")).alias("revenue"))
+        .withColumn("series_id", F.lit("rev"))
+    )
+    w = Window.partitionBy("series_id").orderBy("obs_date")
+    g = q.withColumn(
+        "log_growth", r6(F.log("revenue") - F.log(F.lag("revenue", 1).over(w)))
+    )
+    out = ts.reconstruct_levels(g, init_level=100.0, logdiff_col="log_growth")
+    return out.select("obs_date", r6(F.col("level")).alias("level"))
+
+
+@query(
+    "w8_acf",
+    _DAILY_EVENTS_CTE
+    + """
+    , lagged AS (
+      SELECT series_id, k.lag AS lag, value AS x,
+             LAG(value, k.lag) OVER
+               (PARTITION BY series_id, k.lag ORDER BY obs_date) AS y
+      FROM m CROSS JOIN (SELECT UNNEST([1,2,3,4]) AS lag) k
+    )
+    SELECT series_id, lag, ROUND(CORR(x, y), 6) AS acf
+    FROM lagged GROUP BY 1, 2
+    """,
+)
+def w8_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 ACF (pearson flavor — SQL-checkable) at lags 1..4 per
+    series. One window pass builds all lags; single hash agg."""
+    from .operators.acf import acf_table
+
+    m = _daily_events(spark, sf_dir)
+    t = acf_table(m, max_lag=4, method="pearson")
+    return t.select("series_id", "lag", r6(F.col("acf")).alias("acf"))
+
+
+@query(
+    "w10_naive_forecast",
+    _DAILY_EVENTS_CTE
+    + """
+    SELECT series_id, obs_date, value,
+           LAG(value) OVER (PARTITION BY series_id ORDER BY obs_date)
+             AS rw_forecast
+    FROM m
+    """,
+)
+def w10_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 random-walk benchmark forecast (enetVAR.R:460-464)."""
+    from .operators import timeseries as ts
+
+    m = _daily_events(spark, sf_dir)
+    return ts.naive_forecast(m).select(
+        "series_id", "obs_date", "value", "rw_forecast"
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregations A1-A6, top-N T1, set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "a1_quarterly_rollup",
+    """
+    SELECT event_type AS series_id,
+           CAST(date_trunc('quarter', ts) AS DATE) AS obs_date,
+           ROUND(SUM(value), 6) AS value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def a1_quarterly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 monthly→quarterly temporal roll-up (sum, zoo default FUN)."""
+    from .operators import timeseries as ts
+
+    e = load_table(spark, sf_dir, "events")
+    long = e.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("series_id"),
+        F.col("ts").alias("obs_date"),
+        "value",
+    )
+    out = ts.resample(long, freq="quarter", how="sum")
+    return out.select("series_id", "obs_date", r6(F.col("value")).alias("value"))
+
+
+@query(
+    "a2_mean_square_score",
+    _DAILY_EVENTS_CTE
+    + """
+    , lagged AS (
+      SELECT series_id, k.lag AS lag, value AS x,
+             LAG(value, k.lag) OVER
+               (PARTITION BY series_id, k.lag ORDER BY obs_date) AS y
+      FROM m CROSS JOIN (SELECT UNNEST([1,2,3,4]) AS lag) k
+    ), a AS (
+      SELECT series_id, lag, CORR(x, y) AS acf FROM lagged GROUP BY 1, 2
+    )
+    SELECT series_id, ROUND(AVG(acf * acf), 6) AS ms_score
+    FROM a GROUP BY 1
+    """,
+)
+def a2_mean_square_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 mean-of-squared-ACF ranking score per series
+    (enetVAR.R:652-653) — the M15 selection score."""
+    from .operators.acf import acf_table
+
+    m = _daily_events(spark, sf_dir)
+    a = acf_table(m, max_lag=4, method="pearson")
+    return a.groupBy("series_id").agg(
+        r6(F.avg(F.col("acf") * F.col("acf"))).alias("ms_score")
+    )
+
+
+@query(
+    "a4_argmin_ic",
+    """
+    WITH ic AS (
+      SELECT p_size AS lag, ROUND(AVG(p_retailprice), 6) AS ic
+      FROM part GROUP BY p_size
+    )
+    SELECT MIN(ic) AS min_ic, MIN_BY(lag, ic) AS best_lag FROM ic
+    """,
+)
+def a4_argmin_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 column-min + argmin (IC minimization enetVAR.R:224-227) via
+    min / min_by — no sort, single agg."""
+    p = load_table(spark, sf_dir, "part")
+    ic = p.groupBy(F.col("p_size").alias("lag")).agg(
+        r6(F.avg("p_retailprice")).alias("ic")
+    )
+    return ic.agg(
+        F.min("ic").alias("min_ic"), F.expr("min_by(lag, ic)").alias("best_lag")
+    )
+
+
+@query(
+    "a6_demean",
+    """
+    WITH s AS (SELECT AVG(value) AS m FROM events WHERE value IS NOT NULL)
+    SELECT event_id, ROUND(value - s.m, 6) AS demeaned
+    FROM events, s WHERE value IS NOT NULL
+    """,
+)
+def a6_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 grand-mean demean (nw()/DMtest preprocessing,
+    enetVAR.R:798-799): scalar agg broadcast back as a cross join —
+    no second scan of the fact in the shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = e.agg(F.avg("value").alias("m"))
+    return e.crossJoin(F.broadcast(m)).select(
+        "event_id", r6(F.col("value") - F.col("m")).alias("demeaned")
+    )
+
+
+@query(
+    "t1_topn_deterministic",
+    """
+    SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS score
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey ASC
+    LIMIT 10
+    """,
+)
+def t1_topn_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 top-N with deterministic tiebreak (fixes quirk Q8).
+    Compiles to TakeOrderedAndProject — per-partition heap, no global
+    sort."""
+    from .operators.topn import top_n
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", r2(F.col("p_retailprice")).alias("score")
+    )
+    return top_n(p, score_col="score", n=10, tiebreak_col="p_partkey")
+
+
+@query(
+    "t2_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    """,
+)
+def t2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 set-difference semantics relationally: customers with no
+    pending orders via left_anti join (the reference's name-vector
+    `%in%` / setdiff re-expressed on rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return dict(ORACLE)
