@@ -1,0 +1,321 @@
+"""Rolling-origin pseudo-out-of-sample experiment — the engine's
+flagship pipeline (reference ``modeltrain``/``modeltrain.slim``/
+``ar1_train``, enetVAR.R:427-530, 568-609; SURVEY §2.8b E1/E2, M9).
+
+Spark shape (SURVEY §3.2): the origin loop is embarrassingly
+parallel. An origins DataFrame is range-joined to the observation
+rows (every origin sees rows ≤ its date), and ``applyInPandas`` over
+origin groups runs the per-origin fit + recursive forecast with the
+local coordinate-descent solver. The result is a relational forecast
+table
+
+    (origin_idx, origin_date, horizon, target_idx, target_date,
+     yhat, y_true, err)
+
+on which every metric is a plain aggregation.
+
+Semantics replicated from the reference:
+- origin sequence: ``window.size = which(dates==start.pred) − h``,
+  origins = dates[window.size .. len−1] (1-based), step ``step``.
+- horizons recorded: ``pred.ind = (1, 2, 4, 8)`` for h=8
+  (enetVAR.R:437).
+- horizon alignment (W6): the reference's ``h1.ind…h8.ind`` column
+  windows align all horizons onto the same realized target dates; we
+  get the identical set relationally by keeping targets from
+  ``start.pred`` through the last date (proved equivalent in
+  tests/test_modeltrain.py::test_faithful_alignment_equivalence).
+- MSFE = Σerr²/n over the aligned window; Theil's U vs the "random
+  walk" (quirk Q4: the reference's RW forecast for target t+h is the
+  realized value at t+h−1).
+- quirk Q3 (faithful mode): the RW denominator matrix ``u_2`` is
+  seeded with a scalar 0 column, so each horizon's RW sum is shifted
+  one origin back and the h=8 window includes the literal 0 seed.
+  ``rw_mode="faithful"`` reproduces this; ``"fixed"`` aligns RW
+  errors to the same targets as the model errors.
+- quirk Q2: end-of-sample truths are 0-padded in the reference, but
+  the padded cells never survive the h*.ind alignment, so metrics are
+  unaffected; we simply drop unrealized targets.
+- residuals: from the LAST origin's refit only (enetVAR.R:487).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+PRED_IND = (1, 2, 4, 8)  # recorded horizons for h=8 (enetVAR.R:437)
+
+
+@dataclass
+class ModeltrainResult:
+    forecasts: DataFrame  # relational forecast/error table
+    msfe: dict[int, float]
+    theils_u_rw: dict[int, float]
+    theils_u_ar1: dict[int, float] | None
+    residuals: DataFrame | None
+    n_aligned: int
+
+
+def _pred_ind(h: int) -> list[int]:
+    """``c(1, 2, 2*seq(2, h/2, by=2))`` — (1,2,4,8) for h=8."""
+    out = [1, 2] + [2 * k for k in range(2, h // 2 + 1, 2)]
+    return [i for i in out if i <= h]
+
+
+def _dates_and_matrix(wide_df: DataFrame, series: list[str], date_col: str):
+    pdf = wide_df.select(date_col, *series).orderBy(date_col).toPandas()
+    dates = pdf[date_col].tolist()
+    y = pdf[series].to_numpy(dtype=float)
+    return dates, y
+
+
+def _forecast_table(
+    spark: SparkSession,
+    wide_df: DataFrame,
+    series: list[str],
+    dates: list,
+    origin_rows: list[int],
+    h: int,
+    date_col: str,
+    fit_predict,  # (y_matrix) -> np.ndarray (h, K) or (h,)
+) -> DataFrame:
+    """Distribute per-origin fits: origins × rows range join →
+    applyInPandas per origin → (origin_idx, horizon, yhat)."""
+    pred_ind = _pred_ind(h)
+    origins = spark.createDataFrame(
+        [(int(i), dates[i]) for i in origin_rows],
+        schema=f"origin_idx int, origin_date {'date' if not hasattr(dates[0], 'hour') else 'timestamp'}",
+    )
+    data = wide_df.select(date_col, *series)
+    joined = origins.join(data, F.col(date_col) <= F.col("origin_date"))
+
+    out_schema = StructType(
+        [
+            StructField("origin_idx", IntegerType()),
+            StructField("horizon", IntegerType()),
+            StructField("yhat", DoubleType()),
+        ]
+    )
+    ser = list(series)
+    dcol = date_col
+
+    def run_origin(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(dcol)
+        y = pdf[ser].to_numpy(dtype=float)
+        preds = fit_predict(y)  # (h, K) or (h,)
+        if preds.ndim == 2:
+            target = preds[:, 0]
+        else:
+            target = preds
+        rows = [
+            {"origin_idx": int(key[0]), "horizon": int(p), "yhat": float(target[p - 1])}
+            for p in pred_ind
+        ]
+        return pd.DataFrame(rows)
+
+    return joined.groupBy("origin_idx").applyInPandas(run_origin, out_schema)
+
+
+def _attach_truth(
+    spark: SparkSession,
+    fc: DataFrame,
+    dates: list,
+    target_series_values: np.ndarray,
+) -> DataFrame:
+    """Join realized values by TARGET INDEX (the reference indexes the
+    date vector, not calendar arithmetic). Unrealized targets get
+    NULL truth (fixed Q2 — no zero padding)."""
+    truth = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "target_idx": np.arange(len(dates), dtype=int),
+                "target_date": dates,
+                "y_true": target_series_values,
+            }
+        )
+    )
+    fc = fc.withColumn("target_idx", F.col("origin_idx") + F.col("horizon"))
+    return (
+        fc.join(F.broadcast(truth), on="target_idx", how="left")
+        .withColumn("err", F.col("yhat") - F.col("y_true"))
+    )
+
+
+def _aligned_window(n_dates: int, start_pred_idx: int) -> tuple[int, int]:
+    """Aligned target range = [start_pred .. last date] (0-based
+    index bounds, inclusive) — equivalent to the reference's h*.ind
+    column windows (see module docstring)."""
+    return start_pred_idx, n_dates - 1
+
+
+def modeltrain(
+    spark: SparkSession,
+    wide_df: DataFrame,
+    series: list[str],
+    start_pred,
+    step: int = 1,
+    h: int = 8,
+    method: str = "enet",
+    alpha: float = 0.4,
+    lam: float | None = None,
+    lag: int = 1,
+    const: bool = False,
+    date_col: str = "obs_date",
+    rw_mode: str = "fixed",
+    with_ar1: bool = True,
+    with_residuals: bool = False,
+) -> ModeltrainResult:
+    """The OOS experiment (E1). ``method``: 'enet' (LocalEnetVAR) or
+    'ar1'. ``rw_mode``: 'fixed' | 'faithful' (quirk Q3)."""
+    from ..ml.local import LocalAR1, LocalEnetVAR
+
+    dates, y = _dates_and_matrix(wide_df, series, date_col)
+    n = len(dates)
+    try:
+        start_idx = dates.index(start_pred)
+    except ValueError as e:
+        raise ValueError(f"start_pred {start_pred!r} not in date index") from e
+    ws = start_idx - h  # 0-based first origin (R: which(...) − h, 1-based)
+    if ws < 1:
+        raise ValueError("not enough pre-sample for the first origin")
+    # reference sequence: window.size..(len−1) 1-based → ws..n−2 0-based
+    origin_rows = list(range(ws, n - 1, step))
+
+    ser = list(series)
+    p_, a_, l_, c_ = lag, alpha, lam, const
+
+    if method == "enet":
+        def fit_predict(mat: np.ndarray) -> np.ndarray:
+            m = LocalEnetVAR(mat, ser, p=p_, alpha=a_, lam=l_, intercept=c_)
+            return m.predict(h)
+    elif method == "ar1":
+        def fit_predict(mat: np.ndarray) -> np.ndarray:
+            m = LocalAR1(mat[:, 0], const=c_)
+            return m.predict(h)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    fc = _forecast_table(
+        spark, wide_df, ser, dates, origin_rows, h, date_col, fit_predict
+    )
+    fc = _attach_truth(spark, fc, dates, y[:, 0])
+    fc.cache()
+
+    lo, hi = _aligned_window(n, start_idx)
+    aligned = fc.filter(
+        (F.col("target_idx") >= lo) & (F.col("target_idx") <= hi)
+    )
+    agg = (
+        aligned.groupBy("horizon")
+        .agg(
+            F.sum(F.col("err") * F.col("err")).alias("sse"),
+            F.count("err").alias("n"),
+        )
+        .collect()
+    )
+    msfe = {int(r["horizon"]): float(r["sse"]) / int(r["n"]) for r in agg}
+    n_aligned = min(int(r["n"]) for r in agg) if agg else 0
+
+    # ---- Theil's U vs the "random walk" (Q3/Q4) ----
+    theils_rw: dict[int, float] = {}
+    pred_ind = _pred_ind(h)
+    t0 = y[:, 0]
+    n_orig = len(origin_rows)
+    sel = {1: (h - 1, n_orig - 1), 2: (h - 2, n_orig - 2),
+           4: (h - 4, n_orig - 4), 8: (0, n_orig - h)}
+    model_sse = {int(r["horizon"]): float(r["sse"]) for r in agg}
+    for hh in pred_ind:
+        a, b = sel.get(hh, (h - hh, n_orig - hh))
+        terms = []
+        for j in range(a, b + 1):
+            if rw_mode == "faithful":
+                # u_2 column j+1 of the padded matrix = origin j−1's
+                # errors; column 0 is the scalar 0 seed (Q3)
+                jj = j - 1
+                if jj < 0:
+                    terms.append(0.0)
+                    continue
+            else:
+                jj = j
+            o = origin_rows[jj]
+            ti = o + hh
+            yt = t0[ti - 1] if ti - 1 < n else 0.0  # Q4 RW = value at t+h−1
+            tr = t0[ti] if ti < n else 0.0  # Q2 zero-pad beyond sample
+            terms.append((tr - yt) ** 2)
+        denom = float(np.sum(terms))
+        theils_rw[hh] = math.sqrt(model_sse.get(hh, float("nan")) / denom) if denom > 0 else float("nan")
+
+    # ---- AR(1) benchmark + Theil's U vs AR(1) (M9, M23) ----
+    tu_ar1 = None
+    if with_ar1 and method != "ar1":
+        ar1 = modeltrain(
+            spark, wide_df, ser, start_pred, step=step, h=h, method="ar1",
+            alpha=alpha, lag=lag, const=False, date_col=date_col,
+            with_ar1=False, rw_mode=rw_mode,
+        )
+        tu_ar1 = {
+            hh: math.sqrt(msfe[hh]) / math.sqrt(ar1.msfe[hh])
+            for hh in msfe
+            if hh in ar1.msfe and ar1.msfe[hh] > 0
+        }
+
+    residuals = None
+    if with_residuals and method == "enet":
+        from ..ml.var_model import fit_enet_var, residual_frame
+
+        last = dates[origin_rows[-1]]
+        train = wide_df.filter(F.col(date_col) <= F.lit(last))
+        m = fit_enet_var(train, ser, p=lag, alpha=alpha, lam=lam, intercept=const,
+                         date_col=date_col)
+        residuals = residual_frame(m)
+
+    return ModeltrainResult(
+        forecasts=fc,
+        msfe=msfe,
+        theils_u_rw=theils_rw,
+        theils_u_ar1=tu_ar1,
+        residuals=residuals,
+        n_aligned=n_aligned,
+    )
+
+
+def ar1_train(
+    spark: SparkSession,
+    wide_df: DataFrame,
+    series: list[str],
+    start_pred,
+    step: int = 1,
+    h: int = 8,
+    const: bool = False,
+    date_col: str = "obs_date",
+) -> ModeltrainResult:
+    """AR(1) rolling-origin benchmark (enetVAR.R:568-609)."""
+    return modeltrain(
+        spark, wide_df, series, start_pred, step=step, h=h, method="ar1",
+        const=const, date_col=date_col, with_ar1=False,
+    )
+
+
+def theils_u_ar1(
+    spark: SparkSession,
+    wide_df: DataFrame,
+    series: list[str],
+    start_pred,
+    mse_pred: float,
+    horizon: int,
+    date_col: str = "obs_date",
+) -> float:
+    """RMSE(model)/RMSE(AR1) (enetVAR.R:847-855)."""
+    ar1 = ar1_train(spark, wide_df, series, start_pred, date_col=date_col)
+    return math.sqrt(mse_pred) / math.sqrt(ar1.msfe[horizon])
