@@ -1,0 +1,143 @@
+"""Dedup + similarity scale-path tests: LSH candidate generation
+recall against brute force, signature determinism, simhash locality,
+text features sanity. (Exact cross-engine equality is covered by the
+oracle gate in test_oracle_queries.py.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from var_elasticnet_bigdata_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from var_elasticnet_bigdata_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket,
+    lsh_topk,
+)
+from var_elasticnet_bigdata_spark.operators.text import text_features
+
+from .conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_exact_dedup_on_duplicated_corpus(spark, docs):
+    # inject exact duplicates with different ids
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 10_000)
+    full = docs.unionByName(dup)
+    out = exact_dedup(full).toPandas()
+    assert len(out) == docs.count()  # duplicates collapse
+    assert (out.dup_count >= 1).all()
+    assert out.dup_count.sum() == full.count()
+    # survivor is the min id — original, not the +10k clone
+    assert (out.doc_id < 10_000).all()
+
+
+def test_minhash_similarity_estimates_jaccard(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=16).toPandas().set_index("doc_id")
+    truth = jaccard_pairs(docs, threshold=0.5).toPandas()
+    assert len(truth) > 0
+    for _, row in truth.iterrows():
+        sa = np.array(sigs.loc[row.id_a, "sig"])
+        sb = np.array(sigs.loc[row.id_b, "sig"])
+        est = (sa == sb).mean()
+        assert est == pytest.approx(row.jaccard, abs=0.45)
+        assert est > 0.15  # high-jaccard pairs collide often
+
+
+def test_lsh_candidates_recall_high_jaccard(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2).toPandas()
+    truth = jaccard_pairs(docs, threshold=0.6).toPandas()
+    cand_set = {tuple(sorted(t)) for t in zip(cand.id_a, cand.id_b)}
+    truth_set = {tuple(sorted(t)) for t in zip(truth.id_a, truth.id_b)}
+    if truth_set:
+        recall = len(cand_set & truth_set) / len(truth_set)
+        assert recall >= 0.8
+    # candidates are a small subset of all pairs (the point of LSH)
+    n = docs.count()
+    assert len(cand_set) < 0.2 * n * (n - 1) / 2
+
+
+def test_jaccard_with_candidates_matches_bruteforce(spark, docs):
+    small = docs.limit(120)
+    sigs = minhash_signatures(small, num_hashes=16)
+    cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    via_lsh = jaccard_pairs(small, threshold=0.6, candidates=cand).toPandas()
+    brute = jaccard_pairs(small, threshold=0.6).toPandas()
+    lset = {(a, b) for a, b in zip(via_lsh.id_a, via_lsh.id_b)}
+    bset = {(a, b) for a, b in zip(brute.id_a, brute.id_b)}
+    assert lset <= bset  # verification step never invents pairs
+    if bset:
+        assert len(lset) / len(bset) >= 0.8
+
+
+def test_simhash_locality(spark, docs):
+    # near-dup texts should have close simhashes (small hamming dist)
+    d2 = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 10_000)
+    full = docs.limit(10).unionByName(d2)
+    sh = simhash(full).toPandas().set_index("doc_id")
+    for i in range(10):
+        if i in sh.index and i + 10_000 in sh.index:
+            assert sh.loc[i, "simhash"] == sh.loc[i + 10_000, "simhash"]
+
+
+def test_cosine_topk_exact(spark, emb):
+    top = cosine_topk(emb, k=3).toPandas()
+    n = emb.count()
+    assert len(top) == 3 * n
+    assert set(top["rank"]) == {1, 2, 3}
+    # numpy oracle for a sample of rows
+    pdf = emb.toPandas()
+    M = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    S = M @ M.T
+    for rid in ids[:5]:
+        i = int(np.where(ids == rid)[0][0])
+        s = S[i].copy()
+        s[i] = -np.inf
+        want = ids[int(np.argmax(s))]
+        got = top[(top.vec_id == rid) & (top["rank"] == 1)].neighbor_id.iloc[0]
+        assert got == want
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    exact = cosine_topk(emb, k=1).toPandas()
+    approx = lsh_topk(emb, k=1, tables=16, planes=4, dim=64).toPandas()
+    merged = exact.merge(approx[approx["rank"] == 1], on="vec_id", suffixes=("_e", "_a"))
+    # recall@1 of multi-table LSH ≈ 1-(1-p^4)^16
+    recall = (merged.neighbor_id_e == merged.neighbor_id_a).mean()
+    assert recall > 0.75
+    assert len(merged) > 0.9 * emb.count()
+
+
+def test_lsh_bucket_deterministic(spark, emb):
+    b1 = lsh_bucket(emb).toPandas().sort_values("vec_id").reset_index(drop=True)
+    b2 = lsh_bucket(emb).toPandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b1, b2)
+    assert b1.bucket.nunique() > 10  # spreads across buckets
+
+
+def test_text_features_sanity(spark, docs):
+    tf = text_features(docs).toPandas()
+    assert (tf.n_tokens > 0).all()
+    assert tf.lang_guess.isin(["en", "de", "fr", "es", "zh"]).all()
+    assert ((tf.quality >= 0) & (tf.quality <= 1)).all()
+    assert tf.fingerprint.notna().all()

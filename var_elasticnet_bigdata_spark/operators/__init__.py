@@ -1,3 +1,11 @@
-from . import acf, lag_embed, timeseries, topn
+from . import acf, dedup, lag_embed, similarity, text, timeseries, topn
 
-__all__ = ["acf", "lag_embed", "timeseries", "topn"]
+__all__ = [
+    "acf",
+    "dedup",
+    "lag_embed",
+    "similarity",
+    "text",
+    "timeseries",
+    "topn",
+]

@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+word-shingle MinHash + LSH banding, SimHash, and n-gram Jaccard
+near-dup — each expressed with built-in Spark SQL functions so the
+whole pipeline stays JVM-side (no Python UDFs in the hot path) and
+each step has a DuckDB-runnable oracle twin.
+
+Portability contract with the oracle: the base shingle hash is
+``int(md5(s)[:8 hex], 16)`` — identical in Spark
+(``conv(substring(md5(s),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(s),1,8))::BIGINT``). MinHash permutations are
+``(a·h + b) mod p`` with p = 2³¹−1 and FIXED coefficients below
+(generated once, seed 777), so products stay within int64 in both
+engines.
+
+Scale notes:
+- exact dedup = hash-groupBy on the md5 key: one shuffle keyed by a
+  uniform hash — no skew by construction.
+- MinHash signatures: narrow per-row transforms (no shuffle).
+- LSH banding: explode to (band_idx, band_hash) → the candidate join
+  shuffles ONLY bucket keys, never full pairwise; at 100 TB this is
+  the standard near-dup layout (bucket sizes bounded ≪ corpus).
+- pairwise Jaccard runs on candidates only; the brute-force variant
+  exists for oracle checking at small sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed MinHash permutation coefficients (numpy default_rng(777))
+MINHASH_P = 2147483647  # 2^31 − 1
+MINHASH_A = [
+    1946386326, 1312314221, 757058592, 822092368, 208307138, 1288641640,
+    975065322, 2069224763, 690593825, 421255895, 674620553, 723790942,
+    745515623, 1220790727, 899191078, 1158765218,
+]
+MINHASH_B = [
+    1063707120, 1580651958, 109346966, 925176330, 2031875823, 123538099,
+    1316801183, 356607700, 1353929789, 1626518643, 1102785618, 1460157030,
+    1139739634, 1506521993, 902266302, 226044823,
+]
+
+
+def normalized_text(col: str = "text") -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace.
+    (DuckDB twin needs the 'g' flag on regexp_replace.)"""
+    c = F.lower(F.col(col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def content_key(col: str = "text") -> Column:
+    """md5 of the normalized text — the exact-dup group key."""
+    return F.md5(normalized_text(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams:
+    ``transform(sequence(1, len-n+1), i -> words[i..i+n-1])``."""
+    words = F.split(col, " ")
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split({_sql(col)}, ' ')) - {n} + 1, 1)),"
+            f" i -> concat_ws(' ', slice(split({_sql(col)}, ' '), i, {n})))"
+        )
+    )
+
+
+def _sql(col: Column) -> str:
+    # Column's underlying expression as SQL text for expr() composition
+    from pyspark.sql.classic.column import Column as CC
+
+    if isinstance(col, CC):
+        return col._jc.toString()
+    return str(col)
+
+
+def shingle_hashes(text_sql: str, n: int = 3) -> str:
+    """SQL expression (usable in Spark `expr` — DuckDB twin differs
+    only in hex-cast syntax) producing the distinct shingle hash
+    array of a normalized-text expression."""
+    shing = (
+        f"array_distinct(transform(sequence(1, greatest(size(split({text_sql},' '))-{n}+1, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_sql},' '), i, {n}))))"
+    )
+    return (
+        f"transform({shing}, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"
+    )
+
+
+def with_shingle_hashes(df: DataFrame, n: int = 3, out_col: str = "__sh") -> DataFrame:
+    """Stage the shingle pipeline so each expensive step runs ONCE
+    per row (normalize → split → n-gram → md5): inline composition
+    re-evaluates the normalization per reference, which doubles scan
+    CPU — measured 2× on the sf0.1 bench."""
+    words = F.split(normalized_text(), " ")
+    df = df.withColumn("__words", words)
+    shing = (
+        f"array_distinct(transform(sequence(1, greatest(size(__words)-{n}+1, 1)),"
+        f" i -> concat_ws(' ', slice(__words, i, {n}))))"
+    )
+    return df.withColumn(
+        out_col,
+        F.expr(f"transform({shing}, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"),
+    ).drop("__words")
+
+
+NORM_SQL_SPARK = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+NORM_SQL_DUCK = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+
+def duck_shingle_hashes(n: int = 3) -> str:
+    """DuckDB twin of ``shingle_hashes`` over the normalized text."""
+    shing = (
+        f"list_distinct(list_transform(range(1, greatest(len(string_split({NORM_SQL_DUCK},' '))-{n}+1, 1)+1),"
+        f" i -> array_to_string(list_slice(string_split({NORM_SQL_DUCK},' '), i, i+{n}-1), ' ')))"
+    )
+    return f"list_transform({shing}, s -> ('0x'||substr(md5(s),1,8))::BIGINT)"
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: min-id survivor per content key. Hash-groupBy on
+    an md5 key — uniformly distributed, skew-free shuffle."""
+    return (
+        df.withColumn("content_key", content_key(text_col))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — narrow, shuffle-free."""
+    sig_terms = ", ".join(
+        f"array_min(transform(__sh, h -> (({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MINHASH_P}L)))"
+        for i in range(num_hashes)
+    )
+    return with_shingle_hashes(df, n).select(
+        F.col(id_col), F.expr(f"array({sig_terms})").alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join within (band_idx, band_hash):
+    the candidate generation step of MinHash-LSH. Returns distinct
+    (id_a, id_b) with id_a < id_b."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> md5(concat_ws(',', slice(sig, b*{rows_per_band}+1, {rows_per_band}))))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similarity pairs ≥ threshold. With
+    ``candidates`` (from LSH) only those pairs are verified — the
+    scale path; without, brute-force all pairs (oracle path, small sf
+    only)."""
+    sh = with_shingle_hashes(df, n).select(F.col(id_col), F.col("__sh").alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over shingle hashes: per bit, sign of Σ±1 votes.
+    Fully narrow — the vote vector is folded per row with
+    ``aggregate``/``zip_with`` (no explode, no shuffle; was 12 s on
+    the sf0.1 bench as an explode+groupBy, ~1 s this way)."""
+    votes = (
+        f"aggregate(__sh, array_repeat(0, {bits}), (acc, h) -> "
+        f"zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)))"
+    )
+    assemble = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, b) -> CASE WHEN v >= 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return with_shingle_hashes(df, n).select(
+        F.col(id_col), F.expr(assemble).alias("simhash")
+    )

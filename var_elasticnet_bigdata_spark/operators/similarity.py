@@ -1,0 +1,255 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface (BASELINE.json): brute-force cosine top-k as
+the exact baseline, and a random-hyperplane LSH-bucketed variant as
+the scale path.
+
+Scale notes:
+- Brute-force: the query side is broadcast as a numpy matrix into a
+  ``mapInPandas`` pass — each Arrow batch does ONE BLAS matmul
+  against the query block. Exact, O(N·Q·d), no shuffle. Right answer
+  for Q small (a probe set) at any N.
+- LSH: ``sign(R·x)`` bucket key (R = fixed seeded hyperplanes) is a
+  narrow transform; the search shuffles only bucket keys. Recall
+  depends on planes/probes; the brute-force path is the recall
+  oracle (measured in tests).
+- All arithmetic in float64 after an explicit cast — float32 parquet
+  values upcast identically in Spark and DuckDB, keeping the oracle
+  hash stable for id-only outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+LSH_SEED = 20260813
+
+
+def _normalized_matrix(rows: list, id_col: str, vec_col: str):
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, M / norms
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for every corpus vector, its k nearest
+    query vectors (queries default: the corpus itself). The query
+    matrix is collected + broadcast; each corpus partition does one
+    matmul per Arrow batch. Ties break on smaller neighbor id."""
+    qrows = (queries if queries is not None else df).select(id_col, vec_col).collect()
+    q_ids, Q = _normalized_matrix(qrows, id_col, vec_col)
+    sc = df.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, Q))
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("rank", IntegerType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    idc, vc, ex, kk = id_col, vec_col, exclude_self, k
+
+    def run(batches):
+        q_ids_, Q_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[idc].to_numpy(dtype=np.int64)
+            M = np.array(pdf[vc].tolist(), dtype=np.float64)
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            S = (M / n) @ Q_.T  # (batch, Q)
+            out = []
+            for i, rid in enumerate(ids):
+                s = S[i]
+                # deterministic order: cosine desc, neighbor id asc
+                order = np.lexsort((q_ids_, -s))
+                cnt = 0
+                for j in order:
+                    if ex and q_ids_[j] == rid:
+                        continue
+                    cnt += 1
+                    out.append((int(rid), cnt, int(q_ids_[j]), float(s[j])))
+                    if cnt >= kk:
+                        break
+            yield pd.DataFrame(out, columns=[idc, "rank", "neighbor_id", "cosine"])
+
+    return df.select(idc, vc).mapInPandas(run, schema)
+
+
+def lsh_bucket(
+    df: DataFrame,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane bucket key: ``Σ (r_b·x > 0) << b`` with fixed
+    seeded planes — a narrow JVM-friendly transform via one
+    mapInPandas matmul per batch."""
+    rng = np.random.default_rng(LSH_SEED)
+    R = rng.standard_normal((planes, dim))
+    sc = df.sparkSession.sparkContext
+    br = sc.broadcast(R)
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("bucket", LongType())]
+    )
+    idc, vc = id_col, vec_col
+
+    def run(batches):
+        R_ = br.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[idc].to_numpy(dtype=np.int64)
+            M = np.array(pdf[vc].tolist(), dtype=np.float64)
+            bits = (M @ R_.T) > 0
+            keys = (bits.astype(np.int64) << np.arange(bits.shape[1])).sum(axis=1)
+            yield pd.DataFrame({idc: ids, "bucket": keys})
+
+    return df.select(idc, vc).mapInPandas(run, schema)
+
+
+def lsh_tables(
+    df: DataFrame,
+    tables: int = 16,
+    planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane hashing: ``tables`` independent
+    sets of ``planes`` hyperplanes → rows (id, table, bucket). One
+    matmul per Arrow batch produces ALL tables' bits at once."""
+    rng = np.random.default_rng(LSH_SEED)
+    R = rng.standard_normal((tables * planes, dim))
+    sc = df.sparkSession.sparkContext
+    br = sc.broadcast(R)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("table", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+    idc, vc, tt, pp = id_col, vec_col, tables, planes
+
+    def run(batches):
+        R_ = br.value
+        w = np.arange(pp)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[idc].to_numpy(dtype=np.int64)
+            M = np.array(pdf[vc].tolist(), dtype=np.float64)
+            bits = ((M @ R_.T) > 0).astype(np.int64).reshape(len(M), tt, pp)
+            keys = (bits << w).sum(axis=2)  # (batch, tables)
+            out = pd.DataFrame(
+                {
+                    idc: np.repeat(ids, tt),
+                    "table": np.tile(np.arange(tt, dtype=np.int32), len(ids)),
+                    "bucket": keys.ravel(),
+                }
+            )
+            yield out
+
+    return df.select(idc, vc).mapInPandas(run, schema)
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 1,
+    tables: int = 16,
+    planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table LSH: candidates =
+    pairs sharing any (table, bucket); exact cosine rerank of
+    candidates only. Recall ≈ 1−(1−p^planes)^tables with p the
+    bit-agreement probability of true neighbors — tune (tables,
+    planes) to the corpus; the shuffle carries only bucket keys and
+    candidate pairs, never the full N² grid."""
+    buckets = lsh_tables(df, tables, planes, dim, id_col, vec_col)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = (A * B).sum(axis=1) / (na * nb)
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+            )
+
+    scored = pairs.mapInPandas(score, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("rank").cast("int"),
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+        )
+    )

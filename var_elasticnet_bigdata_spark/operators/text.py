@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines
+(beyond-reference surface, BASELINE.json): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built-in Spark SQL expressions (JVM-side, codegen'd —
+no Python in the hot path) with exact DuckDB oracle twins; the only
+engine-specific difference is DuckDB's 'g' regexp flag and hex-cast
+syntax (see operators/dedup.py portability contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import NORM_SQL_DUCK, NORM_SQL_SPARK, shingle_hashes
+
+# Characteristic stopwords per language — fixed lists shared verbatim
+# by the Spark expression and the DuckDB oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "los", "las", "es", "no", "por", "que", "una", "para", "con"],
+    "zh": [],  # handled by CJK character detection
+}
+
+
+def token_count(text_sql: str = NORM_SQL_SPARK) -> Column:
+    """Whitespace token count of the normalized text."""
+    return F.expr(f"size(split({text_sql}, ' '))")
+
+
+def _marker_hits(text_sql: str, words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"size(array_intersect(array_distinct(split({text_sql}, ' ')), array({arr})))"
+    )
+
+
+def lang_id_expr() -> Column:
+    """Argmax of per-language marker-word hits; CJK characters force
+    'zh'; ties and zero hits fall back to 'en'. Deterministic —
+    priority order en>de>fr>es on equal scores."""
+    scores = {
+        lang: _marker_hits(NORM_SQL_SPARK, words)
+        for lang, words in LANG_MARKERS.items()
+        if words
+    }
+    order = ["en", "de", "fr", "es"]
+    cjk = r"rlike(text, '[\\u4e00-\\u9fff]')"
+    return F.expr(
+        f"CASE WHEN {cjk} THEN 'zh' "
+        + "".join(
+            f"WHEN ({scores[lang]} > 0) AND "
+            + " AND ".join(f"({scores[lang]} >= {scores[o]})" for o in order if o != lang)
+            + f" THEN '{lang}' "
+            for lang in order
+        )
+        + "ELSE 'en' END"
+    )
+
+
+def duck_lang_id_sql() -> str:
+    """DuckDB twin of lang_id_expr."""
+    def hits(words: list[str]) -> str:
+        arr = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_intersect(list_distinct(string_split({NORM_SQL_DUCK}, ' ')), [{arr}]))"
+
+    scores = {l: hits(w) for l, w in LANG_MARKERS.items() if w}
+    order = ["en", "de", "fr", "es"]
+    return (
+        "CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+        + "".join(
+            f"WHEN ({scores[lang]} > 0) AND "
+            + " AND ".join(f"({scores[lang]} >= {scores[o]})" for o in order if o != lang)
+            + f" THEN '{lang}' "
+            for lang in order
+        )
+        + "ELSE 'en' END"
+    )
+
+
+QUALITY_SQL_SPARK = f"""
+  round(
+    0.3 * least(size(split({NORM_SQL_SPARK}, ' ')) / 200.0, 1.0)
+  + 0.3 * (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) / greatest(length(text), 1) * 5.0, 1.0))
+  + 0.4 * least(length({NORM_SQL_SPARK}) / greatest(size(split({NORM_SQL_SPARK}, ' ')), 1) / 8.0, 1.0)
+  , 6)
+"""
+
+QUALITY_SQL_DUCK = f"""
+  round(
+    0.3 * least(len(string_split({NORM_SQL_DUCK}, ' ')) / 200.0, 1.0)
+  + 0.3 * (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) / greatest(length(text), 1) * 5.0, 1.0))
+  + 0.4 * least(length({NORM_SQL_DUCK}) / greatest(len(string_split({NORM_SQL_DUCK}, ' ')), 1) / 8.0, 1.0)
+  , 6)
+"""
+
+
+def quality_score() -> Column:
+    """Composite quality: length saturation (0.3), low punctuation
+    ratio (0.3), mean-word-length saturation (0.4) — each in [0,1]."""
+    return F.expr(QUALITY_SQL_SPARK)
+
+
+def fingerprint_expr(n: int = 5) -> Column:
+    """Document fingerprint: min rolling(-window) hash over word
+    n-gram shingle hashes — the winnowing min-hash fingerprint."""
+    return F.expr(f"array_min({shingle_hashes(NORM_SQL_SPARK, n)})")
+
+
+def text_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One pass over documents: token count, language guess, quality
+    score, fingerprint. All whole-stage-codegen expressions."""
+    return df.select(
+        F.col(id_col),
+        token_count().alias("n_tokens"),
+        lang_id_expr().alias("lang_guess"),
+        quality_score().alias("quality"),
+        fingerprint_expr().alias("fingerprint"),
+    )

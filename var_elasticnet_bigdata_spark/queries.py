@@ -581,6 +581,273 @@ def t2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline extensions: dedup, similarity, text analysis
+# --------------------------------------------------------------------------
+
+
+def _duck_norm() -> str:
+    from .operators.dedup import NORM_SQL_DUCK
+
+    return NORM_SQL_DUCK
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_key,
+           MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content key, min-id survivor (skew-free
+    hash-groupBy shuffle)."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_signature",
+    None,  # filled below after imports
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature head: (doc_id, first two permutation mins) —
+    the signature step of MinHash-LSH, oracle-checked hash-for-hash."""
+    from .operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), num_hashes=4)
+    return sigs.select(
+        "doc_id",
+        F.expr("sig[0]").alias("mh0"),
+        F.expr("sig[1]").alias("mh1"),
+        F.expr("sig[2]").alias("mh2"),
+        F.expr("sig[3]").alias("mh3"),
+    )
+
+
+def _register_minhash_oracle() -> None:
+    from .operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P, duck_shingle_hashes
+
+    terms = ", ".join(
+        f"list_min(list_transform(sh, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P})) AS mh{i}"
+        for i in range(4)
+    )
+    ORACLE["dedup_minhash_signature"] = f"""
+        WITH s AS (SELECT doc_id, {duck_shingle_hashes(3)} AS sh FROM documents)
+        SELECT doc_id, {terms} FROM s
+    """
+
+
+_register_minhash_oracle()
+
+
+@query(
+    "dedup_ngram_jaccard",
+    None,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline end to end: 16-hash signatures →
+    8 bands × 2 rows candidates → exact 3-gram Jaccard ≥ 0.35 on
+    candidates only. Deterministic in both engines (fixed
+    permutations), so the oracle replays the identical pipeline —
+    and the N² scan the brute-force variant needs (141 s at sf0.1)
+    never happens."""
+    from .operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    return jaccard_pairs(docs, threshold=0.35, candidates=cand)
+
+
+def _register_jaccard_oracle() -> None:
+    from .operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        duck_shingle_hashes,
+    )
+
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(16)
+    )
+    ORACLE["dedup_ngram_jaccard"] = f"""
+        WITH s AS (SELECT doc_id, {duck_shingle_hashes(3)} AS sh FROM documents),
+        sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM s),
+        band AS (
+          SELECT doc_id, b,
+                 md5(array_to_string(list_slice(sig, b*2+1, b*2+2), ',')) AS bh
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.id_a
+        JOIN s sb ON sb.doc_id = c.id_b
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / len(list_distinct(sa.sh || sb.sh)) >= 0.35
+    """
+
+
+_register_jaccard_oracle()
+
+
+@query(
+    "dedup_simhash",
+    None,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (two hash-agg stages, no UDF)."""
+    from .operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _register_simhash_oracle() -> None:
+    from .operators.dedup import duck_shingle_hashes
+
+    ORACLE["dedup_simhash"] = f"""
+        WITH s AS (SELECT doc_id, unnest({duck_shingle_hashes(3)}) AS h FROM documents),
+        v AS (
+          SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS score
+          FROM s CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+          GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               SUM(CASE WHEN score >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        FROM v GROUP BY 1
+    """
+
+
+_register_simhash_oracle()
+
+
+@query(
+    "ann_top1_cosine",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS e
+      FROM embeddings
+    )
+    , p AS (
+      SELECT a.vec_id, b.vec_id AS nb, list_dot_product(a.e, b.e) AS s
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ), r AS (
+      SELECT vec_id, nb,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, nb ASC) AS rn
+      FROM p
+    )
+    SELECT vec_id, nb AS neighbor_id FROM r WHERE rn = 1
+    """,
+)
+def ann_top1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest neighbor by cosine (brute force, broadcast query
+    matrix + one BLAS matmul per Arrow batch). Output is id-only so
+    the oracle hash is float-jitter-proof."""
+    from .operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = cosine_topk(emb, k=1)
+    return top.select("vec_id", "neighbor_id")
+
+
+@query(
+    "text_token_count",
+    f"""
+    SELECT doc_id, len(string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+             AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count on normalized text (codegen'd)."""
+    from .operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count().alias("n_tokens"))
+
+
+@query("text_lang_id", None)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic + CJK detection."""
+    from .operators.text import lang_id_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr().alias("lang_guess"))
+
+
+def _register_lang_oracle() -> None:
+    from .operators.text import duck_lang_id_sql
+
+    ORACLE["text_lang_id"] = (
+        f"SELECT doc_id, {duck_lang_id_sql()} AS lang_guess FROM documents"
+    )
+
+
+_register_lang_oracle()
+
+
+@query("text_quality_score", None)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length/punctuation/word-length)."""
+    from .operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score().alias("quality"))
+
+
+def _register_quality_oracle() -> None:
+    from .operators.text import QUALITY_SQL_DUCK
+
+    ORACLE["text_quality_score"] = (
+        f"SELECT doc_id, {QUALITY_SQL_DUCK} AS quality FROM documents"
+    )
+
+
+_register_quality_oracle()
+
+
+@query("text_fingerprint", None)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-shingle-hash document fingerprint (5-gram), staged
+    pipeline (normalize/split once per row)."""
+    from .operators.dedup import with_shingle_hashes
+
+    d = load_table(spark, sf_dir, "documents")
+    return with_shingle_hashes(d, n=5).select(
+        "doc_id", F.expr("array_min(__sh)").alias("fingerprint")
+    )
+
+
+def _register_fingerprint_oracle() -> None:
+    from .operators.dedup import duck_shingle_hashes
+
+    ORACLE["text_fingerprint"] = (
+        f"SELECT doc_id, list_min({duck_shingle_hashes(5)}) AS fingerprint FROM documents"
+    )
+
+
+_register_fingerprint_oracle()
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
