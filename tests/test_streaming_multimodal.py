@@ -1,0 +1,125 @@
+"""Streaming (availableNow → memory sink, compared against batch) and
+multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from var_elasticnet_bigdata_spark.operators.multimodal import (
+    attach_payloads,
+    decode_image,
+    extract_features,
+    fake_decode_features,
+    sample_frames,
+)
+from var_elasticnet_bigdata_spark.sources import load_table
+from var_elasticnet_bigdata_spark.streaming.events import (
+    run_stream_to_memory,
+    stateful_user_totals,
+    stream_events,
+    windowed_event_counts,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_stream_windowed_counts_match_batch(spark):
+    stream = stream_events(spark, SF_SMALL)
+    agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+    q = run_stream_to_memory(agg, "win_counts", output_mode="complete")
+    got = spark.sql("SELECT * FROM win_counts").toPandas()
+    assert len(got) > 0
+
+    batch = load_table(spark, SF_SMALL, "events")
+    want = (
+        batch.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    g = got[key + ["n_events", "total_value"]].sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g.n_events.to_numpy() == w.n_events.to_numpy()).all()
+    assert g.total_value.to_numpy() == pytest.approx(w.total_value.to_numpy())
+    q.stop()
+
+
+def test_stream_stateful_user_totals(spark):
+    stream = stream_events(spark, SF_SMALL)
+    totals = stateful_user_totals(stream)
+    q = run_stream_to_memory(totals, "user_totals", output_mode="update")
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n, round(max(total_value),6) AS tv"
+        " FROM user_totals GROUP BY user_id"
+    ).toPandas()
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .toPandas()
+    )
+    m = got.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(m) == len(batch)
+    assert (m.n_s == m.n_b).all()
+    assert m.tv_s.to_numpy() == pytest.approx(m.tv_b.to_numpy(), abs=1e-5)
+    q.stop()
+
+
+def test_multimodal_schema_roundtrip(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    with_bin = attach_payloads(docs)
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    # survives a shuffle intact
+    back = with_bin.repartition(4, "doc_id").select("doc_id", "payload", "media")
+    row = back.filter(F.col("doc_id") == 0).collect()[0]
+    orig = docs.filter(F.col("doc_id") == 0).collect()[0]
+    assert bytes(row.payload).decode("utf-8") == orig.text
+    assert row.media.kind == "image" and row.media.width >= 1
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(30)
+    feats = extract_features(attach_payloads(docs)).toPandas()
+    assert len(feats) == 30
+    arr = np.array(feats.features.tolist())
+    assert arr.shape == (30, 8)
+    assert arr.sum(axis=1) == pytest.approx(np.ones(30))
+    # deterministic: same input → same features
+    text = docs.filter(F.col("doc_id") == docs.first().doc_id).first().text
+    want = fake_decode_features(text.encode("utf-8"))
+    got = np.array(
+        feats[feats.doc_id == docs.first().doc_id].features.iloc[0]
+    )
+    assert got == pytest.approx(want)
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(20)
+    frames = sample_frames(attach_payloads(docs), frame_bytes=16, stride=2,
+                           max_frames=4).toPandas()
+    assert (frames.groupby("doc_id").frame_idx.max() <= 3).all()
+    # frame contents are the right byte slices
+    doc = docs.first()
+    payload = doc.text.encode("utf-8")
+    f0 = frames[(frames.doc_id == doc.doc_id) & (frames.frame_idx == 0)].frame.iloc[0]
+    assert bytes(f0) == payload[:16]
+    f1 = frames[(frames.doc_id == doc.doc_id) & (frames.frame_idx == 1)]
+    if len(f1):
+        assert bytes(f1.frame.iloc[0]) == payload[32:48]  # stride 2 → chunk 2
+
+
+def test_real_decoder_seam_raises():
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"\x89PNG")

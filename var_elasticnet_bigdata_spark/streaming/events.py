@@ -1,0 +1,164 @@
+"""Structured Streaming ingestion of the events table.
+
+The reference is pure batch (SURVEY §2.10 — no streaming operators),
+but the engine's north star includes streaming ingest of new
+observations: late-arriving monthly data points are exactly the
+watermark use case. The same windowed aggregations the batch path
+uses (A1 roll-ups) are declared here over ``readStream``, so batch
+and streaming share semantics (and the tests assert stream results ==
+batch results under availableNow).
+
+Scale notes: file-source streaming with ``maxFilesPerTrigger``
+backpressure; watermark bounds state; the stateful per-user totals
+use ``applyInPandasWithState`` with explicit GroupStateTimeout — the
+state store holds one row per user, partitioned by the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) which the
+# Spark reader only accepts as long (nanosAsLong); converted after scan.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of the events table with the ns→µs
+    timestamp conversion applied (same as sources.tables.load_table).
+
+    The file source needs a DIRECTORY (new files appear → new
+    micro-batches); the shared testdata dir mixes table schemas, so a
+    per-table staging dir of symlinks is built under /tmp. In
+    production the ingest directory IS the source — this staging is
+    test-fixture plumbing only."""
+    import hashlib
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/spark_graft_stream_{tag}/events"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stage)
+    )
+    # TIMESTAMP (not NTZ): watermarks require event time with a zone;
+    # the session zone is pinned UTC so wall-clock matches the batch path.
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) window roll-up per event type with a
+    watermark for late data — the streaming twin of the A1 quarterly
+    roll-up. State is bounded by the watermark horizon."""
+    w = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    running per-user event count + value total, emitted on every
+    update. One state row per user key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+):
+    """Drive a streaming frame to a memory sink with availableNow
+    (process-everything-then-stop) — the test/verification harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
