@@ -1,0 +1,126 @@
+"""Rolling-origin tuner oracles: the distributed grid must match a
+sequential numpy replication of the caret timeSlice procedure, and
+tuning must find planted structure."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from var_elasticnet_bigdata_spark.ml.elastic_net import enet_path
+from var_elasticnet_bigdata_spark.ml.local import moments_from_numpy
+from var_elasticnet_bigdata_spark.ml.tuning import (
+    _cell_rmse,
+    ezlasso,
+    rolling_origin_tune,
+)
+
+
+def make_wide(spark, arrs: dict[str, np.ndarray]):
+    T = len(next(iter(arrs.values())))
+    pdf = pd.DataFrame(arrs)
+    pdf.insert(
+        0,
+        "obs_date",
+        [dt.date(2000, 1, 1) + dt.timedelta(days=7 * i) for i in range(T)],
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_cell_rmse_matches_manual_loop():
+    rng = np.random.default_rng(0)
+    T, k = 60, 3
+    X = rng.normal(size=(T, k))
+    y = X @ np.array([1.0, 0.0, -0.5]) + rng.normal(scale=0.2, size=T)
+    lams = np.array([1.0, 0.1, 0.01])
+    got = _cell_rmse(X, y, alpha=0.5, lambdas=lams, init_window=40, horizon=2)
+    # manual replication
+    names = [f"x{i}" for i in range(k)] + ["y"]
+    sse = np.zeros(3)
+    cnt = 0
+    for t in range(40, T - 2 + 1):
+        m = moments_from_numpy(np.column_stack([X[:t], y[:t]]), names)
+        fit = enet_path(m, names[:-1], "y", alpha=0.5, lambdas=lams)
+        pred = X[t : t + 2] @ fit.coefs + fit.intercepts
+        sse += ((pred - y[t : t + 2, None]) ** 2).sum(axis=0)
+        cnt += 2
+    assert got == pytest.approx(np.sqrt(sse / cnt), rel=1e-10)
+
+
+def test_rolling_origin_tune_finds_structure(spark):
+    rng = np.random.default_rng(1)
+    T = 80
+    a = np.zeros(T)
+    b = np.zeros(T)
+    for t in range(1, T):
+        a[t] = 0.7 * a[t - 1] + 0.25 * b[t - 1] + rng.normal(scale=0.1)
+        b[t] = 0.5 * b[t - 1] + rng.normal(scale=0.1)
+    wide = make_wide(spark, {"a": a, "b": b})
+    best = rolling_origin_tune(
+        spark, wide, ["a", "b"], lag=1, init_window=40, horizon=4,
+        alpha_grid=np.array([0.2, 0.8]),
+        lambda_grid=10 ** np.linspace(0, -4, 20),
+    )
+    assert set(best.equation) == {"a", "b"}
+    row = best[best.equation == "a"].iloc[0]
+    # strong signal → small λ wins; tuned RMSE near the 0.1 noise floor
+    assert row["lambda"] < 0.1
+    assert row.rmse < 0.15
+
+
+def test_tune_distributed_equals_sequential(spark):
+    rng = np.random.default_rng(2)
+    T = 60
+    a = np.cumsum(rng.normal(size=T)) * 0.1
+    b = rng.normal(size=T)
+    wide = make_wide(spark, {"a": a, "b": b})
+    grid_a = np.array([0.3, 0.6])
+    grid_l = np.array([1.0, 0.1, 0.01])
+    best = rolling_origin_tune(
+        spark, wide, ["a", "b"], lag=1, init_window=30, horizon=2,
+        alpha_grid=grid_a, lambda_grid=grid_l,
+    )
+    # sequential replication for equation "a"
+    Z = np.column_stack([a[:-1], b[:-1]])
+    ya = a[1:]
+    cands = []
+    for al in grid_a:
+        rm = _cell_rmse(Z, ya, al, np.sort(grid_l)[::-1], 30, 2)
+        order = np.argsort(np.sort(grid_l)[::-1])
+        rm_asc = rm[order]
+        li = int(np.argmin(rm_asc))
+        cands.append((float(rm_asc[li]), al, float(np.sort(grid_l)[li])))
+    want = min(cands)
+    row = best[best.equation == "a"].iloc[0]
+    assert row.rmse == pytest.approx(want[0], rel=1e-9)
+    assert row.alpha == want[1]
+    assert row["lambda"] == pytest.approx(want[2])
+
+
+def test_ezlasso_selects_signal_and_q6(spark):
+    rng = np.random.default_rng(3)
+    T = 200
+    x_pos = rng.normal(size=T)
+    x_neg = rng.normal(size=T)
+    noise = rng.normal(size=(T, 2))
+    y = 2.0 * x_pos - 2.0 * x_neg + rng.normal(scale=0.1, size=T)
+    wide = make_wide(
+        spark,
+        {"y": y, "xp": x_pos, "xn": x_neg, "n1": noise[:, 0], "n2": noise[:, 1]},
+    )
+    preds = ["xp", "xn", "n1", "n2"]
+    faithful = ezlasso(
+        spark, wide, "y", preds, alpha=0.5, maxnrvar=2, init_window=150
+    )
+    # Q6: signed ranking — the strong NEGATIVE predictor ranks last
+    assert faithful[0] == "y"
+    assert "xp" in faithful[1:]
+    assert "xn" not in faithful[1:]
+    fixed = ezlasso(
+        spark, wide, "y", preds, alpha=0.5, maxnrvar=2, init_window=150,
+        rank_abs=True,
+    )
+    assert set(fixed[1:]) == {"xp", "xn"}

@@ -199,6 +199,12 @@ def modeltrain(
         def fit_predict(mat: np.ndarray) -> np.ndarray:
             m = LocalEnetVAR(mat, ser, p=p_, alpha=a_, lam=l_, intercept=c_)
             return m.predict(h)
+    elif method == "genet":
+        from ..ml.group_enet import LocalGroupEnetVAR
+
+        def fit_predict(mat: np.ndarray) -> np.ndarray:
+            m = LocalGroupEnetVAR(mat, ser, p=p_, alpha=a_, intercept=c_)
+            return m.predict(h)
     elif method == "ar1":
         def fit_predict(mat: np.ndarray) -> np.ndarray:
             m = LocalAR1(mat[:, 0], const=c_)
