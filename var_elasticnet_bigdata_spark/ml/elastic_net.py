@@ -300,6 +300,318 @@ def cv_enet(
     return full
 
 
+# ---------------------------------------------------------------------------
+# multi-equation vectorized path: all K equations of a VAR share one
+# design, hence ONE standardized Gram — coordinate updates for every
+# equation happen together as K-vector BLAS ops. Identical math to K
+# independent CDs (each equation's update only touches its own column),
+# ~K× less Python overhead: the difference between >300 s and ~10 s per
+# rolling-origin refit at the reference's golden config (K=30, p=5).
+# ---------------------------------------------------------------------------
+
+
+def multi_standardize(
+    moments: Moments,
+    x_cols: list[str],
+    y_cols: list[str],
+    intercept: bool,
+    standardize: bool = True,
+):
+    """Shared-x standardization: one x scale, per-equation y terms.
+    Returns (xtx_n (k,k), XTY_n (k,K), x_mean, x_scale, y_means)."""
+    n = moments.n
+    k = len(x_cols)
+    sx = moments.sums(x_cols)
+    sy = moments.sums(y_cols)
+    Sxx = moments.cross(x_cols, x_cols)
+    Sxy = moments.cross(x_cols, y_cols)
+    if intercept:
+        mx, my = sx / n, sy / n
+    else:
+        mx, my = np.zeros(k), np.zeros(len(y_cols))
+    var_x = Sxx.diagonal() / n - mx**2
+    scale = np.sqrt(np.maximum(var_x, 0.0)) if standardize else np.ones(k)
+    scale = np.where(scale <= 0, 1.0, scale)
+    xtx_n = (Sxx / n - np.outer(mx, mx)) / np.outer(scale, scale)
+    XTY_n = (Sxy / n - np.outer(mx, my)) / scale[:, None]
+    return xtx_n, XTY_n, mx, scale, my
+
+
+def multi_coordinate_descent(
+    xtx_n: np.ndarray,
+    XTY_n: np.ndarray,
+    alphas: np.ndarray,  # (K,)
+    lams: np.ndarray,  # (K,) — per-equation λ at this path step
+    B0: np.ndarray | None = None,
+    tol: float = 1e-7,
+    max_iter: int = 10_000,
+) -> np.ndarray:
+    """Cyclic CD over coordinates, vectorized over equations, with
+    glmnet's active-set strategy: full sweep → iterate the active
+    rows to convergence → full sweep to verify (repeat)."""
+    k, K = XTY_n.shape
+    B = np.zeros((k, K)) if B0 is None else B0
+    diag = xtx_n.diagonal()
+    den = diag[:, None] + (lams * (1.0 - alphas))[None, :]
+    g = lams * alphas
+    R = XTY_n - xtx_n @ B
+
+    def sweep(rows) -> float:
+        delta = 0.0
+        for j in rows:
+            bj = B[j]
+            z = R[j] + diag[j] * bj
+            bnew = np.sign(z) * np.maximum(np.abs(z) - g, 0.0) / den[j]
+            d = bnew - bj
+            if np.any(d):
+                np.subtract(R, np.outer(xtx_n[:, j], d), out=R)
+                B[j] = bnew
+                m = float(np.max(np.abs(d)))
+                if m > delta:
+                    delta = m
+        return delta
+
+    all_rows = range(k)
+    for _ in range(max_iter):
+        if sweep(all_rows) < tol:
+            break
+        active = np.flatnonzero(np.any(B != 0, axis=1))
+        for _ in range(max_iter):
+            if sweep(active) < tol:
+                break
+    return B
+
+
+def enet_solve_exact(
+    xtx: np.ndarray,
+    xty: np.ndarray,
+    alpha: float,
+    lam: float,
+    b0: np.ndarray | None = None,
+    tol: float = 1e-9,
+    max_outer: int = 60,
+    eig: tuple[np.ndarray, np.ndarray] | None = None,
+) -> np.ndarray | None:
+    """Exact elastic-net solve by active-set continuation
+    (feature-sign search, Lee et al. 2006): given the support and
+    signs, the solution is the linear system
+
+        (X̃'X̃/n + λ(1−α)I)_A b_A = x̃'ỹ/n|_A − λα·s_A ;
+
+    iterate {solve on support with current signs → drop sign-flipped
+    coords → add KKT violators} until the KKT conditions hold.
+    Immune to the ill-conditioning that stalls coordinate descent
+    (κ(X'X) ~ 1e6 on lag designs of persistent macro series — CD
+    needed ~700 sweeps/λ there; this needs ~2 solves).
+
+    Returns None if the support/sign loop fails to settle (caller
+    falls back to CD)."""
+    k = len(xty)
+    g = lam * alpha
+    ridge = lam * (1.0 - alpha)
+    b = np.zeros(k) if b0 is None else b0.copy()
+    s = np.sign(b)
+    active = b != 0
+
+    def solve_support(idx: np.ndarray) -> np.ndarray:
+        if eig is not None and len(idx) == k:
+            # full support: reuse the cached eigendecomposition of
+            # xtx (Q, w): (xtx + ridge·I)⁻¹ rhs in O(k²)
+            Q, w = eig
+            rhs = xty - g * s
+            return Q @ ((Q.T @ rhs) / (w + ridge))
+        M = xtx[np.ix_(idx, idx)] + ridge * np.eye(len(idx))
+        rhs = xty[idx] - g * s[idx]
+        try:
+            return np.linalg.solve(M, rhs)
+        except np.linalg.LinAlgError:
+            return np.linalg.lstsq(M, rhs, rcond=None)[0]
+
+    for outer in range(max_outer):
+        if not active.any():
+            viol = np.abs(xty) - g
+            j = int(np.argmax(viol))
+            if viol[j] <= tol:
+                return np.zeros(k)
+            active[j] = True
+            s[j] = np.sign(xty[j])
+        # sign-consistent solve on the support (drop flips)
+        ok = False
+        for _ in range(max_outer):
+            idx = np.flatnonzero(active)
+            sol = solve_support(idx)
+            flipped = np.sign(sol) * s[idx] < 0
+            if not flipped.any():
+                b[:] = 0.0
+                b[idx] = sol
+                ok = True
+                break
+            drop = idx[flipped]
+            active[drop] = False
+            s[drop] = 0.0
+            if not active.any():
+                break
+        if not ok and active.any():
+            return None
+        # KKT on the inactive set
+        grad = xty - xtx @ b
+        inact = ~active
+        viol = np.abs(grad[inact]) - g
+        if viol.size == 0 or viol.max() <= max(tol, 1e-12):
+            return b
+        inact_idx = np.flatnonzero(inact)
+        if outer < 3:
+            # batch admission: all violators at once (spurious ones
+            # are dropped by the sign-flip pass)
+            adm = inact_idx[viol > max(tol, 1e-12)]
+        else:
+            # cycling guard: one at a time is provably progressing
+            adm = inact_idx[[int(np.argmax(viol))]]
+        active[adm] = True
+        s[adm] = np.sign(grad[adm])
+    return None
+
+
+def multi_enet_path(
+    moments: Moments,
+    x_cols: list[str],
+    y_cols: list[str],
+    alphas: np.ndarray,
+    lambda_paths: np.ndarray,  # (nlambda, K), each column descending
+    intercept: bool,
+    standardize: bool = True,
+    tol: float = 1e-9,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Warm-started path for all equations at once: exact active-set
+    solves per (λ, equation) with the previous λ's solution as warm
+    start; CD fallback when the active-set loop cycles. Returns
+    (coefs (k,K,nlambda) original scale, intercepts (K,nlambda))."""
+    xtx_n, XTY_n, mx, scale, my = multi_standardize(
+        moments, x_cols, y_cols, intercept, standardize
+    )
+    k, K = XTY_n.shape
+    nl = lambda_paths.shape[0]
+    coefs = np.zeros((k, K, nl))
+    intercepts = np.zeros((K, nl))
+    B = np.zeros((k, K))
+    # one eigendecomposition per moment set → O(k²) full-support solves
+    w_eig, Q_eig = np.linalg.eigh(xtx_n)
+    eig = (Q_eig, np.maximum(w_eig, 0.0))
+    for i in range(nl):
+        for j in range(K):
+            sol = enet_solve_exact(
+                xtx_n, XTY_n[:, j], float(alphas[j]),
+                float(lambda_paths[i, j]), b0=B[:, j], tol=tol, eig=eig,
+            )
+            if sol is None:
+                prob = StandardizedProblem(
+                    xtx_n=xtx_n, xty_n=XTY_n[:, j], yty_n=0.0,
+                    x_mean=mx, x_scale=scale, y_mean=float(my[j]),
+                    n=moments.n,
+                )
+                sol = coordinate_descent(
+                    prob, float(alphas[j]), float(lambda_paths[i, j]),
+                    b0=B[:, j], tol=max(tol, 1e-9),
+                )
+            B[:, j] = sol
+        Borig = B / scale[:, None]
+        coefs[:, :, i] = Borig
+        if intercept:
+            intercepts[:, i] = my - Borig.T @ mx
+    return coefs, intercepts
+
+
+def multi_lambda_paths(
+    moments: Moments,
+    x_cols: list[str],
+    y_cols: list[str],
+    alphas: np.ndarray,
+    intercept: bool,
+    nlambda: int = 100,
+    lambda_min_ratio: float | None = None,
+    standardize: bool = True,
+) -> np.ndarray:
+    """Per-equation glmnet default λ sequences, stacked (nlambda, K)."""
+    xtx_n, XTY_n, *_ = multi_standardize(
+        moments, x_cols, y_cols, intercept, standardize
+    )
+    k = len(x_cols)
+    n = moments.n
+    if lambda_min_ratio is None:
+        lambda_min_ratio = 1e-2 if n < k else 1e-4
+    a = np.maximum(alphas, 1e-3)
+    lmax = np.max(np.abs(XTY_n), axis=0) / a
+    lmax = np.where(lmax <= 0, 1.0, lmax)
+    steps = np.linspace(0, 1, nlambda)[:, None]
+    return np.exp(
+        np.log(lmax)[None, :] * (1 - steps)
+        + np.log(lmax * lambda_min_ratio)[None, :] * steps
+    )
+
+
+def multi_cv_enet(
+    fold_moments: dict[int, Moments],
+    x_cols: list[str],
+    y_cols: list[str],
+    alphas: np.ndarray,
+    intercept: bool = False,
+    nlambda: int = 100,
+    tol: float = 1e-9,
+) -> dict[str, EnetFit]:
+    """cv.glmnet for all K equations in one vectorized pass per fold.
+    Exactly the per-equation cv_enet results (same folds, same λ
+    sequences, same CV-error formula), K× fewer Python path loops."""
+    from .gram import moments_total
+
+    total = moments_total(fold_moments)
+    paths = multi_lambda_paths(total, x_cols, y_cols, alphas, intercept,
+                               nlambda=nlambda)
+    coefs, intercepts = multi_enet_path(
+        total, x_cols, y_cols, alphas, paths, intercept, tol=tol
+    )
+    K = len(y_cols)
+    nl = paths.shape[0]
+    errs = np.zeros((len(fold_moments), nl, K))
+    for fi, (fold, fm) in enumerate(sorted(fold_moments.items())):
+        train = total.minus(fm)
+        fc, fi0 = multi_enet_path(
+            train, x_cols, y_cols, alphas, paths, intercept, tol=tol
+        )
+        n_f = fm.n
+        Sxx = fm.cross(x_cols, x_cols)
+        Sxy = fm.cross(x_cols, y_cols)
+        syy = fm.cross(y_cols, y_cols).diagonal()
+        sx = fm.sums(x_cols)
+        sy = fm.sums(y_cols)
+        for li in range(nl):
+            Bl = fc[:, :, li]  # (k, K)
+            a0 = fi0[:, li]
+            sse = (
+                syy
+                - 2.0 * np.sum(Bl * Sxy, axis=0)
+                + np.sum(Bl * (Sxx @ Bl), axis=0)
+                + n_f * a0**2
+                + 2.0 * a0 * (Bl.T @ sx - sy)
+            )
+            errs[fi, li] = sse / n_f
+    cv_mean = errs.mean(axis=0)  # (nlambda, K)
+    out: dict[str, EnetFit] = {}
+    for j, yc in enumerate(y_cols):
+        li = int(np.argmin(cv_mean[:, j]))
+        fit = EnetFit(
+            x_cols=list(x_cols),
+            y_col=yc,
+            alpha=float(alphas[j]),
+            lambdas=paths[:, j],
+            coefs=coefs[:, j, :],
+            intercepts=intercepts[j],
+            cv_mean=cv_mean[:, j],
+            lambda_min=float(paths[li, j]),
+        )
+        out[yc] = fit
+    return out
+
+
 def blocked_fold_ids(n: int, block: int = 10) -> np.ndarray:
     """The reference's contiguous time-series CV folds
     (enetVAR.R:27-35): fold id = row index div block, identical

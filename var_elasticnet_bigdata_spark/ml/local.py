@@ -77,13 +77,16 @@ class LocalEnetVAR:
         self.fits: dict[str, EnetFit] = {}
         self.lambda_used: dict[str, float] = {}
         if lams is None:
+            from .elastic_net import multi_cv_enet
+
             foldid = np.arange(self.t_rows) // cv_block
             fm = fold_moments_from_numpy(data, names, foldid)
-            for j, s in enumerate(series):
-                fit = cv_enet(
-                    fm, self.z_names, f"__y_{s}", alpha=float(alphas[j]),
-                    intercept=intercept,
-                )
+            y_names = [f"__y_{s}" for s in series]
+            fits = multi_cv_enet(
+                fm, self.z_names, y_names, alphas, intercept=intercept
+            )
+            for s in series:
+                fit = fits[f"__y_{s}"]
                 self.fits[s] = fit
                 self.lambda_used[s] = float(fit.lambda_min)
         else:

@@ -43,9 +43,11 @@ class StationarityResult:
 
 def make_quarterly_diffs(monthly_long: DataFrame) -> DataFrame:
     """Initial transform (Main.R:43): quarterly SUM of monthly first
-    diffs, first quarter dropped (the reference's ``[-1,]``)."""
+    diffs, first quarter dropped (the reference's ``[-1,]``).
+    strict_na: zoo's sum propagates NA (partial quarters at ragged
+    series starts stay NA, as in R)."""
     d = ts.diff(monthly_long, out_col="value")
-    q = ts.resample(d, freq="quarter", how="sum")
+    q = ts.resample(d, freq="quarter", how="sum", strict_na=True)
     first_q = q.agg(F.min("obs_date")).collect()[0][0]
     return q.filter(F.col("obs_date") > F.lit(first_q))
 
@@ -55,7 +57,7 @@ def _quarterly_logdiffs(monthly_long: DataFrame, series: list[str]) -> DataFrame
     log-diffs for the given series, first quarter dropped."""
     sub = monthly_long.filter(F.col("series_id").isin(series))
     ld = ts.log_diff(sub, out_col="value")
-    q = ts.resample(ld, freq="quarter", how="sum")
+    q = ts.resample(ld, freq="quarter", how="sum", strict_na=True)
     first_q = q.agg(F.min("obs_date")).collect()[0][0]
     return q.filter(F.col("obs_date") > F.lit(first_q))
 

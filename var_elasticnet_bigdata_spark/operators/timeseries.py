@@ -89,6 +89,7 @@ def resample(
     value_col: str = VALUE,
     series_col: str = SERIES,
     date_col: str = DATE,
+    strict_na: bool = False,
 ) -> DataFrame:
     """Temporal roll-up (A1): monthly→quarterly aggregate per series.
 
@@ -96,7 +97,11 @@ def resample(
     FUN, Main.R:43). Partial+final hash aggregation via Catalyst —
     map-side combine means the shuffle carries one row per
     (series, quarter) per input partition, not per input row.
-    """
+
+    ``strict_na=True`` gives R's ``sum``/``mean`` NA semantics: any
+    NULL in the bucket → NULL result (SQL aggregates skip NULLs;
+    zoo's don't — this matters for ragged series starts feeding
+    ``na.omit``)."""
     agg = {
         "sum": F.sum,
         "mean": F.avg,
@@ -105,9 +110,13 @@ def resample(
         "min": F.min,
         "max": F.max,
     }[how]
-    return (
-        df.groupBy(series_col, to_period(F.col(date_col), freq).alias(date_col))
-        .agg(agg(value_col).alias(value_col))
+    gb = df.groupBy(series_col, to_period(F.col(date_col), freq).alias(date_col))
+    if not strict_na:
+        return gb.agg(agg(value_col).alias(value_col))
+    return gb.agg(
+        F.when(
+            F.count(F.lit(1)) == F.count(value_col), agg(value_col)
+        ).alias(value_col)
     )
 
 

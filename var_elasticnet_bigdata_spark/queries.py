@@ -540,6 +540,178 @@ def a6_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# SURVEY §2.10 coverage: categories the reference lacks, surfaced via
+# native Spark SQL (grouping sets, approx distinct, JSON/array ops,
+# set ops on rows, semi join, ranking windows, session windows)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "g1_rollup_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def g1_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / ROLLUP — native Catalyst Expand; partial aggs
+    still map-side combine per grouping set."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total")
+    )
+
+
+@query(
+    "g2_distinct_count",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def g2_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expands to a two-stage agg). The
+    approx_count_distinct variant is benchmarked in pytest — HLL
+    sketches aren't bit-identical across engines, so the ORACLE pins
+    the exact form."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+
+
+@query(
+    "g3_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def g3_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column
+    (get_json_object ≡ DuckDB json_extract_string)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "g4_semi_join",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+)
+def g4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "g5_set_ops",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def g5_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row set ops: customers with both fulfilled AND open orders."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersect(op)
+
+
+@query(
+    "g6_rank_window",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM r WHERE rnk <= 2
+    """,
+)
+def g6_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (top-2 orders per customer) — partitioned
+    window, deterministic tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "o_custkey", "o_orderkey", r2(F.col("o_totalprice")).alias("totalprice")
+        )
+    )
+
+
+@query(
+    "g7_session_window",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM e
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end
+    FROM s GROUP BY 1, 2
+    """,
+)
+def g7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) as a gaps-and-islands window — the
+    batch twin of streaming session windows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch secs
+    gap = secs - F.lag(secs, 1).over(w)
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(ws))
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+    )
+
+
 @query(
     "t1_topn_deterministic",
     """
