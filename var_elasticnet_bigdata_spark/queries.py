@@ -540,6 +540,138 @@ def a6_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w5_rolling_origin_errors",
+    _DAILY_EVENTS_CTE
+    + """
+    , idx AS (
+      SELECT series_id, obs_date, value,
+             ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY obs_date) AS rn,
+             COUNT(*) OVER (PARTITION BY series_id) AS n
+      FROM m
+    ), origins AS (
+      SELECT * FROM idx WHERE rn >= n - 10 AND rn < n
+    ), errs AS (
+      SELECT o.series_id, o.obs_date AS origin_date, h.h AS horizon,
+             t.obs_date AS target_date,
+             ROUND(o.value, 6) AS yhat,
+             ROUND(t.value, 6) AS y_true,
+             ROUND(o.value - t.value, 6) AS err
+      FROM origins o
+      CROSS JOIN (SELECT UNNEST([1, 2]) AS h) h
+      JOIN idx t ON t.series_id = o.series_id AND t.rn = o.rn + h.h
+    )
+    SELECT * FROM errs
+    """,
+)
+def w5_rolling_origin_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6: rolling-origin no-change forecasts over the last 10
+    origins, horizons {1,2}, joined to realized targets BY TARGET
+    INDEX (the fixed W6 alignment) — the harness's forecast table as
+    a pure relational query."""
+    m = _daily_events(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("obs_date")
+    idx = m.select(
+        "series_id", "obs_date", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("series_id")).alias("n"),
+    )
+    origins = idx.filter((F.col("rn") >= F.col("n") - 10) & (F.col("rn") < F.col("n")))
+    horizons = spark.range(1, 3).select(F.col("id").cast("int").alias("horizon"))
+    o = origins.crossJoin(horizons)
+    t = idx.select(
+        F.col("series_id").alias("t_sid"),
+        F.col("rn").alias("t_rn"),
+        F.col("obs_date").alias("target_date"),
+        F.col("value").alias("t_value"),
+    )
+    return (
+        o.join(
+            t,
+            (F.col("series_id") == F.col("t_sid"))
+            & (F.col("t_rn") == F.col("rn") + F.col("horizon")),
+        )
+        .select(
+            "series_id",
+            F.col("obs_date").alias("origin_date"),
+            "horizon",
+            "target_date",
+            r6(F.col("value")).alias("yhat"),
+            r6(F.col("t_value")).alias("y_true"),
+            r6(F.col("value") - F.col("t_value")).alias("err"),
+        )
+    )
+
+
+@query(
+    "a3_msfe_by_horizon",
+    _DAILY_EVENTS_CTE
+    + """
+    , idx AS (
+      SELECT series_id, obs_date, value,
+             ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY obs_date) AS rn,
+             COUNT(*) OVER (PARTITION BY series_id) AS n
+      FROM m
+    ), origins AS (
+      SELECT * FROM idx WHERE rn >= n - 10 AND rn < n
+    ), errs AS (
+      SELECT o.series_id, h.h AS horizon, o.value - t.value AS err
+      FROM origins o
+      CROSS JOIN (SELECT UNNEST([1, 2]) AS h) h
+      JOIN idx t ON t.series_id = o.series_id AND t.rn = o.rn + h.h
+    )
+    SELECT series_id, horizon,
+           ROUND(SUM(err * err) / COUNT(*), 6) AS msfe
+    FROM errs GROUP BY 1, 2
+    """,
+)
+def a3_msfe_by_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 MSFE (enetVAR.R:475-482) as a relational aggregation over
+    the W5 forecast-error table."""
+    errs = w5_rolling_origin_errors(spark, sf_dir)
+    return errs.groupBy("series_id", "horizon").agg(
+        r6(F.sum(F.col("err") * F.col("err")) / F.count(F.lit(1))).alias("msfe")
+    )
+
+
+@query(
+    "e5_pivot_reshape",
+    _DAILY_EVENTS_CTE
+    + """
+    , idx AS (
+      SELECT series_id, obs_date, value,
+             ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY obs_date) AS rn,
+             COUNT(*) OVER (PARTITION BY series_id) AS n
+      FROM m
+    ), origins AS (
+      SELECT * FROM idx WHERE rn >= n - 10 AND rn < n
+    ), errs AS (
+      SELECT o.series_id, h.h AS horizon, o.value - t.value AS err
+      FROM origins o
+      CROSS JOIN (SELECT UNNEST([1, 2]) AS h) h
+      JOIN idx t ON t.series_id = o.series_id AND t.rn = o.rn + h.h
+    ), msfe AS (
+      SELECT series_id, horizon, SUM(err * err) / COUNT(*) AS v
+      FROM errs GROUP BY 1, 2
+    )
+    SELECT series_id,
+           ROUND(MAX(CASE WHEN horizon = 1 THEN v END), 6) AS h1,
+           ROUND(MAX(CASE WHEN horizon = 2 THEN v END), 6) AS h2
+    FROM msfe GROUP BY 1
+    """,
+)
+def e5_pivot_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 result reshaping (Testing.R:557-591 sapply pivots):
+    horizon-wide MSFE matrix via groupBy().pivot()."""
+    m = a3_msfe_by_horizon(spark, sf_dir)
+    return (
+        m.withColumn("h", F.concat(F.lit("h"), F.col("horizon")))
+        .groupBy("series_id")
+        .pivot("h", ["h1", "h2"])
+        .agg(F.first("msfe"))
+    )
+
+
 # --------------------------------------------------------------------------
 # SURVEY §2.10 coverage: categories the reference lacks, surfaced via
 # native Spark SQL (grouping sets, approx distinct, JSON/array ops,
