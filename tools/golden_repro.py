@@ -126,7 +126,10 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from var_elasticnet_bigdata_spark.session import get_spark
 
-    spark = get_spark("golden-repro")
+    # 96 shuffle partitions: ~75 origin groups of very uneven cost
+    # (late origins have more data AND more CV folds) — finer tasks
+    # let the scheduler balance the stragglers
+    spark = get_spark("golden-repro", shuffle_partitions=96)
     spark.sparkContext.setLogLevel("ERROR")
     end_var, _ = build_end_var(spark)
     results = {}

@@ -26,4 +26,16 @@ Design notes (100 TB-readiness) live in each module's docstring; the
 operator inventory they implement is SURVEY.md §2.
 """
 
+import os as _os
+
+# single-threaded BLAS per worker (see session.py): must be set
+# before numpy initializes in any process importing the package
+for _v in (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+):
+    _os.environ.setdefault(_v, "1")
+
 __version__ = "0.1.0"

@@ -318,13 +318,15 @@ def multi_standardize(
     standardize: bool = True,
 ):
     """Shared-x standardization: one x scale, per-equation y terms.
-    Returns (xtx_n (k,k), XTY_n (k,K), x_mean, x_scale, y_means)."""
+    Returns (xtx_n (k,k), XTY_n (k,K), x_mean, x_scale, y_means,
+    yty_n (K,) — per-equation (1/n)ỹ'ỹ for deviance tracking)."""
     n = moments.n
     k = len(x_cols)
     sx = moments.sums(x_cols)
     sy = moments.sums(y_cols)
     Sxx = moments.cross(x_cols, x_cols)
     Sxy = moments.cross(x_cols, y_cols)
+    Syy = moments.cross(y_cols, y_cols).diagonal()
     if intercept:
         mx, my = sx / n, sy / n
     else:
@@ -334,7 +336,8 @@ def multi_standardize(
     scale = np.where(scale <= 0, 1.0, scale)
     xtx_n = (Sxx / n - np.outer(mx, mx)) / np.outer(scale, scale)
     XTY_n = (Sxy / n - np.outer(mx, my)) / scale[:, None]
-    return xtx_n, XTY_n, mx, scale, my
+    yty_n = Syy / n - my**2
+    return xtx_n, XTY_n, mx, scale, my, yty_n
 
 
 def multi_coordinate_descent(
@@ -484,9 +487,20 @@ def multi_enet_path(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Warm-started path for all equations at once: exact active-set
     solves per (λ, equation) with the previous λ's solution as warm
-    start; CD fallback when the active-set loop cycles. Returns
-    (coefs (k,K,nlambda) original scale, intercepts (K,nlambda))."""
-    xtx_n, XTY_n, mx, scale, my = multi_standardize(
+    start; CD fallback when the active-set loop cycles.
+
+    glmnet's path-truncation rules are applied per equation (public
+    glmnet behavior, `fdev`/`devmax` in glmnet.control): stop
+    descending λ once the fractional improvement in deviance
+    explained drops below 1e-5 (or R² > 0.999). This is both parity —
+    cv.glmnet can only select λ.min among COMPUTED path points — and
+    the speed path: the skipped tail is exactly the ill-conditioned
+    near-unregularized regime. Frozen entries repeat the last
+    computed coefficients; ``stop_idx`` marks the truncation.
+
+    Returns (coefs (k,K,nlambda) original scale,
+    intercepts (K,nlambda), stop_idx (K,) int — #valid path points)."""
+    xtx_n, XTY_n, mx, scale, my, yty_n = multi_standardize(
         moments, x_cols, y_cols, intercept, standardize
     )
     k, K = XTY_n.shape
@@ -497,8 +511,15 @@ def multi_enet_path(
     # one eigendecomposition per moment set → O(k²) full-support solves
     w_eig, Q_eig = np.linalg.eigh(xtx_n)
     eig = (Q_eig, np.maximum(w_eig, 0.0))
+    stop_idx = np.full(K, nl, dtype=int)
+    prev_dev = np.zeros(K)
+    fdev, devmax = 1e-5, 0.999
     for i in range(nl):
         for j in range(K):
+            if stop_idx[j] < nl:
+                coefs[:, j, i] = coefs[:, j, i - 1]
+                intercepts[j, i] = intercepts[j, i - 1]
+                continue
             sol = enet_solve_exact(
                 xtx_n, XTY_n[:, j], float(alphas[j]),
                 float(lambda_paths[i, j]), b0=B[:, j], tol=tol, eig=eig,
@@ -511,14 +532,26 @@ def multi_enet_path(
                 )
                 sol = coordinate_descent(
                     prob, float(alphas[j]), float(lambda_paths[i, j]),
-                    b0=B[:, j], tol=max(tol, 1e-9),
+                    b0=B[:, j], tol=max(tol, 1e-9), max_iter=2000,
                 )
             B[:, j] = sol
-        Borig = B / scale[:, None]
-        coefs[:, :, i] = Borig
-        if intercept:
-            intercepts[:, i] = my - Borig.T @ mx
-    return coefs, intercepts
+            Borig_j = sol / scale
+            coefs[:, j, i] = Borig_j
+            if intercept:
+                intercepts[j, i] = my[j] - float(Borig_j @ mx)
+            if yty_n[j] > 0:
+                rss = (
+                    yty_n[j]
+                    - 2.0 * float(sol @ XTY_n[:, j])
+                    + float(sol @ (xtx_n @ sol))
+                )
+                dev = 1.0 - rss / yty_n[j]
+                if i > 0 and (
+                    dev - prev_dev[j] < fdev * dev or dev > devmax
+                ):
+                    stop_idx[j] = i + 1
+                prev_dev[j] = dev
+    return coefs, intercepts, stop_idx
 
 
 def multi_lambda_paths(
@@ -566,7 +599,7 @@ def multi_cv_enet(
     total = moments_total(fold_moments)
     paths = multi_lambda_paths(total, x_cols, y_cols, alphas, intercept,
                                nlambda=nlambda)
-    coefs, intercepts = multi_enet_path(
+    coefs, intercepts, stop_idx = multi_enet_path(
         total, x_cols, y_cols, alphas, paths, intercept, tol=tol
     )
     K = len(y_cols)
@@ -574,7 +607,7 @@ def multi_cv_enet(
     errs = np.zeros((len(fold_moments), nl, K))
     for fi, (fold, fm) in enumerate(sorted(fold_moments.items())):
         train = total.minus(fm)
-        fc, fi0 = multi_enet_path(
+        fc, fi0, _ = multi_enet_path(
             train, x_cols, y_cols, alphas, paths, intercept, tol=tol
         )
         n_f = fm.n
@@ -597,7 +630,8 @@ def multi_cv_enet(
     cv_mean = errs.mean(axis=0)  # (nlambda, K)
     out: dict[str, EnetFit] = {}
     for j, yc in enumerate(y_cols):
-        li = int(np.argmin(cv_mean[:, j]))
+        # λ.min only among COMPUTED path points (glmnet truncation)
+        li = int(np.argmin(cv_mean[: stop_idx[j], j]))
         fit = EnetFit(
             x_cols=list(x_cols),
             y_col=yc,

@@ -11,6 +11,19 @@ from __future__ import annotations
 
 import os
 
+# Pin BLAS to one thread BEFORE numpy loads anywhere: the estimation
+# kernels are many small (≤900²) matrices across many parallel Spark
+# workers — per-worker multithreaded BLAS (32 threads × 32 workers)
+# thrashes the box into 10-50× slowdowns. Parallelism belongs to
+# Spark's task scheduler, not the BLAS.
+for _v in (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 
@@ -43,6 +56,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    for v in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        b = b.config(f"spark.executorEnv.{v}", "1")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
