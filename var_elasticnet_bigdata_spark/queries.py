@@ -1152,6 +1152,102 @@ def _register_fingerprint_oracle() -> None:
 _register_fingerprint_oracle()
 
 
+# --------------------------------------------------------------------------
+# ML / statistical operators through the driver contract (rows-only
+# checks — not SQL-expressible; the numerical oracles live in pytest)
+# --------------------------------------------------------------------------
+
+
+def _quarterly_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-series quarterly wide frame from orders/lineitem."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("quarter", "o_orderdate").cast("date").alias("obs_date"))
+        .agg((F.sum("o_totalprice") / 1e6).alias("revenue"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("quarter", "l_shipdate").cast("date").alias("obs_date"))
+        .agg((F.sum("l_quantity") / 1e5).alias("quantity"))
+    )
+    return o.join(li, "obs_date", "inner").orderBy("obs_date")
+
+
+@query("ml_enet_var_coefs", None)
+def ml_enet_var_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M4: elastic-net VAR(2) fit on the quarterly revenue/quantity
+    pair (fixed λ path, Gram-matrix distributed pass); coefficient
+    matrix as (z_name, equation, coef) rows. Verified numerically in
+    pytest (ridge/KKT/simulation oracles) — rows-only here."""
+    from .ml.var_model import fit_enet_var
+
+    wide = _quarterly_pair(spark, sf_dir)
+    m = fit_enet_var(
+        wide, ["revenue", "quantity"], p=2, alpha=0.5, lam=0.01, intercept=True
+    )
+    B = m.coef_matrix()
+    rows = [
+        (rn, eq, round(float(B[i, j]), 6))
+        for i, rn in enumerate(m.row_names)
+        for j, eq in enumerate(m.series)
+    ]
+    return spark.createDataFrame(rows, "z_name string, equation string, coef double")
+
+
+@query("ml_modeltrain_msfe", None)
+def ml_modeltrain_msfe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: the rolling-origin OOS experiment on the quarterly pair
+    (h=4, horizons {1,2,4}) — distributed per-origin refits; MSFE and
+    Theil's U vs the random walk per horizon."""
+    from .harness.modeltrain import modeltrain
+
+    wide = _quarterly_pair(spark, sf_dir)
+    dates = [r["obs_date"] for r in wide.select("obs_date").orderBy("obs_date").collect()]
+    start = dates[len(dates) // 2 + 4]
+    res = modeltrain(
+        spark, wide, ["revenue", "quantity"], start_pred=start, h=4,
+        lam=0.05, alpha=0.5, lag=1, with_ar1=False,
+    )
+    rows = [
+        (int(h), round(res.msfe[h], 6), round(res.theils_u_rw.get(h, float("nan")), 6))
+        for h in sorted(res.msfe)
+    ]
+    return spark.createDataFrame(rows, "horizon int, msfe double, theils_u_rw double")
+
+
+@query("stat_adf_batch", None)
+def stat_adf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18: per-series ADF (constant+trend, Dickey-Fuller table
+    p-values) over the daily event series in one grouped pass."""
+    from .functions.stats import adf_table
+
+    m = _daily_events(spark, sf_dir)
+    t = adf_table(m)
+    return t.select(
+        "series_id",
+        r6(F.col("statistic")).alias("statistic"),
+        r6(F.col("p_value")).alias("p_value"),
+        "k",
+    )
+
+
+@query("ml_group_enet_coefs", None)
+def ml_group_enet_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: group (mgaussian) elastic-net VAR on the quarterly pair —
+    row-sparse coefficient matrix at λ.min from blocked-fold CV."""
+    from .ml.group_enet import fit_group_enet_var
+
+    wide = _quarterly_pair(spark, sf_dir)
+    fit = fit_group_enet_var(wide, ["revenue", "quantity"], p=2, alpha=0.5)
+    B, a0 = fit.coef_at(fit.lambda_min)
+    rows = [
+        (zn, yc, round(float(B[i, j]), 6))
+        for i, zn in enumerate(fit.x_cols)
+        for j, yc in enumerate(fit.y_cols)
+    ]
+    return spark.createDataFrame(rows, "z_name string, equation string, coef double")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
