@@ -217,22 +217,24 @@ def fit_enet_var(
 
     fits: dict[str, EnetFit] = {}
     lambda_used: dict[str, float] = {}
-    for j, s in enumerate(series):
-        if lams is not None:
+    if lams is not None:
+        for j, s in enumerate(series):
             path = np.linspace(2 * lams[j], lams[j] / 2, 10)
-            fit = enet_path(
+            fits[s] = enet_path(
                 total, z_cols, s, alpha=float(alphas[j]), lambdas=path,
                 intercept=intercept,
             )
-            fits[s] = fit
             lambda_used[s] = float(lams[j])
-        else:
-            fit = cv_enet(
-                fold_moments, z_cols, s, alpha=float(alphas[j]),
-                intercept=intercept, nlambda=nlambda,
-            )
-            fits[s] = fit
-            lambda_used[s] = float(fit.lambda_min)
+    else:
+        from .elastic_net import multi_cv_enet
+
+        multi = multi_cv_enet(
+            fold_moments, z_cols, series, alphas, intercept=intercept,
+            nlambda=nlambda,
+        )
+        for s in series:
+            fits[s] = multi[s]
+            lambda_used[s] = float(multi[s].lambda_min)
 
     # last p observation rows for recursive forecasting (tiny collect)
     tail = (
