@@ -18,6 +18,7 @@ from var_elasticnet_bigdata_spark.operators.dedup import (
     simhash,
 )
 from var_elasticnet_bigdata_spark.operators.similarity import (
+    cosine_near_dup_pairs,
     cosine_topk,
     lsh_bucket,
     lsh_topk,
@@ -126,6 +127,45 @@ def test_lsh_topk_recall_vs_bruteforce(spark, emb):
     recall = (merged.neighbor_id_e == merged.neighbor_id_a).mean()
     assert recall > 0.75
     assert len(merged) > 0.9 * emb.count()
+
+
+def test_cosine_near_dup_exact_matches_numpy(spark, emb):
+    got = (
+        cosine_near_dup_pairs(emb, threshold=0.4, method="exact")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pdf = emb.toPandas()
+    M = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    S = M @ M.T
+    ii, jj = np.nonzero((S >= 0.4) & (ids[:, None] < ids[None, :]))
+    want = (
+        pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got.id_a.to_numpy() == want.id_a.to_numpy()).all()
+    assert (got.id_b.to_numpy() == want.id_b.to_numpy()).all()
+    np.testing.assert_allclose(
+        got.cosine.to_numpy(), S[ii, jj][np.lexsort((ids[jj], ids[ii]))]
+    )
+
+
+def test_cosine_near_dup_lsh_recall(spark, emb):
+    exact = cosine_near_dup_pairs(emb, threshold=0.35, method="exact").toPandas()
+    lsh = cosine_near_dup_pairs(
+        emb, threshold=0.35, method="lsh", tables=24, planes=4
+    ).toPandas()
+    ekeys = set(zip(exact.id_a, exact.id_b))
+    lkeys = set(zip(lsh.id_a, lsh.id_b))
+    # LSH must never invent pairs (exact verify step) …
+    assert lkeys <= ekeys
+    # … and should recover most true near-dups at these settings
+    assert len(lkeys) / len(ekeys) > 0.6
 
 
 def test_lsh_bucket_deterministic(spark, emb):

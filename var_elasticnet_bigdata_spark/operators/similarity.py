@@ -253,3 +253,116 @@ def lsh_topk(
             "cosine",
         )
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    method: str = "exact",
+    tables: int = 16,
+    planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with
+    id_a < id_b and cos(a, b) ≥ threshold.
+
+    ``method="exact"``: the corpus is collected + broadcast as one
+    normalized float64 matrix; each Arrow batch does a single BLAS
+    matmul against it (O(N²·d) flops but zero shuffle — the right
+    answer up to ~10⁶ vectors, and the recall oracle above that).
+
+    ``method="lsh"``: the 100 TB scale path — multi-table
+    random-hyperplane candidates (pairs sharing any (table, bucket))
+    exact-cosine-verified; only bucket keys and surviving pairs ever
+    shuffle. Recall < 1 (≈ 1−(1−p^planes)^tables), measured against
+    the exact path in tests.
+    """
+    if method == "lsh":
+        buckets = lsh_tables(df, tables, planes, dim, id_col, vec_col)
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        vecs = df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+        vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
+
+        schema = StructType(
+            [
+                StructField("id_a", LongType()),
+                StructField("id_b", LongType()),
+                StructField("cosine", DoubleType()),
+            ]
+        )
+        tau = threshold
+
+        def verify(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.array(pdf["va"].tolist(), dtype=np.float64)
+                B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+                na = np.linalg.norm(A, axis=1)
+                nb = np.linalg.norm(B, axis=1)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                cos = (A * B).sum(axis=1) / (na * nb)
+                keep = cos >= tau
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"][keep],
+                        "id_b": pdf["id_b"][keep],
+                        "cosine": cos[keep],
+                    }
+                )
+
+        return pairs.mapInPandas(verify, schema)
+
+    rows = df.select(id_col, vec_col).collect()
+    c_ids, C = _normalized_matrix(rows, id_col, vec_col)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((c_ids, C))
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    idc, vc, tau = id_col, vec_col, threshold
+
+    def run(batches):
+        c_ids_, C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[idc].to_numpy(dtype=np.int64)
+            M = np.array(pdf[vc].tolist(), dtype=np.float64)
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            S = (M / n) @ C_.T  # (batch, N)
+            bi, cj = np.nonzero((S >= tau) & (ids[:, None] < c_ids_[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[bi],
+                    "id_b": c_ids_[cj],
+                    "cosine": S[bi, cj],
+                }
+            )
+
+    return df.select(idc, vc).mapInPandas(run, schema)

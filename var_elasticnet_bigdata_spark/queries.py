@@ -1073,6 +1073,33 @@ def ann_top1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4): exact
+    broadcast-matmul path here (id-only output keeps the oracle hash
+    float-jitter-proof); ``method="lsh"`` is the 100 TB candidate+
+    verify scale path, recall-tested against this one."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.4, method="exact")
+    return pairs.select("id_a", "id_b")
+
+
+@query(
     "text_token_count",
     f"""
     SELECT doc_id, len(string_split(trim(regexp_replace(regexp_replace(
