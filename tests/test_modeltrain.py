@@ -122,6 +122,25 @@ def test_forecast_table_shape_and_alignment(spark):
     assert res.n_aligned == n_origins - 8 + 1
 
 
+def test_broadcast_and_join_distribution_paths_agree(spark):
+    rng = np.random.default_rng(7)
+    T = 55
+    y = np.zeros((T, 2))
+    for t in range(1, T):
+        y[t, 0] = 0.5 * y[t - 1, 0] + 0.2 * y[t - 1, 1] + rng.normal(scale=0.3)
+        y[t, 1] = 0.4 * y[t - 1, 1] + rng.normal(scale=0.3)
+    wide, dates = make_wide(spark, y, ["a", "b"])
+    kw = dict(start_pred=dates[40], lam=0.05, alpha=0.4, lag=1, with_ar1=False)
+    a = modeltrain(spark, wide, ["a", "b"], distribute="broadcast", **kw)
+    b = modeltrain(spark, wide, ["a", "b"], distribute="join", **kw)
+    fa = a.forecasts.toPandas().sort_values(["origin_idx", "horizon"]).reset_index(drop=True)
+    fb = b.forecasts.toPandas().sort_values(["origin_idx", "horizon"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fa, fb)
+    # msfe only approx: partition-order float addition in the SSE agg
+    for p in a.msfe:
+        assert a.msfe[p] == pytest.approx(b.msfe[p], rel=1e-12)
+
+
 def test_theils_u_rw_faithful_vs_fixed(spark):
     rng = np.random.default_rng(3)
     T = 50

@@ -80,6 +80,15 @@ def _dates_and_matrix(wide_df: DataFrame, series: list[str], date_col: str):
     return dates, y
 
 
+_FC_SCHEMA = StructType(
+    [
+        StructField("origin_idx", IntegerType()),
+        StructField("horizon", IntegerType()),
+        StructField("yhat", DoubleType()),
+    ]
+)
+
+
 def _forecast_table(
     spark: SparkSession,
     wide_df: DataFrame,
@@ -89,42 +98,72 @@ def _forecast_table(
     h: int,
     date_col: str,
     fit_predict,  # (y_matrix) -> np.ndarray (h, K) or (h,)
+    y: np.ndarray | None = None,
 ) -> DataFrame:
-    """Distribute per-origin fits: origins × rows range join →
-    applyInPandas per origin → (origin_idx, horizon, yhat)."""
+    """Distribute per-origin fits → (origin_idx, horizon, yhat).
+
+    Two physical strategies:
+
+    - **broadcast** (default, used whenever the collected estimation
+      matrix ``y`` is at hand — it always is here, since truth/RW
+      alignment needs it on the driver anyway): broadcast ``y`` once
+      and fan out the ORIGIN LIST, ``repartitionByRange`` so every
+      task gets exactly one contiguous origin. No observation row
+      ever shuffles, and the scheduler sees one task per origin —
+      no hash-collision stragglers (75 keys into 96 hash partitions
+      stack 2-3 heavy late origins in one task; range partitioning
+      of the 1-row-per-origin frame is collision-free).
+    - **range-join** (``y=None``): origins × rows range join +
+      ``applyInPandas`` per origin group — for estimation frames too
+      large to broadcast; keeps all slicing distributed.
+    """
     pred_ind = _pred_ind(h)
+
+    if y is None:
+        origins = spark.createDataFrame(
+            [(int(i), dates[i]) for i in origin_rows],
+            schema=f"origin_idx int, origin_date {'date' if not hasattr(dates[0], 'hour') else 'timestamp'}",
+        )
+        data = wide_df.select(date_col, *series)
+        joined = origins.join(data, F.col(date_col) <= F.col("origin_date"))
+        ser = list(series)
+        dcol = date_col
+
+        def run_origin(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(dcol)
+            mat = pdf[ser].to_numpy(dtype=float)
+            preds = fit_predict(mat)
+            target = preds[:, 0] if preds.ndim == 2 else preds
+            return pd.DataFrame(
+                [
+                    {"origin_idx": int(key[0]), "horizon": int(p),
+                     "yhat": float(target[p - 1])}
+                    for p in pred_ind
+                ]
+            )
+
+        return joined.groupBy("origin_idx").applyInPandas(run_origin, _FC_SCHEMA)
+
+    bcy = spark.sparkContext.broadcast(y)
     origins = spark.createDataFrame(
-        [(int(i), dates[i]) for i in origin_rows],
-        schema=f"origin_idx int, origin_date {'date' if not hasattr(dates[0], 'hour') else 'timestamp'}",
-    )
-    data = wide_df.select(date_col, *series)
-    joined = origins.join(data, F.col(date_col) <= F.col("origin_date"))
+        [(int(i),) for i in origin_rows], schema="origin_idx int"
+    ).repartitionByRange(len(origin_rows), "origin_idx")
 
-    out_schema = StructType(
-        [
-            StructField("origin_idx", IntegerType()),
-            StructField("horizon", IntegerType()),
-            StructField("yhat", DoubleType()),
-        ]
-    )
-    ser = list(series)
-    dcol = date_col
+    def run(batches):
+        Y = bcy.value
+        for pdf in batches:
+            for i in pdf["origin_idx"]:
+                preds = fit_predict(Y[: int(i) + 1])
+                target = preds[:, 0] if preds.ndim == 2 else preds
+                yield pd.DataFrame(
+                    [
+                        {"origin_idx": int(i), "horizon": int(p),
+                         "yhat": float(target[p - 1])}
+                        for p in pred_ind
+                    ]
+                )
 
-    def run_origin(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(dcol)
-        y = pdf[ser].to_numpy(dtype=float)
-        preds = fit_predict(y)  # (h, K) or (h,)
-        if preds.ndim == 2:
-            target = preds[:, 0]
-        else:
-            target = preds
-        rows = [
-            {"origin_idx": int(key[0]), "horizon": int(p), "yhat": float(target[p - 1])}
-            for p in pred_ind
-        ]
-        return pd.DataFrame(rows)
-
-    return joined.groupBy("origin_idx").applyInPandas(run_origin, out_schema)
+    return origins.mapInPandas(run, _FC_SCHEMA)
 
 
 def _attach_truth(
@@ -175,9 +214,13 @@ def modeltrain(
     rw_mode: str = "fixed",
     with_ar1: bool = True,
     with_residuals: bool = False,
+    distribute: str = "broadcast",
 ) -> ModeltrainResult:
     """The OOS experiment (E1). ``method``: 'enet' (LocalEnetVAR) or
-    'ar1'. ``rw_mode``: 'fixed' | 'faithful' (quirk Q3)."""
+    'ar1'. ``rw_mode``: 'fixed' | 'faithful' (quirk Q3).
+    ``distribute``: 'broadcast' (origin fan-out over a broadcast
+    matrix, one task per origin) | 'join' (range-join path for
+    estimation frames too large to broadcast)."""
     from ..ml.local import LocalAR1, LocalEnetVAR
 
     dates, y = _dates_and_matrix(wide_df, series, date_col)
@@ -213,7 +256,8 @@ def modeltrain(
         raise ValueError(f"unknown method {method!r}")
 
     fc = _forecast_table(
-        spark, wide_df, ser, dates, origin_rows, h, date_col, fit_predict
+        spark, wide_df, ser, dates, origin_rows, h, date_col, fit_predict,
+        y=y if distribute == "broadcast" else None,
     )
     fc = _attach_truth(spark, fc, dates, y[:, 0])
     fc.cache()
