@@ -44,8 +44,11 @@ def test_k1_reduces_to_univariate_enet():
     m, names = _moments(X, Y)
     xc, yc = names[:-1], [names[-1]]
     for alpha in (0.3, 1.0):
+        # tol below the production default (glmnet thresh): this is an
+        # exact-equivalence oracle, not a speed path
         g = group_enet_path(
-            m, xc, yc, alpha=alpha, standardize_response=False, nlambda=30
+            m, xc, yc, alpha=alpha, standardize_response=False, nlambda=30,
+            tol=1e-14,
         )
         u = enet_path(m, xc, yc[0], alpha=alpha, lambdas=g.lambdas)
         assert g.coefs[:, 0, :] == pytest.approx(u.coefs, abs=1e-8)
@@ -57,7 +60,7 @@ def test_group_ridge_closed_form():
     xc, yc = names[:6], names[6:]
     xtx_n, xty_n, *_ = _standardize_group(m, xc, yc, False, True, False)
     lam = 0.3
-    B = _block_cd(xtx_n, xty_n, alpha=0.0, lam=lam)
+    B = _block_cd(xtx_n, xty_n, alpha=0.0, lam=lam, tol=1e-14)
     want = np.linalg.solve(xtx_n + lam * np.eye(6), xty_n)
     assert B == pytest.approx(want, abs=1e-8)
 
@@ -68,7 +71,7 @@ def test_group_kkt_conditions():
     xc, yc = names[:6], names[6:]
     xtx_n, xty_n, *_ = _standardize_group(m, xc, yc, False, True, True)
     alpha, lam = 0.6, 0.15
-    B = _block_cd(xtx_n, xty_n, alpha, lam)
+    B = _block_cd(xtx_n, xty_n, alpha, lam, tol=1e-14)
     R = xty_n - xtx_n @ B
     for j in range(6):
         grad = R[j] - lam * (1 - alpha) * B[j]

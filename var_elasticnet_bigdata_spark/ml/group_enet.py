@@ -97,29 +97,53 @@ def group_lambda_path(xty_n: np.ndarray, alpha: float, nlambda: int,
     )
 
 
-def _block_cd(xtx_n, xty_n, alpha, lam, B0=None, tol=1e-10, max_iter=10_000):
+def _block_cd(xtx_n, xty_n, alpha, lam, B0=None, tol=1e-7, max_iter=10_000):
+    """Block CD with glmnet's active-set strategy (full sweep →
+    iterate nonzero rows to convergence → full sweep to verify) and
+    glmnet's energy convergence criterion ``max_j diag_j·max(Δb_j²) <
+    thresh`` (multelnet's ``dlx``) — NOT max|Δb|, which stalls for
+    thousands of sweeps on collinear lag-embedded designs."""
     k, K = xty_n.shape
     B = np.zeros((k, K)) if B0 is None else B0.copy()
     R = xty_n - xtx_n @ B  # (1/n) X̃'(Ỹ − X̃B)
-    den = xtx_n.diagonal() + lam * (1 - alpha)
+    diag = xtx_n.diagonal()
+    den = diag + lam * (1 - alpha)
     g = lam * alpha
-    for _ in range(max_iter):
+    zero = np.zeros(K)
+
+    def sweep(rows):
         delta = 0.0
-        for j in range(k):
+        for j in rows:
             bj = B[j]
-            r = R[j] + xtx_n[j, j] * bj
-            nr = float(np.linalg.norm(r))
+            r = R[j] + diag[j] * bj
+            nr = float(np.sqrt(r @ r))
             if nr <= g:
-                bj_new = np.zeros(K)
+                if not bj.any():
+                    continue
+                bj_new = zero
             else:
-                bj_new = r * (1.0 - g / nr) / den[j]
+                bj_new = r * ((1.0 - g / nr) / den[j])
             d = bj_new - bj
-            if np.any(d != 0):
-                R -= np.outer(xtx_n[:, j], d)
+            if d.any():
+                R[...] -= xtx_n[:, j, None] * d[None, :]
                 B[j] = bj_new
-                delta = max(delta, float(np.max(np.abs(d))))
+                m = float(diag[j]) * float(np.max(d * d))
+                if m > delta:
+                    delta = m
+        return delta
+
+    it = 0
+    while it < max_iter:
+        delta = sweep(range(k))
+        it += 1
         if delta < tol:
             break
+        active = np.flatnonzero((B != 0).any(axis=1))
+        while it < max_iter:
+            delta = sweep(active)
+            it += 1
+            if delta < tol:
+                break
     return B
 
 
@@ -134,7 +158,7 @@ def group_enet_path(
     standardize_response: bool = True,
     nlambda: int = 100,
     lambda_min_ratio: float | None = None,
-    tol: float = 1e-10,
+    tol: float = 1e-7,
 ) -> GroupEnetFit:
     xtx_n, xty_n, mx, my, xscale, yscale = _standardize_group(
         moments, x_cols, y_cols, intercept, standardize, standardize_response
@@ -172,7 +196,7 @@ def cv_group_enet(
     alpha: float = 0.4,
     intercept: bool = False,
     nlambda: int = 100,
-    tol: float = 1e-10,
+    tol: float = 1e-7,
 ) -> GroupEnetFit:
     """cv.glmnet mgaussian: held-out total MSE (summed over the K
     responses, original scale) from per-fold moments; λ.min."""
