@@ -142,6 +142,43 @@ def compute_moments(
     return {fold: Moments(cols=list(cols), m=m) for fold, m in totals.items()}
 
 
+def blocked_fold_column(
+    frame: DataFrame,
+    date_col: str = "obs_date",
+    block: int = 10,
+    col_name: str = "__fold",
+) -> DataFrame:
+    """Attach contiguous time-blocked fold ids (M3, enetVAR.R:27-35)
+    WITHOUT collapsing the frame to one partition.
+
+    A global ``row_number().over(Window.orderBy(date))`` would move
+    every row to a single partition — serializing the distributed
+    moment pass that follows. The time axis itself is small (it never
+    grows with data volume, only with history length), so: collect the
+    distinct dates, assign ``fold = rank // block`` on the driver, and
+    broadcast-join the date→fold map back. The frame keeps its
+    partitioning; the join is a broadcast hash join, no shuffle.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    dates = [
+        r[0] for r in frame.select(date_col).distinct().orderBy(date_col).collect()
+    ]
+    date_type = frame.schema[date_col].dataType
+    spark = frame.sparkSession
+    map_df = spark.createDataFrame(
+        [(d, i // block) for i, d in enumerate(dates)],
+        StructType(
+            [
+                StructField(date_col, date_type),
+                StructField(col_name, IntegerType()),
+            ]
+        ),
+    )
+    return frame.join(F.broadcast(map_df), on=date_col, how="inner")
+
+
 def moments_total(per_fold: dict[int, Moments]) -> Moments:
     folds = list(per_fold.values())
     m = folds[0].m.copy()

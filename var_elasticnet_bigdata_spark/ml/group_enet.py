@@ -299,11 +299,10 @@ def fit_group_enet_var(
 ):
     """Spark entry: distributed per-fold Gram pass → driver-side
     group coordinate descent (same shape as fit_enet_var)."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..operators.lag_embed import lag_col_name, var_z
-    from .gram import compute_moments
+    from .gram import blocked_fold_column, compute_moments
 
     vz = var_z(wide_df.select(date_col, *series), series, p, date_col=date_col)
     z_cols = [lag_col_name(s, i) for i in range(1, p + 1) for s in series]
@@ -311,10 +310,6 @@ def fit_group_enet_var(
     for c in [*z_cols, *series]:
         pred = F.col(f"`{c}`").isNotNull()
         cond = pred if cond is None else (cond & pred)
-    frame = vz.df.filter(cond)
-    w = Window.orderBy(date_col)
-    frame = frame.withColumn(
-        "__fold", ((F.row_number().over(w) - 1) / cv_block).cast("int")
-    )
+    frame = blocked_fold_column(vz.df.filter(cond), date_col, cv_block)
     fm = compute_moments(frame, z_cols + series, fold_col="__fold")
     return cv_group_enet(fm, z_cols, series, alpha=alpha, intercept=intercept)

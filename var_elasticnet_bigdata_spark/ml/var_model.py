@@ -47,7 +47,7 @@ import numpy as np
 
 from ..operators.lag_embed import VarZ, lag_col_name, var_z
 from .elastic_net import EnetFit, cv_enet, enet_path
-from .gram import Moments, compute_moments, moments_total
+from .gram import Moments, blocked_fold_column, compute_moments, moments_total
 
 
 def max_lag(t_rows: int, k_series: int) -> int:
@@ -185,7 +185,6 @@ def fit_enet_var(
     (na.omit, Main.R:196) — by embedding first and dropping
     incomplete rows, ragged starts behave like the reference.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     K = len(series)
@@ -200,12 +199,7 @@ def fit_enet_var(
     for c in [*z_cols, *series]:  # na.omit; backticks for dotted lag names
         pred = F.col(f"`{c}`").isNotNull()
         cond = pred if cond is None else (cond & pred)
-    frame = vz.df.filter(cond)
-
-    w = Window.orderBy(date_col)
-    frame = frame.withColumn(
-        "__fold", ((F.row_number().over(w) - 1) / cv_block).cast("int")
-    )
+    frame = blocked_fold_column(vz.df.filter(cond), date_col, cv_block)
 
     cols = z_cols + series
     if lams is None:
