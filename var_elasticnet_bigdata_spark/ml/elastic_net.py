@@ -263,7 +263,9 @@ def cv_enet(
         nlambda=nlambda,
         tol=tol,
     )
-    errs = np.zeros((len(fold_moments), len(full.lambdas)))
+    nfolds = len(fold_moments)
+    errs = np.zeros((nfolds, len(full.lambdas)))
+    w = np.zeros(nfolds)
     for fi, (fold, fm) in enumerate(sorted(fold_moments.items())):
         train = total.minus(fm)
         fit = enet_path(
@@ -278,6 +280,7 @@ def cv_enet(
         )
         # held-out MSE from fold moments
         n_f = fm.n
+        w[fi] = n_f
         xtx = fm.cross(x_cols, x_cols)
         xty = fm.cross(x_cols, [y_col])[:, 0]
         yty = fm.cross([y_col], [y_col])[0, 0]
@@ -294,8 +297,14 @@ def cv_enet(
                 + 2 * a0 * (b @ sx - sy)
             )
             errs[fi, li] = sse / n_f
-    full.cv_mean = errs.mean(axis=0)
-    full.cv_se = errs.std(axis=0, ddof=1) / np.sqrt(len(fold_moments))
+    # cv.glmnet (grouped=TRUE): pooled per-observation mean = fold-
+    # size-weighted mean of per-fold MSEs; cvsd = weighted sd over
+    # nfolds−1 (cvstats in glmnet).
+    wn = w / w.sum()
+    full.cv_mean = wn @ errs
+    full.cv_se = np.sqrt(
+        wn @ (errs - full.cv_mean[None, :]) ** 2 / max(nfolds - 1, 1)
+    )
     full.lambda_min = float(full.lambdas[int(np.argmin(full.cv_mean))])
     return full
 
@@ -492,6 +501,7 @@ def multi_enet_path(
     standardize: bool = True,
     tol: float = 1e-9,
     solver: str = "cd",
+    truncate: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Warm-started path for all equations at once.
 
@@ -514,6 +524,14 @@ def multi_enet_path(
     the speed path: the skipped tail is exactly the ill-conditioned
     near-unregularized regime. Frozen entries repeat the last
     computed coefficients; ``stop_idx`` marks the truncation.
+
+    ``truncate=False`` matches glmnet's behavior when ``lambda`` is
+    USER-SUPPLIED (flmin ≥ 1 in the Fortran): every requested λ is
+    fit, no deviance-based early exit. cv.glmnet's per-fold fits pass
+    the full fit's λ sequence explicitly, so they must use this mode —
+    truncating them freezes stale (larger-λ) coefficients into the
+    small-λ tail of the CV curve, underestimating overfit there and
+    biasing λ.min low.
 
     Returns (coefs (k,K,nlambda) original scale,
     intercepts (K,nlambda), stop_idx (K,) int — #valid path points)."""
@@ -577,7 +595,7 @@ def multi_enet_path(
                     + float(sol @ (xtx_n @ sol))
                 )
                 dev = 1.0 - rss / yty_n[j]
-                if i > 0 and (
+                if truncate and i > 0 and (
                     dev - prev_dev[j] < fdev * dev or dev > devmax
                 ):
                     stop_idx[j] = i + 1
@@ -621,6 +639,7 @@ def multi_cv_enet(
     intercept: bool = False,
     nlambda: int = 100,
     tol: float = 1e-9,
+    cv_exact: bool = False,
 ) -> dict[str, EnetFit]:
     """cv.glmnet for all K equations in one vectorized pass per fold.
     Exactly the per-equation cv_enet results (same folds, same λ
@@ -633,15 +652,28 @@ def multi_cv_enet(
     coefs, intercepts, stop_idx = multi_enet_path(
         total, x_cols, y_cols, alphas, paths, intercept, tol=tol
     )
+    fold_truncate = not cv_exact
     K = len(y_cols)
     nl = paths.shape[0]
-    errs = np.zeros((len(fold_moments), nl, K))
+    nfolds = len(fold_moments)
+    errs = np.zeros((nfolds, nl, K))  # per-fold MSE
+    w = np.zeros(nfolds)  # fold sizes
     for fi, (fold, fm) in enumerate(sorted(fold_moments.items())):
         train = total.minus(fm)
+        # cv.glmnet passes the full fit's λ sequence to the fold fits
+        # explicitly and glmnet fits EVERY user-supplied λ (no fdev
+        # early exit) — cv_exact=True reproduces that. The default
+        # keeps the fdev stop in fold fits too: past the stop the
+        # held-out curve is flat/rising (deep-overfit regime), argmin
+        # takes the FIRST minimum, so λ.min is unaffected (checked on
+        # the reference's golden experiments) and the fold fits skip
+        # the ill-conditioned tail where CD is ~14× the cost.
         fc, fi0, _ = multi_enet_path(
-            train, x_cols, y_cols, alphas, paths, intercept, tol=tol
+            train, x_cols, y_cols, alphas, paths, intercept, tol=tol,
+            truncate=fold_truncate,
         )
         n_f = fm.n
+        w[fi] = n_f
         Sxx = fm.cross(x_cols, x_cols)
         Sxy = fm.cross(x_cols, y_cols)
         syy = fm.cross(y_cols, y_cols).diagonal()
@@ -658,7 +690,11 @@ def multi_cv_enet(
                 + 2.0 * a0 * (Bl.T @ sx - sy)
             )
             errs[fi, li] = sse / n_f
-    cv_mean = errs.mean(axis=0)  # (nlambda, K)
+    # cv.glmnet (grouped=TRUE): cvm = fold-size-weighted mean of the
+    # per-fold MSEs — the pooled per-observation mean, NOT the
+    # unweighted mean of fold means (which over-weights the short
+    # last block of the contiguous time folds).
+    cv_mean = np.tensordot(w / w.sum(), errs, axes=1)  # (nlambda, K)
     out: dict[str, EnetFit] = {}
     for j, yc in enumerate(y_cols):
         # λ.min only among COMPUTED path points (glmnet truncation)

@@ -205,7 +205,9 @@ def cv_group_enet(
         total, x_cols, y_cols, alpha=alpha, intercept=intercept,
         nlambda=nlambda, tol=tol,
     )
-    errs = np.zeros((len(fold_moments), len(full.lambdas)))
+    nfolds = len(fold_moments)
+    errs = np.zeros((nfolds, len(full.lambdas)))
+    w = np.zeros(nfolds)
     for fi, (fold, fm) in enumerate(sorted(fold_moments.items())):
         train = total.minus(fm)
         fit = group_enet_path(
@@ -213,6 +215,7 @@ def cv_group_enet(
             intercept=intercept, tol=tol,
         )
         n_f = fm.n
+        w[fi] = n_f
         Sxx = fm.cross(x_cols, x_cols)
         Sxy = fm.cross(x_cols, y_cols)
         Syy = fm.cross(y_cols, y_cols)
@@ -229,7 +232,9 @@ def cv_group_enet(
                 + 2.0 * float(a0 @ (B.T @ sx - sy))
             )
             errs[fi, li] = sse / n_f
-    full.cv_mean = errs.mean(axis=0)
+    # cv.glmnet (grouped=TRUE): pooled per-observation mean — fold-
+    # size-weighted, not the unweighted mean of fold means.
+    full.cv_mean = (w / w.sum()) @ errs
     full.lambda_min = float(full.lambdas[int(np.argmin(full.cv_mean))])
     return full
 
