@@ -9,8 +9,14 @@ actual SW dataset through the engine, and compare "mse sum"
 
 where y = na.omit(end_var[, ezlasso.all]) with the 30-variable
 hardcoded preselection list (Testing.R:214-219). Data prep follows
-Main.R:32-96 (quarterly sums of monthly diffs, ADF fixpoint with
-currency log-diff branch, GDP log-diff, time merge).
+TESTING.R's own prep block (Testing.R:23-97), which produced the
+end_var those golden numbers were computed on — it differs from
+Main.R:32-96 in four load-bearing ways: ADF with fixed lag k=7,
+crit=0.05 flagged at p >= crit; currency list = FRED!DK1:EB1 +
+ED1:EP1 only (no CW1:DA1); currency series failing the positivity
+check are left untransformed; and end_var is GLOBALLY na.omit-ed
+across all 147 columns before any selection (Testing.R:97), so the
+sample starts where the latest-starting series starts.
 
 Exact-to-the-last-digit parity is not expected — glmnet's Fortran CD
 tolerances and CV-curve shapes differ in the last digits and λ.min
@@ -49,19 +55,23 @@ GOLDEN = {
 }
 
 
-def build_end_var(spark):
-    """Main.R:32-96 data prep through the engine."""
-    from var_elasticnet_bigdata_spark.operators import timeseries as ts
+def build_end_var(spark, variant: str = "testing"):
+    """Data prep through the engine. variant="testing" replicates
+    Testing.R:23-97 (the golden numbers' end_var, globally
+    na.omit-ed); variant="main" replicates Main.R:32-96."""
     from var_elasticnet_bigdata_spark.operators.stationarity import (
         stationarity_pipeline,
     )
-    from pyspark.sql import functions as F
 
     if not os.path.exists("/tmp/sw_converted/monthly.parquet"):
         from tools.sw_convert import convert
 
         convert()
     meta = json.load(open("/tmp/sw_converted/meta.json"))
+    if "currency_series_2ranges" not in meta:
+        from tools.sw_convert import convert
+
+        meta = convert()
     monthly = pd.read_parquet("/tmp/sw_converted/monthly.parquet")
     gdp = pd.read_parquet("/tmp/sw_converted/gdp.parquet")
 
@@ -72,11 +82,23 @@ def build_end_var(spark):
     )
     monthly_long = spark.createDataFrame(long)
 
-    res = stationarity_pipeline(
-        monthly_long, currency_series=set(meta["currency_series"]), crit=0.01
-    )
+    if variant == "testing":
+        res = stationarity_pipeline(
+            monthly_long,
+            currency_series=set(meta["currency_series_2ranges"]),
+            crit=0.05,
+            adf_k=7,
+            flag_ge=True,
+            consume_currency=False,
+            currency_fallback_diff=False,
+        )
+    else:
+        res = stationarity_pipeline(
+            monthly_long, currency_series=set(meta["currency_series"]),
+            crit=0.01,
+        )
     print(
-        f"stationarity: {res.rounds} rounds, "
+        f"stationarity[{variant}]: {res.rounds} rounds, "
         f"still non-stationary: {res.still_non_stationary}"
     )
 
@@ -92,6 +114,11 @@ def build_end_var(spark):
 
     merged = pd.concat([gdp_ld, wide], axis=1).sort_index()
     merged.index.name = "obs_date"
+    if variant == "testing":
+        # Testing.R:97: end_var <- na.omit(end_var) across ALL columns
+        merged = merged.dropna()
+        print(f"global na.omit end_var: {merged.shape[0]} quarters "
+              f"({merged.index.min()} .. {merged.index.max()})")
     return merged, res
 
 

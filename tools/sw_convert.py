@@ -102,6 +102,8 @@ def convert(out_dir: str = OUT) -> dict:
         return [fred.get((0, ci)) for ci in range(col_to_idx(a), col_to_idx(b) + 1)]
 
     currency = [n for n in rng("DK", "EB") + rng("ED", "EP") + rng("CW", "DA") if n]
+    # Testing.R:63 uses only the first two ranges (no CW1:DA1)
+    currency_2ranges = [n for n in rng("DK", "EB") + rng("ED", "EP") if n]
 
     # readxl name repair: duplicate mnemonics get '...{1-based pos}'
     seen: dict[str, int] = {}
@@ -150,7 +152,9 @@ def convert(out_dir: str = OUT) -> dict:
 
     mdf.to_parquet(f"{out_dir}/monthly.parquet", index=False)
     gdf.to_parquet(f"{out_dir}/gdp.parquet", index=False)
-    meta = {"currency_series": currency, "n_series": len(series_cols),
+    meta = {"currency_series": currency,
+            "currency_series_2ranges": currency_2ranges,
+            "n_series": len(series_cols),
             "n_months": len(mdf), "n_gdp": len(gdf)}
     with open(f"{out_dir}/meta.json", "w") as f:
         json.dump(meta, f)

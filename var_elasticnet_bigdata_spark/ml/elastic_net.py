@@ -432,19 +432,52 @@ def enet_solve_exact(
     s = np.sign(b)
     active = b != 0
 
-    def solve_support(idx: np.ndarray) -> np.ndarray:
-        if eig is not None and len(idx) == k:
-            # full support: reuse the cached eigendecomposition of
-            # xtx (Q, w): (xtx + ridge·I)⁻¹ rhs in O(k²)
-            Q, w = eig
-            rhs = xty - g * s
-            return Q @ ((Q.T @ rhs) / (w + ridge))
-        M = xtx[np.ix_(idx, idx)] + ridge * np.eye(len(idx))
+    # Near-full supports dominate the small-λ path tail (|A| ≈ k−5 of
+    # k): a fresh LU per solve is O(|A|³) ~1 ms. Instead, form
+    # Minv = (xtx + ridge·I)⁻¹ ONCE per (λ, equation) from the cached
+    # eigendecomposition (two k×k matmuls), then each support solve
+    # with dropped set D = Aᶜ is a |D|×|D| Schur complement: enforce
+    # x_D = 0 by a compensation vector supported on D.
+    minv: np.ndarray | None = None
+    if eig is not None:
+        Q, w = eig
+        minv = (Q * (1.0 / (w + ridge))) @ Q.T
+
+    def _direct(idx: np.ndarray) -> np.ndarray:
+        M = xtx[np.ix_(idx, idx)].copy()
+        M.flat[:: len(idx) + 1] += ridge
         rhs = xty[idx] - g * s[idx]
         try:
             return np.linalg.solve(M, rhs)
         except np.linalg.LinAlgError:
             return np.linalg.lstsq(M, rhs, rcond=None)[0]
+
+    def solve_support(idx: np.ndarray) -> np.ndarray:
+        nA = len(idx)
+        if minv is not None and nA == k:
+            rhs = xty - g * s
+            return minv @ rhs
+        if minv is not None and nA > (3 * k) // 4:
+            drop = np.setdiff1d(np.arange(k), idx, assume_unique=True)
+            rhs = np.zeros(k)
+            rhs[idx] = xty[idx] - g * s[idx]
+            t = minv @ rhs
+            S = minv[np.ix_(drop, drop)]
+            try:
+                mu = np.linalg.solve(S, t[drop])
+            except np.linalg.LinAlgError:
+                return _direct(idx)
+            x = t - minv[:, drop] @ mu
+            sol = x[idx]
+            # O(k²) residual guard: tiny-ridge tails can make Minv
+            # numerically rough; fall back to the direct LU if so
+            full = np.zeros(k)
+            full[idx] = sol
+            res = (xtx @ full)[idx] + ridge * sol - rhs[idx]
+            if np.max(np.abs(res)) > 1e-8 * max(1.0, np.max(np.abs(rhs[idx]))):
+                return _direct(idx)
+            return sol
+        return _direct(idx)
 
     for outer in range(max_outer):
         if not active.any():
@@ -500,21 +533,26 @@ def multi_enet_path(
     intercept: bool,
     standardize: bool = True,
     tol: float = 1e-9,
-    solver: str = "cd",
+    solver: str = "exact",
     truncate: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Warm-started path for all equations at once.
 
-    ``solver="cd"`` (default): ONE vectorized coordinate-descent
-    solve per λ step covering every still-active equation — glmnet's
-    own algorithm (cyclic CD + active set + warm starts), with each
-    coordinate update a length-K numpy op instead of a per-equation
-    Python loop. ~k Python iterations per sweep regardless of K.
+    ``solver="exact"`` (default): active-set continuation
+    (feature-sign) solves per (λ, equation) — exact given the
+    support (KKT violation ~1e-15), warm-started down the path so
+    supports move little between steps. On the reference's real
+    macro data (κ(X'X) ~ 1e6) this is ~40× faster than CD (0.34 s vs
+    14 s per 100-λ 30-equation path) AND strictly more accurate: CD
+    under glmnet's energy criterion stalls at KKT violations ~3e-4
+    there. Falls back to CD per (λ, equation) if the support/sign
+    loop fails to settle.
 
-    ``solver="exact"``: active-set continuation (feature-sign) solves
-    per (λ, equation) — exact given the support, used as the
-    correctness oracle for the CD path in tests; degrades on
-    ill-conditioned (collinear) designs where supports churn.
+    ``solver="cd"``: ONE vectorized coordinate-descent solve per λ
+    step covering every still-active equation — glmnet's own
+    algorithm (cyclic CD + active set + warm starts), with each
+    coordinate update a length-K numpy op instead of a per-equation
+    Python loop. Kept as the glmnet-faithful mode and the fallback.
 
     glmnet's path-truncation rules are applied per equation (public
     glmnet behavior, `fdev`/`devmax` in glmnet.control): stop
@@ -572,15 +610,15 @@ def multi_enet_path(
                     float(lambda_paths[i, j]), b0=B[:, j], tol=tol, eig=eig,
                 )
                 if sol is None:
-                    prob = StandardizedProblem(
-                        xtx_n=xtx_n, xty_n=XTY_n[:, j], yty_n=0.0,
-                        x_mean=mx, x_scale=scale, y_mean=float(my[j]),
-                        n=moments.n,
-                    )
-                    sol = coordinate_descent(
-                        prob, float(alphas[j]), float(lambda_paths[i, j]),
-                        b0=B[:, j], tol=max(tol, 1e-9), max_iter=2000,
-                    )
+                    # fall back to CD under glmnet's ENERGY criterion
+                    # (diag·Δb² < 1e-7), not a max|Δb| tolerance — on
+                    # κ~1e9 lag designs the latter grinds ~18 s per
+                    # call chasing digits the objective can't resolve
+                    sol = multi_coordinate_descent(
+                        xtx_n, XTY_n[:, j : j + 1], alphas[j : j + 1],
+                        lambda_paths[i, j : j + 1],
+                        B0=B[:, j : j + 1].copy(), tol=cd_tol,
+                    )[:, 0]
                 B[:, j] = sol
         for j in act:
             sol = B[:, j]
@@ -640,6 +678,7 @@ def multi_cv_enet(
     nlambda: int = 100,
     tol: float = 1e-9,
     cv_exact: bool = False,
+    solver: str = "exact",
 ) -> dict[str, EnetFit]:
     """cv.glmnet for all K equations in one vectorized pass per fold.
     Exactly the per-equation cv_enet results (same folds, same λ
@@ -650,7 +689,7 @@ def multi_cv_enet(
     paths = multi_lambda_paths(total, x_cols, y_cols, alphas, intercept,
                                nlambda=nlambda)
     coefs, intercepts, stop_idx = multi_enet_path(
-        total, x_cols, y_cols, alphas, paths, intercept, tol=tol
+        total, x_cols, y_cols, alphas, paths, intercept, tol=tol, solver=solver
     )
     fold_truncate = not cv_exact
     K = len(y_cols)
@@ -670,7 +709,7 @@ def multi_cv_enet(
         # the ill-conditioned tail where CD is ~14× the cost.
         fc, fi0, _ = multi_enet_path(
             train, x_cols, y_cols, alphas, paths, intercept, tol=tol,
-            truncate=fold_truncate,
+            truncate=fold_truncate, solver=solver,
         )
         n_f = fm.n
         w[fi] = n_f

@@ -67,10 +67,31 @@ def stationarity_pipeline(
     currency_series: set[str] | list[str],
     crit: float = 0.01,
     max_rounds: int = 8,
+    adf_k: int | None = None,
+    flag_ge: bool = False,
+    consume_currency: bool = True,
+    currency_fallback_diff: bool = True,
 ) -> StationarityResult:
     """Run the fixpoint loop on a long monthly frame
     ``(series_id, obs_date, value)``. Returns the stationary
-    quarterly frame + per-series transform history."""
+    quarterly frame + per-series transform history.
+
+    Two reference variants exist (they produce DIFFERENT data):
+
+    - Main.R:64-92 (defaults): ADF lag k auto (trunc((n−1)^(1/3))),
+      flag p > crit (crit 0.01), currency membership consumed on
+      first use, currency series failing the positivity check fall
+      through to the extra-diff branch.
+    - Testing.R:45-97 (``adf_k=7, crit=0.05, flag_ge=True,
+      consume_currency=False, currency_fallback_diff=False``): fixed
+      ADF lag 7, flag p >= crit, currency membership NOT consumed
+      (the pool-removal line operates on the wrong variable, so a
+      still-non-stationary currency series just gets its — idempotent
+      — log-diff replacement again), and a currency series failing
+      positivity is left UNTRANSFORMED (no else-branch), relying on
+      the no-progress loop guard. The golden numbers in
+      Testing.R:227-243 were produced on THIS variant's ``end_var``.
+    """
     currency_pool = set(currency_series)
     transforms: dict[str, list[str]] = {}
 
@@ -93,24 +114,42 @@ def stationarity_pipeline(
     rounds = 0
     non_stat: list[str] = []
     while rounds < max_rounds:
-        adf = adf_table(current.dropna(subset=["value"])).collect()
-        non_stat = sorted(
-            r["series_id"] for r in adf if not (r["p_value"] <= crit)
-        )
+        adf = adf_table(current.dropna(subset=["value"]), k=adf_k).collect()
+        if flag_ge:
+            non_stat = sorted(
+                r["series_id"] for r in adf if not (r["p_value"] < crit)
+            )
+        else:
+            non_stat = sorted(
+                r["series_id"] for r in adf if not (r["p_value"] <= crit)
+            )
         if not non_stat:
             break
-        rounds += 1
         log_branch, diff_branch = [], []
         for s in non_stat:
             if s in currency_pool:
-                currency_pool.discard(s)  # membership consumed (Main.R:71)
+                if consume_currency:
+                    currency_pool.discard(s)  # membership consumed (Main.R:71)
                 if s in positive:
                     log_branch.append(s)
-                else:
+                elif currency_fallback_diff:
                     diff_branch.append(s)
+                # else: Testing.R leaves it untransformed
             else:
                 diff_branch.append(s)
-        keep = current.filter(~F.col("series_id").isin(non_stat))
+        # no-progress guard (Testing.R:88-93): if every remaining
+        # transform is an idempotent log-diff replay and nothing gets
+        # an extra diff, the loop cannot change the data — stop.
+        effective_log = [
+            s for s in log_branch
+            if transforms.get(s) != ["logdiff_quarterly_sum"]
+        ]
+        if not effective_log and not diff_branch:
+            break
+        rounds += 1
+        changed = set(effective_log) | set(diff_branch)
+        keep = current.filter(~F.col("series_id").isin(list(changed)))
+        log_branch = effective_log
         parts = [keep]
         if log_branch:
             parts.append(_quarterly_logdiffs(monthly_long, log_branch))
