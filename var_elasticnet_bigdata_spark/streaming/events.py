@@ -26,25 +26,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) which the
-# Spark reader only accepts as long (nanosAsLong); converted after scan.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream of the events table with the ns→µs
-    timestamp conversion applied (same as sources.tables.load_table).
+    """File-source stream of the events table with the same ``ts``
+    normalization as sources.tables.load_table. The stream schema is
+    taken from a batch footer read, so TIMESTAMP(NANOS) (scans as long
+    under nanosAsLong, converted ns→µs here) and native
+    TIMESTAMP(MICROS) testdata both work.
 
     The file source needs a DIRECTORY (new files appear → new
     micro-batches); the shared testdata dir mixes table schemas, so a
@@ -62,16 +51,22 @@ def stream_events(
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
     # TIMESTAMP (not NTZ): watermarks require event time with a zone;
     # the session zone is pinned UTC so wall-clock matches the batch path.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)
+    if ts_type.get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(
