@@ -56,6 +56,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
         if np.issubdtype(sv.dtype, np.number) and np.issubdtype(ov.dtype, np.number):
+            # the driver's value-hash is dtype-strict: an int64 Spark column
+            # vs a HUGEINT/float oracle column hash-mismatches even when the
+            # values are numerically equal. Surface kind drift here so the
+            # local gate catches what the float-tolerant compare would hide.
+            if sv.dtype.kind != ov.dtype.kind:
+                problems.append(
+                    f"col {c}: dtype kind spark={sv.dtype} oracle={ov.dtype} "
+                    f"(driver hash is dtype-strict — CAST the oracle)"
+                )
             sv64 = sv.astype(float)
             ov64 = ov.astype(float)
             both_nan = np.isnan(sv64) & np.isnan(ov64)

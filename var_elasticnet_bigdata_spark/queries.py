@@ -803,7 +803,7 @@ def g6_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g7_session_window",
     """
     WITH e AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -811,11 +811,11 @@ def g6_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), s AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
       FROM e
     )
-    SELECT user_id, sess_id, COUNT(*) AS n_events,
+    SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
            MIN(ts) AS sess_start, MAX(ts) AS sess_end
     FROM s GROUP BY 1, 2
     """,
@@ -825,7 +825,7 @@ def g7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of streaming session windows."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     secs = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch secs
@@ -1032,7 +1032,8 @@ def _register_simhash_oracle() -> None:
           GROUP BY 1, 2
         )
         SELECT doc_id,
-               SUM(CASE WHEN score >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN score >= 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM v GROUP BY 1
     """
 
