@@ -119,7 +119,7 @@ _ADF_TABLE = np.array(
         [-3.96, -3.66, -3.41, -3.12, -1.25, -0.94, -0.66, -0.33],
     ]
 )
-_ADF_NS = np.array([25.0, 50.0, 100.0, 250.0, 500.0, 1e9])
+_ADF_NS = np.array([25.0, 50.0, 100.0, 250.0, 500.0, 1e5])
 _ADF_PROBS = np.array([0.01, 0.025, 0.05, 0.10, 0.90, 0.95, 0.975, 0.99])
 
 
@@ -149,9 +149,14 @@ def adf_test(x: np.ndarray, k: int | None = None) -> dict[str, float]:
     xtx_inv = np.linalg.inv(X.T @ X)
     se = math.sqrt(s2 * xtx_inv[2, 2])
     stat = float(beta[2] / se)
-    # two-way interpolation (n, then stat→p), constant extrapolation
+    # two-way interpolation (n, then stat→p), constant extrapolation.
+    # tseries::adf.test interpolates the table at n = length(diff(x))
+    # (its `n <- length(y)` AFTER `y <- diff(x)`) — one less than the
+    # series length; matching it exactly matters for p-values near the
+    # stationarity loop's crit threshold.
+    n_tab = float(n - 1)
     row = np.array(
-        [np.interp(float(n), _ADF_NS, _ADF_TABLE[:, j]) for j in range(8)]
+        [np.interp(n_tab, _ADF_NS, _ADF_TABLE[:, j]) for j in range(8)]
     )
     p = float(np.interp(stat, row, _ADF_PROBS))
     return {"statistic": stat, "p_value": p, "k": k}

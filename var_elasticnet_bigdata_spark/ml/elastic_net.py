@@ -355,7 +355,7 @@ def multi_coordinate_descent(
     alphas: np.ndarray,  # (K,)
     lams: np.ndarray,  # (K,) — per-equation λ at this path step
     B0: np.ndarray | None = None,
-    tol: float = 1e-7,
+    tol: float | np.ndarray = 1e-7,
     max_iter: int = 10_000,
 ) -> np.ndarray:
     """Cyclic CD over coordinates, vectorized over equations, with
@@ -367,15 +367,23 @@ def multi_coordinate_descent(
     energy measure, NOT max|Δb|. With the default 1e-7 this is what
     the Fortran reference enforces; it keeps CD fast on collinear
     designs where |Δb|-style tolerances stall for thousands of
-    sweeps chasing digits the objective can't resolve."""
+    sweeps chasing digits the objective can't resolve.
+
+    ``tol`` may be a per-equation vector: glmnet's Fortran scales y
+    to unit variance, so its ``thresh`` is measured RELATIVE to each
+    equation's null variance — parity requires
+    ``tol_j = thresh · var(ỹ_j)`` (see glmnet_cd_tol)."""
     k, K = XTY_n.shape
     B = np.zeros((k, K)) if B0 is None else B0
     diag = xtx_n.diagonal()
     den = diag[:, None] + (lams * (1.0 - alphas))[None, :]
     g = lams * alphas
     R = XTY_n - xtx_n @ B
+    tol_vec = np.broadcast_to(np.asarray(tol, dtype=float), (K,))
 
     def sweep(rows) -> float:
+        # delta is the max over (coord, equation) of diag·Δb²/tol —
+        # converged when < 1
         delta = 0.0
         for j in rows:
             bj = B[j]
@@ -385,20 +393,28 @@ def multi_coordinate_descent(
             if np.any(d):
                 np.subtract(R, np.outer(xtx_n[:, j], d), out=R)
                 B[j] = bnew
-                m = float(diag[j]) * float(np.max(d * d))
+                m = float(np.max(float(diag[j]) * d * d / tol_vec))
                 if m > delta:
                     delta = m
         return delta
 
     all_rows = range(k)
     for _ in range(max_iter):
-        if sweep(all_rows) < tol:
+        if sweep(all_rows) < 1.0:
             break
         active = np.flatnonzero(np.any(B != 0, axis=1))
         for _ in range(max_iter):
-            if sweep(active) < tol:
+            if sweep(active) < 1.0:
                 break
     return B
+
+
+def glmnet_cd_tol(yty_n: np.ndarray, thresh: float = 1e-7) -> np.ndarray:
+    """glmnet-equivalent per-equation CD tolerance: the Fortran works
+    on y scaled to unit variance, so ``thresh`` (default 1e-7) is
+    relative to var(ỹ). On the unscaled-y problem the equivalent
+    absolute energy tolerance is ``thresh · var(ỹ_j)``."""
+    return thresh * np.maximum(np.asarray(yty_n, dtype=float), 1e-300)
 
 
 def enet_solve_exact(
@@ -589,7 +605,8 @@ def multi_enet_path(
     stop_idx = np.full(K, nl, dtype=int)
     prev_dev = np.zeros(K)
     fdev, devmax = 1e-5, 0.999
-    cd_tol = 1e-7  # glmnet thresh (energy criterion, see multi_coordinate_descent)
+    # glmnet thresh=1e-7, scaled per equation to the unscaled-y problem
+    cd_tol = glmnet_cd_tol(yty_n)
     for i in range(nl):
         act = np.flatnonzero(stop_idx == nl)
         if i > 0:
@@ -601,7 +618,7 @@ def multi_enet_path(
         if solver == "cd":
             B[:, act] = multi_coordinate_descent(
                 xtx_n, XTY_n[:, act], alphas[act], lambda_paths[i, act],
-                B0=B[:, act].copy(), tol=cd_tol,
+                B0=B[:, act].copy(), tol=cd_tol[act],
             )
         else:
             for j in act:
@@ -617,7 +634,7 @@ def multi_enet_path(
                     sol = multi_coordinate_descent(
                         xtx_n, XTY_n[:, j : j + 1], alphas[j : j + 1],
                         lambda_paths[i, j : j + 1],
-                        B0=B[:, j : j + 1].copy(), tol=cd_tol,
+                        B0=B[:, j : j + 1].copy(), tol=cd_tol[j : j + 1],
                     )[:, 0]
                 B[:, j] = sol
         for j in act:
@@ -658,7 +675,14 @@ def multi_lambda_paths(
     k = len(x_cols)
     n = moments.n
     if lambda_min_ratio is None:
-        lambda_min_ratio = 1e-2 if n < k else 1e-4
+        # glmnet: lambda.min.ratio = 0.01 if nobs < nvars else 1e-4.
+        # The reference feeds glmnet a design that INCLUDES a literal
+        # constant column when intercept=TRUE (VAR.Z, enetVAR.R:303-306)
+        # — glmnet zeroes its coefficient (zero-variance exclusion) but
+        # still counts it in nvars, so the ratio boundary sits at
+        # k+1 there. Mirror that for exact parity.
+        nvars = k + (1 if intercept else 0)
+        lambda_min_ratio = 1e-2 if n < nvars else 1e-4
     a = np.maximum(alphas, 1e-3)
     lmax = np.max(np.abs(XTY_n), axis=0) / a
     lmax = np.where(lmax <= 0, 1.0, lmax)
@@ -700,13 +724,15 @@ def multi_cv_enet(
     for fi, (fold, fm) in enumerate(sorted(fold_moments.items())):
         train = total.minus(fm)
         # cv.glmnet passes the full fit's λ sequence to the fold fits
-        # explicitly and glmnet fits EVERY user-supplied λ (no fdev
-        # early exit) — cv_exact=True reproduces that. The default
-        # keeps the fdev stop in fold fits too: past the stop the
-        # held-out curve is flat/rising (deep-overfit regime), argmin
-        # takes the FIRST minimum, so λ.min is unaffected (checked on
-        # the reference's golden experiments) and the fold fits skip
-        # the ill-conditioned tail where CD is ~14× the cost.
+        # explicitly, and glmnet fits EVERY user-supplied λ (flmin≥1
+        # in the Fortran disables the fdev early exit) — cv_exact=True
+        # reproduces that. The default keeps the fdev stop in fold
+        # fits as a speed shortcut: measured on the reference's golden
+        # experiments (tools/golden_diag.py), every per-origin λ.min
+        # and all 75×4 forecasts are IDENTICAL with and without it,
+        # because past the stop the held-out curve is flat/rising
+        # (deep-overfit regime) and argmin takes the first minimum —
+        # while fold fits run ~8× faster.
         fc, fi0, _ = multi_enet_path(
             train, x_cols, y_cols, alphas, paths, intercept, tol=tol,
             truncate=fold_truncate, solver=solver,
@@ -733,11 +759,20 @@ def multi_cv_enet(
     # per-fold MSEs — the pooled per-observation mean, NOT the
     # unweighted mean of fold means (which over-weights the short
     # last block of the contiguous time folds).
-    cv_mean = np.tensordot(w / w.sum(), errs, axes=1)  # (nlambda, K)
+    wn = w / w.sum()
+    cv_mean = np.tensordot(wn, errs, axes=1)  # (nlambda, K)
+    # cvsd (glmnet cvstats): weighted sd of fold MSEs over nfolds−1
+    cv_sd = np.sqrt(
+        np.tensordot(wn, (errs - cv_mean[None, :, :]) ** 2, axes=1)
+        / max(nfolds - 1, 1)
+    )
     out: dict[str, EnetFit] = {}
     for j, yc in enumerate(y_cols):
         # λ.min only among COMPUTED path points (glmnet truncation)
         li = int(np.argmin(cv_mean[: stop_idx[j], j]))
+        # λ.1se: largest λ with cvm <= cvm[min] + cvsd[min] (getmin)
+        thresh_1se = cv_mean[li, j] + cv_sd[li, j]
+        li_1se = int(np.flatnonzero(cv_mean[: stop_idx[j], j] <= thresh_1se)[0])
         fit = EnetFit(
             x_cols=list(x_cols),
             y_col=yc,
@@ -746,7 +781,9 @@ def multi_cv_enet(
             coefs=coefs[:, j, :],
             intercepts=intercepts[j],
             cv_mean=cv_mean[:, j],
+            cv_se=cv_sd[:, j],
             lambda_min=float(paths[li, j]),
+            extras={"lambda_1se": float(paths[li_1se, j])},
         )
         out[yc] = fit
     return out

@@ -46,6 +46,7 @@ class LocalEnetVAR:
         lam: float | np.ndarray | None = None,
         intercept: bool = False,
         cv_block: int = 10,
+        lambda_rule: str = "min",
     ) -> None:
         T, K = y.shape
         assert K == len(series)
@@ -88,7 +89,10 @@ class LocalEnetVAR:
             for s in series:
                 fit = fits[f"__y_{s}"]
                 self.fits[s] = fit
-                self.lambda_used[s] = float(fit.lambda_min)
+                self.lambda_used[s] = float(
+                    fit.extras["lambda_1se"] if lambda_rule == "1se"
+                    else fit.lambda_min
+                )
         else:
             m = moments_from_numpy(data, names)
             for j, s in enumerate(series):
