@@ -114,6 +114,50 @@ def test_ljung_box_behavior():
     assert q2["p_value"] <= q1["p_value"] + 1e-12
 
 
+def test_hosking_matches_bruteforce():
+    """Q*_m = n² Σ (n−j)⁻¹ tr(C_j'C₀⁻¹C_jC₀⁻¹) — literal double-loop
+    replication of the Hosking (1980) formula."""
+    from var_elasticnet_bigdata_spark.functions.stats import hosking_test
+
+    rng = np.random.default_rng(7)
+    n, k = 120, 3
+    U = rng.normal(size=(n, k))
+    rows = hosking_test(U, lags=(4, 8), order=1)
+    c0 = sum(np.outer(U[t], U[t]) for t in range(n)) / n
+    c0i = np.linalg.inv(c0)
+    for row, m in zip(rows, (4, 8)):
+        q = 0.0
+        for j in range(1, m + 1):
+            cj = sum(np.outer(U[t], U[t - j]) for t in range(j, n)) / n
+            q += np.trace(cj.T @ c0i @ cj @ c0i) / (n - j)
+        q *= n * n
+        assert row["statistic"] == pytest.approx(q, rel=1e-12)
+        assert row["df"] == k * k * (m - 1)
+        assert 0.0 <= row["p_value"] <= 1.0
+
+
+def test_hosking_univariate_reduction_and_detection():
+    """At K=1 the modified=False (Ljung–Box scaling) variant equals
+    the univariate ljung_box on mean-zero data; white noise passes,
+    AR(1) residual correlation is detected."""
+    from var_elasticnet_bigdata_spark.functions.stats import hosking_test
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=300)
+    x -= x.mean()
+    uni = ljung_box(x, 6)
+    multi = hosking_test(x, lags=(6,), order=0, modified=False)[0]
+    assert multi["statistic"] == pytest.approx(uni["statistic"], rel=1e-9)
+    assert multi["p_value"] == pytest.approx(uni["p_value"], rel=1e-6, abs=1e-9)
+
+    white = rng.normal(size=(300, 2))
+    ar = np.zeros((300, 2))
+    for t in range(1, 300):
+        ar[t] = 0.7 * ar[t - 1] + rng.normal(scale=0.3, size=2)
+    assert hosking_test(white, lags=(10,))[0]["p_value"] > 0.01
+    assert hosking_test(ar, lags=(10,))[0]["p_value"] < 1e-8
+
+
 def test_adf_stationary_vs_random_walk():
     rng = np.random.default_rng(4)
     T = 300

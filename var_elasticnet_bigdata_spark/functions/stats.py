@@ -106,6 +106,53 @@ def ljung_box(
     return {"statistic": q, "p_value": chi2_sf(q, df)}
 
 
+def hosking_test(
+    resid: np.ndarray,
+    lags: tuple[int, ...] = (5, 10, 15, 20, 25, 30),
+    order: int = 0,
+    modified: bool = True,
+) -> list[dict[str, float]]:
+    """Hosking (1980) multivariate portmanteau on a (T, K) residual
+    matrix — the reference's final-model residual diagnostic
+    (``portes::Hosking(resids, order=3)``, Main.R:304; the
+    ``LjungBox(residuals, lags=seq(6,18,3), order=3)`` variant,
+    Testing.R:389-390).
+
+        Q*_m = n² Σ_{j=1..m} (n−j)⁻¹ tr(Ĉ_j' Ĉ₀⁻¹ Ĉ_j Ĉ₀⁻¹),
+        Ĉ_j = (1/n) Σ_{t>j} e_t e_{t−j}',   df = K²·(m − order)
+
+    ``modified=False`` swaps the n² factor for the multivariate
+    Ljung–Box scaling n(n+2) (portes ``LjungBox``), which reduces to
+    the univariate ``ljung_box`` statistic at K=1 on mean-zero
+    residuals. One row per requested lag, χ² p-values.
+    """
+    U = np.asarray(resid, float)
+    if U.ndim == 1:
+        U = U[:, None]
+    U = U[~np.isnan(U).any(axis=1)]
+    n, k = U.shape
+    c0 = U.T @ U / n
+    try:
+        c0i = np.linalg.inv(c0)
+    except np.linalg.LinAlgError:
+        c0i = np.linalg.pinv(c0)
+    max_lag = max(lags)
+    terms = np.zeros(max_lag + 1)
+    for j in range(1, max_lag + 1):
+        cj = U[j:].T @ U[:-j] / n
+        terms[j] = float(np.trace(cj.T @ c0i @ cj @ c0i)) / (n - j)
+    cum = np.cumsum(terms)
+    factor = float(n * n) if modified else float(n * (n + 2))
+    out = []
+    for m in lags:
+        df = max(k * k * (m - order), 1)
+        stat = factor * float(cum[m])
+        out.append(
+            {"lag": m, "statistic": stat, "df": df, "p_value": chi2_sf(stat, df)}
+        )
+    return out
+
+
 # Dickey–Fuller trend-case ("ct") percentiles — the published table
 # tseries::adf.test interpolates (Banerjee, Dolado, Galbraith &
 # Hendry 1993, Table 4.2; Fuller 1976). Rows: n = 25,50,100,250,500,∞.

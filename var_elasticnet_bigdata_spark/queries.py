@@ -1276,6 +1276,40 @@ def ml_group_enet_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "z_name string, equation string, coef double")
 
 
+@query("stat_hosking", None)
+def stat_hosking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M24: Hosking (1980) multivariate portmanteau on the residuals
+    of the VAR(2) fit over the quarterly pair (reference Main.R:304
+    ``Hosking(resids, order=3)``) plus the multivariate Ljung–Box
+    scaling (Testing.R:389-390). Verified in pytest against a
+    brute-force implementation and the univariate reduction —
+    rows-only here (matrix-trace statistic is not SQL-expressible)."""
+    from .functions.stats import hosking_test
+    from .ml.var_model import fit_enet_var, residual_frame
+
+    wide = _quarterly_pair(spark, sf_dir)
+    m = fit_enet_var(
+        wide, ["revenue", "quantity"], p=2, alpha=0.5, lam=0.01, intercept=True
+    )
+    resid = (
+        residual_frame(m)
+        .orderBy("obs_date")
+        .select("resid_revenue", "resid_quantity")
+        .toPandas()
+        .to_numpy(dtype=float)
+    )
+    rows = []
+    for modified, name in ((True, "hosking"), (False, "ljung_box_mv")):
+        for r in hosking_test(resid, lags=(3, 6, 9), order=2, modified=modified):
+            rows.append(
+                (name, int(r["lag"]), round(float(r["statistic"]), 6),
+                 int(r["df"]), round(float(r["p_value"]), 6))
+            )
+    return spark.createDataFrame(
+        rows, "test string, lag int, statistic double, df int, p_value double"
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
