@@ -1222,11 +1222,60 @@ def ml_enet_var_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "z_name string, equation string, coef double")
 
 
-@query("ml_modeltrain_msfe", None)
+_QPAIR_SQL = """
+      SELECT o.obs_date, o.revenue, l.quantity
+      FROM (SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS obs_date,
+                   SUM(o_totalprice)/1e6 AS revenue
+            FROM orders GROUP BY 1) o
+      JOIN (SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS obs_date,
+                   SUM(l_quantity)/1e5 AS quantity
+            FROM lineitem GROUP BY 1) l USING (obs_date)
+"""
+
+
+@query(
+    "ml_modeltrain_msfe",
+    f"""
+    WITH q AS ({_QPAIR_SQL}),
+    s AS (SELECT ROW_NUMBER() OVER (ORDER BY obs_date) - 1 AS i, revenue AS v
+          FROM q),
+    par AS (SELECT COUNT(*) AS n, COUNT(*)//2 + 4 AS si FROM s),
+    origins AS (SELECT i AS o FROM s, par WHERE i BETWEEN si - 4 AND n - 2),
+    phi AS (
+      SELECT o.o,
+             (SELECT SUM(a.v * b.v) FROM s a JOIN s b ON b.i = a.i - 1
+              WHERE a.i BETWEEN 1 AND o.o)
+             / NULLIF((SELECT SUM(b.v * b.v) FROM s b WHERE b.i <= o.o - 1), 0)
+             AS phi
+      FROM origins o),
+    fc AS (
+      SELECT p.o, h.h, POWER(p.phi, h.h) * yo.v AS yhat, yt.v AS ytrue
+      FROM phi p
+      CROSS JOIN (VALUES (1), (2), (4)) h(h)
+      JOIN s yo ON yo.i = p.o
+      JOIN s yt ON yt.i = p.o + h.h),
+    aligned AS (SELECT fc.* FROM fc, par WHERE o + h BETWEEN si AND n - 1),
+    dn AS (SELECT SUM(POWER(a.v - b.v, 2)) AS denom
+           FROM s a JOIN s b ON b.i = a.i - 1, par
+           WHERE a.i BETWEEN si AND n - 1)
+    SELECT h AS horizon,
+           ROUND(SUM(POWER(yhat - ytrue, 2)) / COUNT(*), 6) AS msfe,
+           ROUND(SQRT(SUM(POWER(yhat - ytrue, 2)) / (SELECT denom FROM dn)), 6)
+             AS theils_u_rw
+    FROM aligned GROUP BY 1 ORDER BY 1
+    """,
+)
 def ml_modeltrain_msfe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1: the rolling-origin OOS experiment on the quarterly pair
-    (h=4, horizons {1,2,4}) — distributed per-origin refits; MSFE and
-    Theil's U vs the random walk per horizon."""
+    """E1: the rolling-origin OOS experiment on the quarterly revenue
+    series (h=4, horizons {1,2,4}) — distributed per-origin expanding-
+    window refits, recursive forecasts, h*.ind-equivalent alignment,
+    MSFE and Theil's U vs the random walk. Uses the AR(1) estimator
+    (M9, CSS no-const: φ = Σy_t·y_{t−1}/Σy_{t−1}², ŷ_{o+h} = φʰ·y_o)
+    so the WHOLE harness is independently recomputable in ANSI SQL —
+    the DuckDB twin replays origins, fits, recursion, alignment and
+    both metrics exactly. The elastic-net variant of the same harness
+    is exercised by tools/golden_repro.py and pytest (numpy-
+    replication oracles)."""
     from .harness.modeltrain import modeltrain
 
     wide = _quarterly_pair(spark, sf_dir)
@@ -1234,13 +1283,58 @@ def ml_modeltrain_msfe(spark: SparkSession, sf_dir: str) -> DataFrame:
     start = dates[len(dates) // 2 + 4]
     res = modeltrain(
         spark, wide, ["revenue", "quantity"], start_pred=start, h=4,
-        lam=0.05, alpha=0.5, lag=1, with_ar1=False,
+        method="ar1", const=False, with_ar1=False,
     )
     rows = [
         (int(h), round(res.msfe[h], 6), round(res.theils_u_rw.get(h, float("nan")), 6))
         for h in sorted(res.msfe)
     ]
     return spark.createDataFrame(rows, "horizon int, msfe double, theils_u_rw double")
+
+
+@query(
+    "ml_ar1_coefs",
+    """
+    WITH m AS (
+      SELECT event_type AS series_id,
+             CAST(date_trunc('day', ts) AS DATE) AS obs_date,
+             ROUND(SUM(value), 6) AS value
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT series_id, value AS y,
+             LAG(value) OVER (PARTITION BY series_id ORDER BY obs_date) AS ylag
+      FROM m
+    )
+    SELECT series_id,
+           ROUND(REGR_SLOPE(y, ylag), 6) AS phi,
+           ROUND(REGR_INTERCEPT(y, ylag), 6) AS intercept
+    FROM p WHERE ylag IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def ml_ar1_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: the AR(1)-with-constant estimator per series (reference
+    ``ar1_train`` inner fit, enetVAR.R:583-585; CSS = OLS of y_t on
+    y_{t−1} + const), computed entirely JVM-side from covariance
+    aggregates — slope = cov(y, y_lag)/var(y_lag), intercept =
+    ȳ − slope·ȳ_lag — hash-checked against DuckDB's REGR_* twin."""
+    m = _daily_events(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("obs_date")
+    p = m.withColumn("ylag", F.lag("value").over(w)).filter(
+        F.col("ylag").isNotNull()
+    )
+    agg = p.groupBy("series_id").agg(
+        F.covar_pop("value", "ylag").alias("cov"),
+        F.var_pop("ylag").alias("var"),
+        F.avg("value").alias("my"),
+        F.avg("ylag").alias("mx"),
+    )
+    slope = F.col("cov") / F.col("var")
+    return agg.select(
+        "series_id",
+        r6(slope).alias("phi"),
+        r6(F.col("my") - slope * F.col("mx")).alias("intercept"),
+    )
 
 
 @query("stat_adf_batch", None)
