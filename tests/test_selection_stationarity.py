@@ -83,6 +83,69 @@ def test_pacf_selection_runs(spark, sel_frame):
     assert len(sel) == len(set(sel))
 
 
+def test_pacf_blocked_faithful_mode(spark):
+    """faithful_blocked replicates the reference's 4-series-block
+    multivariate pacf (enetVAR.R:710-724): target-first selection,
+    deterministic, and the reference's NCOL %% 4 restriction raises."""
+    rng = np.random.default_rng(6)
+    T = 150
+    arrs = {"GDP": rng.normal(size=T)}
+    for i in range(10):  # K=11 ≡ 3 (mod 4) — valid for the blocked scheme
+        arrs[f"s{i}"] = rng.normal(size=T)
+    frame9 = long_frame(spark, arrs)
+    sel = pacf_var_selection(
+        frame9, "GDP", lag=4, maxnrvar=4, faithful_blocked=True
+    )
+    assert sel[0] == "GDP"
+    assert len(sel) == len(set(sel))
+    assert 2 <= len(sel) <= 5
+    # same call is deterministic
+    assert sel == pacf_var_selection(
+        frame9, "GDP", lag=4, maxnrvar=4, faithful_blocked=True
+    )
+    # block composition matters: a different column_order may change
+    # the partials — the call must at least honor the order contract
+    with pytest.raises(ValueError):
+        pacf_var_selection(
+            frame9, "GDP", lag=4, maxnrvar=4, faithful_blocked=True,
+            column_order=["s0", "GDP", *[f"s{i}" for i in range(1, 10)]],
+        )
+
+
+def test_pacf_blocked_ncol_restriction(spark, sel_frame):
+    # sel_frame has K=6 ≡ 2 (mod 4): the reference's ind=(i+1)*4-1
+    # fallback indexes past the frame — we raise where R would error
+    with pytest.raises(IndexError):
+        pacf_var_selection(
+            sel_frame, "GDP", lag=4, maxnrvar=3, faithful_blocked=True
+        )
+
+
+def test_multivariate_pacf_univariate_reduction_and_var1():
+    from var_elasticnet_bigdata_spark.operators.acf import (
+        multivariate_pacf,
+        pacf_from_acf,
+    )
+
+    rng = np.random.default_rng(5)
+    x = np.zeros(400)
+    for t in range(1, 400):
+        x[t] = 0.6 * x[t - 1] + rng.normal()
+    xc = x - x.mean()
+    r = np.array([(xc[k:] @ xc[: 400 - k]) / (xc @ xc) for k in range(1, 7)])
+    uni = pacf_from_acf(r)
+    multi = multivariate_pacf(x[:, None], 6)[:, 0, 0]
+    assert np.allclose(uni, multi, atol=1e-12)
+    # VAR(1): partial matrices at lag ≥ 2 vanish
+    A = np.array([[0.5, 0.2, 0.0], [0.0, 0.4, 0.1], [0.1, 0.0, 0.3]])
+    Y = np.zeros((3000, 3))
+    for t in range(1, 3000):
+        Y[t] = Y[t - 1] @ A.T + rng.normal(size=3)
+    P = multivariate_pacf(Y, 4)
+    assert np.linalg.norm(P[0]) > 0.5
+    assert all(np.linalg.norm(P[k]) < 0.12 for k in (1, 2, 3))
+
+
 def _simulate_monthly(spark):
     rng = np.random.default_rng(1)
     T = 480  # 40 years monthly

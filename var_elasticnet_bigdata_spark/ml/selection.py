@@ -12,8 +12,11 @@ Reference semantics (enetVAR.R:646-756):
 - ``pacf.var.selection`` (M17): the same greedy scheme on PACF
   profiles, which the reference computes in 4-series blocks (an R
   ``pacf`` API limitation; block composition affects multivariate
-  partials — we compute per-series univariate PACF via
-  Durbin–Levinson instead and document the difference).
+  partials). Default mode computes per-series univariate PACF via
+  Durbin–Levinson (block-independent, arguably better);
+  ``faithful_blocked=True`` replicates the reference's blocked
+  multivariate partials exactly (Whittle recursion,
+  operators/acf.py:multivariate_pacf).
 
 ⚠ Quirk Q10 (NEW, beyond SURVEY §2.9) — M15's GDP handling:
 ``var.selection[-(var.selection=="GDP")]`` negates a LOGICAL vector,
@@ -36,10 +39,18 @@ driver.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from ..operators.acf import acf_table, cross_acf_table, pacf_from_acf
+from ..operators.acf import (
+    acf_table,
+    cross_acf_table,
+    multivariate_pacf,
+    pacf_from_acf,
+)
 
 
 def _cross_acf_matrix(
@@ -153,15 +164,67 @@ def pacf_var_selection(
     lag: int = 8,
     maxnrvar: int = 10,
     faithful_q11: bool = False,
+    faithful_blocked: bool = False,
+    column_order: list[str] | None = None,
     value_col: str = "value",
     series_col: str = "series_id",
     date_col: str = "obs_date",
 ) -> list[str]:
-    """M17: the greedy diversity scheme on per-series PACF profiles
-    (univariate Durbin–Levinson from the one-pass ACF table; the
-    reference's 4-at-a-time multivariate blocks are an R API
-    workaround whose block-composition dependence we do not carry
-    over — documented difference)."""
+    """M17: the greedy diversity scheme on PACF profiles.
+
+    Default mode: per-series univariate Durbin–Levinson from the
+    one-pass ACF table — block-composition independent.
+
+    ``faithful_blocked=True`` replicates the reference's 4-at-a-time
+    *multivariate* pacf (enetVAR.R:710-724): block 0 = the first four
+    columns (target + 3); block i = target merged with columns
+    4i..4i+3; each block's Whittle-recursion partial matrices
+    contribute the target row at lags 2..lag+1 (R's ``$acf[-1,1,]``
+    drop of the first lag). Block composition changes the partials —
+    pass ``column_order`` to fix it (the reference uses spreadsheet
+    column order; default here is target first then sorted names).
+    The reference errors out unless NCOL %% 4 ∈ {0, 3} (its
+    ``ind <- (i+1)*4-1`` fallback indexes past the frame otherwise —
+    the 147-column SW frame is 4·36+3); we raise the same way."""
+    if faithful_blocked:
+        wide = (
+            df.groupBy(date_col)
+            .pivot(series_col)
+            .agg(F.first(value_col))
+            .orderBy(date_col)
+            .toPandas()
+        )
+        names = column_order or [
+            target,
+            *sorted(c for c in wide.columns if c not in (date_col, target)),
+        ]
+        X = wide[names].dropna().to_numpy(dtype=float)
+        T, K = X.shape
+        t_idx = names.index(target)
+        if t_idx != 0:
+            raise ValueError("faithful_blocked requires target as column 0")
+        lag_max = lag + 1
+        ti = 0
+        prof_cols: list[np.ndarray] = []
+        # block 0: columns 0..3 (target included in the profile)
+        P = multivariate_pacf(X[:, 0:4], lag_max)
+        prof_cols.extend(P[1:, ti, j] for j in range(min(4, K)))
+        for i in range(1, math.ceil(K / 4)):
+            end = (i + 1) * 4
+            if K < end:
+                end = end - 1  # the reference's ind <- (i+1)*4-1
+                if end > K:
+                    raise IndexError(
+                        f"reference blocked pacf indexes column {end} of a "
+                        f"{K}-column frame (NCOL %% 4 must be 0 or 3, as in "
+                        "the 147-column SW frame; enetVAR.R:714-717)"
+                    )
+            cols = [0, *range(4 * i, end)]
+            Pb = multivariate_pacf(X[:, cols], lag_max)
+            prof_cols.extend(Pb[1:, 0, j] for j in range(1, len(cols)))
+        prof = np.column_stack(prof_cols)
+        return _greedy_diverse(names, prof, target, maxnrvar, faithful_q11)
+
     acfs = acf_table(
         df, lag, value_col, series_col, date_col, method="r"
     ).collect()

@@ -169,6 +169,54 @@ def pacf_from_acf(acf_values: np.ndarray) -> np.ndarray:
     return pacf
 
 
+def multivariate_pacf(X: np.ndarray, lag_max: int) -> np.ndarray:
+    """Multivariate partial autocorrelation matrices via Whittle's
+    (1963) generalized Durbin–Levinson recursion on the sample
+    cross-correlation matrices — the algorithm behind R's
+    ``pacf(mts)`` / ``acf(type="partial")`` (Reinsel 1997 §2.2),
+    which the reference runs on 4-series blocks (enetVAR.R:710-724).
+
+    X is (T, K); returns (lag_max, K, K) with [k-1] the forward
+    last-coefficient matrix A_{kk} of the order-k fit on the
+    STANDARDIZED series. At K=1 this reduces exactly to the
+    univariate Durbin–Levinson PACF (tested).
+
+    Driver-side: blocks are ≤5 series, lag_max ≤ 9 — trivially small.
+    """
+    X = np.asarray(X, dtype=float)
+    X = X[~np.isnan(X).any(axis=1)]
+    T, K = X.shape
+    Xc = X - X.mean(axis=0)
+    sd = np.sqrt((Xc**2).sum(axis=0) / T)
+    sd = np.where(sd <= 0, 1.0, sd)
+    Z = Xc / sd
+    # R_k = (1/T) Σ_t z_{t+k} z_t'  (R acf normalization, denominator T)
+    R = [Z[k:].T @ Z[: T - k] / T for k in range(lag_max + 1)]
+    out = np.zeros((lag_max, K, K))
+    # Whittle recursion state: forward Φ_{k-1,j} (A), backward
+    # Ψ_{k-1,j} (B), forward/backward innovation covariances V, U.
+    #   Δ_k  = R_k − Σ_j Φ_{k-1,j} R_{k-j}          (forward innovation)
+    #   Δ̃_k = R_k' − Σ_j Ψ_{k-1,j} R_{k-j}' = Δ_k'
+    #   Φ_kk = Δ_k U_{k-1}⁻¹ ;  Ψ_kk = Δ_k' V_{k-1}⁻¹
+    #   Φ_{k,j} = Φ_{k-1,j} − Φ_kk Ψ_{k-1,k-j}  (and symmetrically)
+    #   V_k = V_{k-1} − Φ_kk Δ_k' ;  U_k = U_{k-1} − Ψ_kk Δ_k
+    A: list[np.ndarray] = []
+    B: list[np.ndarray] = []
+    V = R[0].copy()
+    U = R[0].copy()
+    for k in range(1, lag_max + 1):
+        Dk = R[k] - sum(A[j] @ R[k - 1 - j] for j in range(k - 1))
+        Akk = np.linalg.solve(U.T, Dk.T).T  # Δ_k @ U^{-1}
+        Bkk = np.linalg.solve(V.T, Dk).T  # Δ_k' @ V^{-1}
+        A_new = [A[j] - Akk @ B[k - 2 - j] for j in range(k - 1)] + [Akk]
+        B_new = [B[j] - Bkk @ A[k - 2 - j] for j in range(k - 1)] + [Bkk]
+        V = V - Akk @ Dk.T
+        U = U - Bkk @ Dk
+        A, B = A_new, B_new
+        out[k - 1] = Akk
+    return out
+
+
 def pacf_table(
     df: DataFrame,
     max_lag: int,
