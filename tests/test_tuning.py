@@ -71,6 +71,38 @@ def test_rolling_origin_tune_finds_structure(spark):
     assert row.rmse < 0.15
 
 
+def test_driver_materialization_guard_trips(spark, monkeypatch):
+    """The guarded collects refuse frames above the configured
+    ceiling, with a pointer to the scale path (VERDICT r1 item 7)."""
+    from var_elasticnet_bigdata_spark.plans.guards import (
+        DriverMaterializationError,
+    )
+
+    rng = np.random.default_rng(3)
+    T = 60
+    a = np.cumsum(rng.normal(size=T)) * 0.1
+    b = rng.normal(size=T)
+    wide = make_wide(spark, {"a": a, "b": b})
+    monkeypatch.setenv("SPARK_GRAFT_MAX_DRIVER_ROWS", "10")
+    with pytest.raises(DriverMaterializationError, match="distribute='join'"):
+        rolling_origin_tune(
+            spark, wide, ["a", "b"], lag=1, init_window=40, horizon=4,
+            alpha_grid=np.array([0.5]),
+            lambda_grid=np.array([0.1, 0.01]),
+        )
+    from var_elasticnet_bigdata_spark.operators.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(DriverMaterializationError, match="lsh_topk"):
+        cosine_topk(vecs, k=1).collect()
+    # within the ceiling the paths still work
+    monkeypatch.setenv("SPARK_GRAFT_MAX_DRIVER_ROWS", "100000")
+    assert cosine_topk(vecs, k=1).count() == 40
+
+
 def test_tune_distributed_equals_sequential(spark):
     rng = np.random.default_rng(2)
     T = 60

@@ -110,6 +110,17 @@ def rolling_origin_tune(
     for c in [*z_cols, *series]:
         pred = F.col(f"`{c}`").isNotNull()
         cond = pred if cond is None else (cond & pred)
+    embedded = vz.df.filter(cond).select(
+        *[F.col(f"`{c}`") for c in [*z_cols, *series]]
+    )
+    from ..plans.guards import guard_driver_collect
+
+    guard_driver_collect(
+        embedded,
+        "rolling_origin_tune's embedded estimation frame",
+        "the distributed per-origin Gram path (harness.modeltrain with "
+        "distribute='join')",
+    )
     pdf = (
         vz.df.filter(cond)
         .orderBy(date_col)
@@ -190,12 +201,15 @@ def ezlasso(
     """
     from pyspark.sql import functions as F
 
-    pdf = (
-        wide_df.select(date_col, target, *predictors)
-        .dropna()
-        .orderBy(date_col)
-        .toPandas()
+    from ..plans.guards import guard_driver_collect
+
+    frame = wide_df.select(date_col, target, *predictors).dropna()
+    guard_driver_collect(
+        frame,
+        "ezlasso's estimation frame",
+        "a per-origin distributed tuner (ml.tuning.rolling_origin_tune)",
     )
+    pdf = frame.orderBy(date_col).toPandas()
     X = pdf[predictors].to_numpy(dtype=float)
     y = pdf[target].to_numpy(dtype=float)
     lams = np.array(sorted(EZLASSO_LAMBDA_GRID, reverse=True))

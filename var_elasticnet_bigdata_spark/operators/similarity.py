@@ -55,7 +55,15 @@ def cosine_topk(
     query vectors (queries default: the corpus itself). The query
     matrix is collected + broadcast; each corpus partition does one
     matmul per Arrow batch. Ties break on smaller neighbor id."""
-    qrows = (queries if queries is not None else df).select(id_col, vec_col).collect()
+    qdf = (queries if queries is not None else df).select(id_col, vec_col)
+    from ..plans.guards import guard_driver_collect
+
+    guard_driver_collect(
+        qdf,
+        "cosine_topk's exact query-matrix broadcast",
+        "the LSH-bucketed path (similarity.lsh_topk)",
+    )
+    qrows = qdf.collect()
     q_ids, Q = _normalized_matrix(qrows, id_col, vec_col)
     sc = df.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, Q))
@@ -333,7 +341,15 @@ def cosine_near_dup_pairs(
 
         return pairs.mapInPandas(verify, schema)
 
-    rows = df.select(id_col, vec_col).collect()
+    corpus = df.select(id_col, vec_col)
+    from ..plans.guards import guard_driver_collect
+
+    guard_driver_collect(
+        corpus,
+        "cosine_near_dup_pairs' exact corpus broadcast",
+        "method='lsh' (hyperplane-bucketed candidate join)",
+    )
+    rows = corpus.collect()
     c_ids, C = _normalized_matrix(rows, id_col, vec_col)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast((c_ids, C))
