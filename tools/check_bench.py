@@ -1,0 +1,86 @@
+"""Bench regression gate: compare a bench run against the recorded
+per-query baseline (bench_baseline.json, captured from BENCH_r01) and
+fail on >1.5× per-query regressions.
+
+Usage:
+    python bench.py > /tmp/bench.json   # or use a driver BENCH_r*.json
+    python tools/check_bench.py /tmp/bench.json
+
+Queries faster than FLOOR_SEC in the baseline are compared against
+``baseline + FLOOR_SEC`` instead of the pure ratio — at sub-second
+scale Spark job-setup jitter dominates and a ratio gate just flaps.
+New queries (absent from the baseline) are listed, never failed.
+Update the baseline deliberately after intentional plan changes:
+    python tools/check_bench.py --rebase /tmp/bench.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE = os.path.join(REPO, "bench_baseline.json")
+RATIO = 1.5
+FLOOR_SEC = 1.0
+
+
+def load_bench(path: str) -> dict:
+    raw = open(path).read()
+    # driver BENCH files wrap the JSON line in a "tail" field; accept both
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        doc = json.loads(re.findall(r"\{.*\}", raw)[-1])
+    if "queries" in doc:
+        return doc
+    if "parsed" in doc and "queries" in doc["parsed"]:
+        return doc["parsed"]
+    m = re.findall(r'\{"metric".*?\}\}', doc.get("tail", ""))
+    if m:
+        return json.loads(m[-1])
+    raise SystemExit(f"no bench queries found in {path}")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rebase = "--rebase" in sys.argv
+    path = args[0] if args else "/tmp/bench.json"
+    bench = load_bench(path)
+    if rebase:
+        json.dump(
+            {"source": path, "sf": bench.get("sf"), "queries": bench["queries"]},
+            open(BASELINE, "w"),
+            indent=1,
+        )
+        print(f"baseline rebased from {path}: {len(bench['queries'])} queries")
+        return 0
+    base = json.load(open(BASELINE))["queries"]
+    regressions, improved, new = [], [], []
+    for q, t in sorted(bench["queries"].items()):
+        if q not in base:
+            new.append(q)
+            continue
+        b = base[q]
+        ceiling = max(b * RATIO, b + FLOOR_SEC)
+        if t > ceiling:
+            regressions.append((q, b, t))
+        elif t < b / RATIO:
+            improved.append((q, b, t))
+    for q, b, t in regressions:
+        print(f"REGRESSION {q}: {b:.2f}s -> {t:.2f}s ({t / b:.1f}x)")
+    for q, b, t in improved:
+        print(f"improved   {q}: {b:.2f}s -> {t:.2f}s")
+    if new:
+        print(f"new queries (no baseline): {', '.join(new)}")
+    print(
+        f"{len(regressions)} regressions / {len(bench['queries'])} queries "
+        f"(gate: >{RATIO}x and >+{FLOOR_SEC}s)"
+    )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
