@@ -21,10 +21,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
+
+# schema-per-source cache: stream_events may be called repeatedly
+# (tests, bench); the batch footer read only needs to happen once
+_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
@@ -44,6 +48,16 @@ def stream_events(
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the window-bucket equivalence with the batch path (TIMESTAMP_NTZ)
+    # relies on the session zone being UTC (session.py pins it); fail
+    # loudly instead of silently diverging under a caller's local zone
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"stream_events requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the cast to zoned TIMESTAMP would shift "
+            "window buckets relative to the batch TIMESTAMP_NTZ path"
+        )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     stage = f"/tmp/spark_graft_stream_{tag}/events"
     os.makedirs(stage, exist_ok=True)
@@ -51,7 +65,10 @@ def stream_events(
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema = _SCHEMA_CACHE.get(src)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(src).schema
+        _SCHEMA_CACHE[src] = raw_schema
     raw = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
