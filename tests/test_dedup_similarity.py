@@ -129,6 +129,26 @@ def test_lsh_topk_recall_vs_bruteforce(spark, emb):
     assert len(merged) > 0.9 * emb.count()
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    from var_elasticnet_bigdata_spark.operators.similarity import ivf_topk
+
+    exact = cosine_topk(emb, k=1).toPandas()
+    approx = ivf_topk(emb, k=1, nlist=16, nprobe=8).toPandas()
+    merged = exact.merge(
+        approx[approx["rank"] == 1], on="vec_id", suffixes=("_e", "_a")
+    )
+    # probing half the cells: recall@1 should be high on the
+    # clustered testdata embeddings; the exact path is the oracle
+    recall = (merged.neighbor_id_e == merged.neighbor_id_a).mean()
+    assert recall > 0.75
+    assert len(merged) > 0.9 * emb.count()
+    # deterministic under the fixed seed
+    again = ivf_topk(emb, k=1, nlist=16, nprobe=8).toPandas()
+    pd_a = approx.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    pd_b = again.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    assert pd_a.equals(pd_b)
+
+
 def test_cosine_near_dup_exact_matches_numpy(spark, emb):
     got = (
         cosine_near_dup_pairs(emb, threshold=0.4, method="exact")

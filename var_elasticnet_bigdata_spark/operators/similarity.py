@@ -263,6 +263,156 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 20,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """Train IVF centroids: spherical k-means on a bounded sample
+    (the standard IVF train recipe — the index is trained on a
+    sample, then the assignment pass is distributed). Deterministic
+    under ``seed``. Returns (nlist, d) unit-norm centroids."""
+    sample = df.select(id_col, vec_col).limit(sample_rows).collect()
+    _, M = _normalized_matrix(sample, id_col, vec_col)
+    n = len(M)
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(n, size=min(nlist, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for j in range(len(C)):
+            members = M[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                norm = np.linalg.norm(c)
+                if norm > 0:
+                    C[j] = c / norm
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest cells →
+    ``(id, cell, probe_rank, vec)``. Narrow Arrow pass, one BLAS
+    matmul per batch against the broadcast centroid matrix."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cell", IntegerType()),
+            StructField("probe_rank", IntegerType()),
+        ]
+    )
+    np_ = nprobe
+
+    def run(batches):
+        C = bc.value
+        for pdf in batches:
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            V = V / norms
+            sims = V @ C.T
+            top = np.argsort(-sims, axis=1)[:, :np_]
+            ids = pdf[id_col].to_numpy()
+            out = {
+                id_col: np.repeat(ids, np_),
+                "cell": top.ravel().astype(np.int32),
+                "probe_rank": np.tile(np.arange(np_, dtype=np.int32), len(ids)),
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 1,
+    nlist: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index —
+    the k-means-bucketed alternative to ``lsh_topk``: corpus vectors
+    live in their single nearest cell; each query probes its
+    ``nprobe`` nearest cells; exact cosine rerank runs on the
+    candidates only. The join shuffles cell keys and candidates,
+    never the N² grid; recall rises with nprobe/nlist ratio (the
+    exact path is the recall oracle, measured in tests).
+
+    Returns ``(id_col, rank, neighbor_id, cosine)`` like
+    ``cosine_topk``."""
+    C = ivf_centroids(df, nlist, id_col, vec_col)
+    corpus = ivf_assign(df, C, 1, id_col, vec_col).select(
+        F.col(id_col).alias("id_b"), "cell"
+    )
+    probes = ivf_assign(df, C, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("id_a"), "cell"
+    )
+    cand = (
+        probes.join(corpus, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["va"]), dtype=np.float64)
+            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = np.einsum("ij,ij->i", A, B) / (na * nb)
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+            )
+
+    scored = pairs.mapInPandas(score, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            "rank",
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -1370,6 +1370,23 @@ def ml_group_enet_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "z_name string, equation string, coef double")
 
 
+@query("ann_ivf_top1", None)
+def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the k-means alternative to the LSH scale
+    path): spherical-k-means cells trained on a bounded sample,
+    distributed assignment, candidates join on cell keys only, exact
+    cosine rerank. Deterministic under the fixed seed; recall vs the
+    exact path is measured in tests/test_dedup_similarity.py —
+    rows-only here (k-means is not expressible in the SQL oracle)."""
+    from .operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(e, k=1, nlist=16, nprobe=8)
+    return out.select(
+        "vec_id", "rank", "neighbor_id", r6(F.col("cosine")).alias("cosine")
+    )
+
+
 @query("stat_hosking", None)
 def stat_hosking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M24: Hosking (1980) multivariate portmanteau on the residuals
