@@ -70,3 +70,24 @@ def test_time_slice_pushdown(spark):
     df = Q.p3_time_slice(spark, SF_ORACLE)
     pf = pushed_filters(df)
     assert any("o_orderdate" in f for f in pf), pf
+
+
+def test_ar1_coefs_stays_jvm_side(spark):
+    # M9's estimator is covariance aggregates — the plan must contain
+    # no Python evaluation (no UDF/mapInPandas) and prune the scan to
+    # the three needed event columns
+    df = Q.ml_ar1_coefs(spark, SF_ORACLE)
+    text = explain_str(df)
+    assert "Python" not in text and "ArrowEval" not in text
+    assert "series_id" in text  # windowed lag partitioned per series
+    cols = read_schema_columns(df)
+    assert all(len(c) <= 3 for c in cols), cols
+
+
+def test_session_window_partitions_by_user(spark):
+    # gaps-and-islands sessionization: both windows partition by
+    # user_id — never a global single-partition sort
+    df = Q.g7_session_window(spark, SF_ORACLE)
+    text = explain_str(df)
+    assert "user_id" in text
+    assert "partition" in text.lower()

@@ -1370,6 +1370,55 @@ def ml_group_enet_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "z_name string, equation string, coef double")
 
 
+@query("ml_tune_best", None)
+def ml_tune_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 enetVARtune: rolling-origin (timeSlice) grid search over
+    (α, λ) per equation on the quarterly pair — the reference's
+    caret trainControl semantics, distributed as (equation, α) task
+    cells. Equivalence to a sequential replication is pinned in
+    tests/test_tuning.py — rows-only here (the grid search is not
+    SQL-expressible)."""
+    import numpy as np
+
+    from .ml.tuning import rolling_origin_tune
+
+    wide = _quarterly_pair(spark, sf_dir)
+    n = wide.count()
+    best = rolling_origin_tune(
+        spark, wide, ["revenue", "quantity"], lag=1,
+        init_window=max(n // 2, 8), horizon=2,
+        alpha_grid=np.array([0.2, 0.8]),
+        lambda_grid=10 ** np.linspace(0, -3, 10),
+    )
+    rows = [
+        (str(eq), round(float(a), 6), round(float(lam), 6), round(float(rm), 6))
+        for eq, a, lam, rm in best[
+            ["equation", "alpha", "lambda", "rmse"]
+        ].to_numpy()
+    ]
+    return spark.createDataFrame(
+        rows, "equation string, alpha double, lambda double, rmse double"
+    )
+
+
+@query("ml_ezlasso_select", None)
+def ml_ezlasso_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 ezlasso: λ-tuned ridge ranking of predictors for the
+    revenue equation (quirk-Q6 signed ranking), target prepended —
+    rows-only (inner tuner not SQL-expressible; signed-ranking
+    semantics pinned in tests/test_tuning.py)."""
+    from .ml.tuning import ezlasso
+
+    wide = _quarterly_pair(spark, sf_dir)
+    n = wide.count()
+    sel = ezlasso(
+        spark, wide, "revenue", ["quantity"],
+        alpha=0.0, maxnrvar=1, init_window=max(n // 2, 8), horizon=1,
+    )
+    rows = [(i, s) for i, s in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, series string")
+
+
 @query("ann_ivf_top1", None)
 def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the k-means alternative to the LSH scale
