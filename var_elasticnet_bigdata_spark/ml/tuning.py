@@ -132,14 +132,20 @@ def rolling_origin_tune(
     sc = spark.sparkContext
     bdata = sc.broadcast((X, Y))
 
+    cell_rows = [
+        (i, int(j), float(a))
+        for i, (j, a) in enumerate(
+            (j, a) for j in range(len(series)) for a in alpha_grid
+        )
+    ]
+    # one task per (equation, α) cell via range partitioning — a
+    # groupBy().applyInPandas here would shuffle the tiny cell frame
+    # into spark.sql.shuffle.partitions tasks, spinning up a python
+    # worker per partition for a handful of cells (measured 12 s of
+    # pure worker startup at 32 partitions vs <1 s this way)
     cells = spark.createDataFrame(
-        [
-            (int(j), float(a))
-            for j in range(len(series))
-            for a in alpha_grid
-        ],
-        schema="eq int, alpha double",
-    )
+        cell_rows, schema="cell_id int, eq int, alpha double"
+    ).repartitionByRange(len(cell_rows), "cell_id")
     out_schema = StructType(
         [
             StructField("eq", IntegerType()),
@@ -150,13 +156,16 @@ def rolling_origin_tune(
     iw, hz, ic = init_window, horizon, intercept
     lams = lambda_sorted
 
-    def run(key, cell: pd.DataFrame) -> pd.DataFrame:
+    def run(batches):
         X_, Y_ = bdata.value
-        j, a = int(key[0]), float(key[1])
-        rmse = _cell_rmse(X_, Y_[:, j], a, lams, iw, hz, ic)
-        return pd.DataFrame([{"eq": j, "alpha": a, "rmse": rmse.tolist()}])
+        for pdf in batches:
+            for j, a in zip(pdf["eq"], pdf["alpha"]):
+                rmse = _cell_rmse(X_, Y_[:, int(j)], float(a), lams, iw, hz, ic)
+                yield pd.DataFrame(
+                    [{"eq": int(j), "alpha": float(a), "rmse": rmse.tolist()}]
+                )
 
-    res = cells.groupBy("eq", "alpha").applyInPandas(run, out_schema).collect()
+    res = cells.mapInPandas(run, out_schema).collect()
 
     rows = []
     for j, s in enumerate(series):

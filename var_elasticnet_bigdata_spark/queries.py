@@ -1384,9 +1384,12 @@ def ml_tune_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wide = _quarterly_pair(spark, sf_dir)
     n = wide.count()
+    # init_window anchored to the series END so the resample count
+    # (hence bench cost) is constant across scale factors — the grid
+    # work per origin, not the origin count, is what this query gates
     best = rolling_origin_tune(
         spark, wide, ["revenue", "quantity"], lag=1,
-        init_window=max(n // 2, 8), horizon=2,
+        init_window=max(n - 16, 8), horizon=2,
         alpha_grid=np.array([0.2, 0.8]),
         lambda_grid=10 ** np.linspace(0, -3, 10),
     )
