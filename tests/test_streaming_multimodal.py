@@ -56,6 +56,40 @@ def test_stream_windowed_counts_match_batch(spark):
     q.stop()
 
 
+def test_stream_session_windows_match_batch_sessionization(spark):
+    """Native F.session_window streaming sessions == the batch
+    gaps-and-islands session boundaries (same 30-min gap rule)."""
+    from var_elasticnet_bigdata_spark.streaming.events import (
+        session_window_counts,
+    )
+
+    stream = stream_events(spark, SF_SMALL)
+    agg = session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+    q = run_stream_to_memory(agg, "sess_counts", output_mode="complete")
+    got = spark.sql("SELECT * FROM sess_counts").toPandas()
+    q.stop()
+    assert len(got) > 0
+    # batch twin: the g7 gaps-and-islands session table
+    from var_elasticnet_bigdata_spark import queries as Q
+
+    batch = Q.g7_session_window(spark, SF_SMALL).toPandas()
+    assert len(got) == len(batch)
+    # per-user session counts and event totals agree
+    gu = got.groupby("user_id").agg(n_sess=("n_events", "size"),
+                                    n_ev=("n_events", "sum"))
+    bu = batch.groupby("user_id").agg(n_sess=("n_events", "size"),
+                                      n_ev=("n_events", "sum"))
+    merged = gu.join(bu, lsuffix="_s", rsuffix="_b")
+    assert (merged.n_sess_s == merged.n_sess_b).all()
+    assert (merged.n_ev_s == merged.n_ev_b).all()
+    # session start times line up exactly
+    gs = got.sort_values(["user_id", "sess_start"]).reset_index(drop=True)
+    bs = batch.sort_values(["user_id", "sess_start"]).reset_index(drop=True)
+    assert (
+        gs["sess_start"].to_numpy() == bs["sess_start"].to_numpy()
+    ).all()
+
+
 def test_stream_stateful_user_totals(spark):
     stream = stream_events(spark, SF_SMALL)
     totals = stateful_user_totals(stream)

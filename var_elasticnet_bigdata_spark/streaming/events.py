@@ -117,6 +117,33 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native streaming sessionization: ``F.session_window`` merges
+    events within ``gap`` of each other per user — the streaming twin
+    of the batch gaps-and-islands query (``g7_session_window``).
+    Watermark closes sessions once event time passes session end +
+    gap, bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``:
     running per-user event count + value total, emitted on every
