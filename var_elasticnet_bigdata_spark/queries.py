@@ -1370,6 +1370,32 @@ def ml_group_enet_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "z_name string, equation string, coef double")
 
 
+@query("ml_acf_selection", None)
+def ml_acf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15/M16/M17: the three ACF/PACF variable-selection operators
+    over the daily event series (target = first series
+    alphabetically), each returning its ranked pick list — rows-only
+    (greedy driver loops on the one-pass cross-ACF matrix are not
+    SQL-expressible; semantics pinned in
+    tests/test_selection_stationarity.py)."""
+    from .ml.selection import (
+        acf_var_selection,
+        acf_var_selection2,
+        pacf_var_selection,
+    )
+
+    m = _daily_events(spark, sf_dir)
+    target = m.select(F.min("series_id")).collect()[0][0]
+    rows = []
+    for method, sel in (
+        ("acf", acf_var_selection(m, target, lag=4, maxnrvar=3)),
+        ("acf2", acf_var_selection2(m, target, lag=4, maxnrvar=3)),
+        ("pacf", pacf_var_selection(m, target, lag=4, maxnrvar=3)),
+    ):
+        rows.extend((method, i, s) for i, s in enumerate(sel))
+    return spark.createDataFrame(rows, "method string, rank int, series string")
+
+
 @query("ml_tune_best", None)
 def ml_tune_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 enetVARtune: rolling-origin (timeSlice) grid search over
