@@ -1041,6 +1041,109 @@ def _register_simhash_oracle() -> None:
 _register_simhash_oracle()
 
 
+@query("pipeline_corpus_curation", None)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation pipeline — the composition a
+    training-data run would actually execute, each stage one of the
+    engine's oracled operators: quality/token/lang scoring (codegen'd
+    expressions) → quality+length filter → exact dedup (min-id
+    survivor per content key) → MinHash-LSH near-dup removal (drop
+    the higher id of every Jaccard≥0.35 candidate pair) → per-
+    (lang, quality-decile) corpus stats. The DuckDB oracle replays
+    the identical pipeline stage for stage."""
+    from .operators.dedup import (
+        content_key,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from .operators.text import lang_id_expr, quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        token_count().alias("n_tokens"),
+        lang_id_expr().alias("lang_guess"),
+        quality_score().alias("quality"),
+    )
+    filt = scored.filter((F.col("quality") >= 0.6) & (F.col("n_tokens") >= 20))
+    keyed = filt.withColumn("ck", content_key())
+    winners = keyed.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+    surv = keyed.join(winners, ["ck", "doc_id"])
+    sigs = minhash_signatures(surv, num_hashes=16)
+    cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    near = jaccard_pairs(surv, threshold=0.35, candidates=cand)
+    drops = near.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = surv.join(drops, "doc_id", "left_anti")
+    return kept.groupBy(
+        "lang_guess",
+        F.floor(F.col("quality") * 10).cast("int").alias("q_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("quality")).alias("avg_quality"),
+        r6(F.avg("n_tokens")).alias("avg_tokens"),
+    )
+
+
+def _register_curation_oracle() -> None:
+    from .operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NORM_SQL_DUCK,
+        duck_shingle_hashes,
+    )
+    from .operators.text import QUALITY_SQL_DUCK, duck_lang_id_sql
+
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(16)
+    )
+    ORACLE["pipeline_corpus_curation"] = f"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 len(string_split({NORM_SQL_DUCK}, ' ')) AS n_tokens,
+                 {duck_lang_id_sql()} AS lang_guess,
+                 {QUALITY_SQL_DUCK} AS quality
+          FROM documents),
+        filt AS (SELECT * FROM scored WHERE quality >= 0.6 AND n_tokens >= 20),
+        keyed AS (SELECT *, md5({NORM_SQL_DUCK}) AS ck FROM filt),
+        winners AS (SELECT ck, MIN(doc_id) AS doc_id FROM keyed GROUP BY ck),
+        surv AS (SELECT k.* FROM keyed k
+                 JOIN winners w ON k.ck = w.ck AND k.doc_id = w.doc_id),
+        s AS (SELECT doc_id, {duck_shingle_hashes(3)} AS sh FROM surv),
+        sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM s),
+        band AS (
+          SELECT doc_id, b,
+                 md5(array_to_string(list_slice(sig, b*2+1, b*2+2), ',')) AS bh
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id
+        ),
+        near AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN s sa ON sa.doc_id = c.id_a
+          JOIN s sb ON sb.doc_id = c.id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / len(list_distinct(sa.sh || sb.sh)) >= 0.35
+        ),
+        kept AS (SELECT * FROM surv
+                 WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM near))
+        SELECT lang_guess, CAST(FLOOR(quality*10) AS INT) AS q_bucket,
+               COUNT(*) AS n_docs, ROUND(AVG(quality),6) AS avg_quality,
+               ROUND(AVG(n_tokens),6) AS avg_tokens
+        FROM kept GROUP BY 1, 2
+    """
+
+
+_register_curation_oracle()
+
+
 @query(
     "ann_top1_cosine",
     """
@@ -1184,6 +1287,23 @@ _register_fingerprint_oracle()
 # ML / statistical operators through the driver contract (rows-only
 # checks — not SQL-expressible; the numerical oracles live in pytest)
 # --------------------------------------------------------------------------
+
+
+_QUARTERLY_PAIR_CTE = """
+    WITH o AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS obs_date,
+             SUM(o_totalprice)/1e6 AS revenue
+      FROM orders GROUP BY 1
+    ),
+    li AS (
+      SELECT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS obs_date,
+             SUM(l_quantity)/1e5 AS quantity
+      FROM lineitem GROUP BY 1
+    ),
+    pair AS (
+      SELECT o.obs_date, revenue, quantity FROM o JOIN li USING (obs_date)
+    )
+"""
 
 
 def _quarterly_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,14 +1457,97 @@ def ml_ar1_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_adf_batch", None)
+@query(
+    "stat_adf_batch",
+    _DAILY_EVENTS_CTE
+    + """,
+ d0 AS (SELECT series_id, value,
+               ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY obs_date) AS rn,
+               COUNT(*) OVER (PARTITION BY series_id) AS n,
+               LEAD(value) OVER (PARTITION BY series_id ORDER BY obs_date) - value
+                 AS resp
+        FROM m),
+ d1 AS (SELECT series_id, n, CAST(rn AS DOUBLE) AS tr, value AS yl, resp
+        FROM d0 WHERE rn <= n - 1),
+ d2 AS (SELECT series_id, n, resp,
+               tr - AVG(tr) OVER (PARTITION BY series_id) AS tc,
+               yl - AVG(yl) OVER (PARTITION BY series_id) AS yc,
+               resp - AVG(resp) OVER (PARTITION BY series_id) AS rc
+        FROM d1),
+ sums AS (SELECT series_id, MAX(n) AS n,
+                 SUM(tc*tc) AS sxx, SUM(tc*yc) AS sxy, SUM(yc*yc) AS syy,
+                 SUM(tc*rc) AS sxr, SUM(yc*rc) AS syr, SUM(rc*rc) AS srr
+          FROM d2 GROUP BY series_id),
+ st AS (SELECT series_id, n, CAST(n - 1 AS DOUBLE) AS n_tab,
+               (sxx*syr - sxy*sxr)/(sxx*syy - sxy*sxy) AS b_y,
+               (syy*sxr - sxy*syr)/(sxx*syy - sxy*sxy) AS b_t,
+               sxx, sxy, syy, sxr, syr, srr
+        FROM sums),
+ st2 AS (SELECT series_id, n, n_tab,
+                b_y / sqrt( ((srr - b_t*sxr - b_y*syr) / (n - 1 - 3))
+                            * sxx / (sxx*syy - sxy*sxy) ) AS stat
+         FROM st),
+ tab(nv, pr, cv) AS (VALUES
+  (25.0,0.01,-4.38),(25.0,0.025,-3.95),(25.0,0.05,-3.60),(25.0,0.10,-3.24),
+  (25.0,0.90,-1.14),(25.0,0.95,-0.80),(25.0,0.975,-0.50),(25.0,0.99,-0.15),
+  (50.0,0.01,-4.15),(50.0,0.025,-3.80),(50.0,0.05,-3.50),(50.0,0.10,-3.18),
+  (50.0,0.90,-1.19),(50.0,0.95,-0.87),(50.0,0.975,-0.58),(50.0,0.99,-0.24),
+  (100.0,0.01,-4.04),(100.0,0.025,-3.73),(100.0,0.05,-3.45),(100.0,0.10,-3.15),
+  (100.0,0.90,-1.22),(100.0,0.95,-0.90),(100.0,0.975,-0.62),(100.0,0.99,-0.28),
+  (250.0,0.01,-3.99),(250.0,0.025,-3.69),(250.0,0.05,-3.43),(250.0,0.10,-3.13),
+  (250.0,0.90,-1.23),(250.0,0.95,-0.92),(250.0,0.975,-0.64),(250.0,0.99,-0.31),
+  (500.0,0.01,-3.98),(500.0,0.025,-3.68),(500.0,0.05,-3.42),(500.0,0.10,-3.13),
+  (500.0,0.90,-1.24),(500.0,0.95,-0.93),(500.0,0.975,-0.65),(500.0,0.99,-0.32),
+  (100000.0,0.01,-3.96),(100000.0,0.025,-3.66),(100000.0,0.05,-3.41),
+  (100000.0,0.10,-3.12),(100000.0,0.90,-1.25),(100000.0,0.95,-0.94),
+  (100000.0,0.975,-0.66),(100000.0,0.99,-0.33)),
+ jn AS (SELECT s.series_id, s.n_tab, s.stat, t.pr, t.nv, t.cv
+        FROM st2 s CROSS JOIN tab t),
+ lo AS (SELECT series_id, pr, arg_max(cv, nv) AS cv_lo, MAX(nv) AS nv_lo
+        FROM jn WHERE nv <= n_tab GROUP BY 1,2),
+ hi AS (SELECT series_id, pr, arg_min(cv, nv) AS cv_hi, MIN(nv) AS nv_hi
+        FROM jn WHERE nv >= n_tab GROUP BY 1,2),
+ rowcv AS (SELECT s.series_id, t.pr,
+        CASE WHEN lo.nv_lo IS NULL THEN hi.cv_hi
+             WHEN hi.nv_hi IS NULL THEN lo.cv_lo
+             WHEN hi.nv_hi = lo.nv_lo THEN lo.cv_lo
+             ELSE lo.cv_lo + (hi.cv_hi - lo.cv_lo)
+                    * (s.n_tab - lo.nv_lo)/(hi.nv_hi - lo.nv_lo)
+        END AS cv
+     FROM st2 s CROSS JOIN (SELECT DISTINCT pr FROM tab) t
+     LEFT JOIN lo ON lo.series_id = s.series_id AND lo.pr = t.pr
+     LEFT JOIN hi ON hi.series_id = s.series_id AND hi.pr = t.pr),
+ plo AS (SELECT r.series_id, arg_max(pr, cv) AS p_lo, MAX(cv) AS cv_plo
+         FROM rowcv r JOIN st2 USING (series_id) WHERE cv <= stat GROUP BY 1),
+ phi AS (SELECT r.series_id, arg_min(pr, cv) AS p_hi, MIN(cv) AS cv_phi
+         FROM rowcv r JOIN st2 USING (series_id) WHERE cv >= stat GROUP BY 1),
+ pv AS (SELECT s.series_id, s.stat,
+        CASE WHEN plo.p_lo IS NULL THEN 0.01
+             WHEN phi.p_hi IS NULL THEN 0.99
+             WHEN phi.cv_phi = plo.cv_plo THEN plo.p_lo
+             ELSE plo.p_lo + (phi.p_hi - plo.p_lo)
+                    * (s.stat - plo.cv_plo)/(phi.cv_phi - plo.cv_plo)
+        END AS p_value
+     FROM st2 s LEFT JOIN plo ON plo.series_id = s.series_id
+                LEFT JOIN phi ON phi.series_id = s.series_id)
+    SELECT series_id, ROUND(stat,6) AS statistic, ROUND(p_value,6) AS p_value,
+           0 AS k
+    FROM pv ORDER BY series_id
+    """,
+)
 def stat_adf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M18: per-series ADF (constant+trend, Dickey-Fuller table
-    p-values) over the daily event series in one grouped pass."""
+    """M18: per-series ADF (constant+trend, Dickey–Fuller table
+    p-values, tseries::adf.test semantics) over the daily event
+    series in one grouped pass. Declared at k=0 (the plain DF
+    regression Δy_t ~ (1, t, y_{t−1})) so the ENTIRE test — 3×3 OLS
+    via centered normal equations, t-statistic, and tseries' two-way
+    table interpolation — is replayed in the DuckDB oracle; the
+    augmented general-k path (default k = trunc((n−1)^{1/3})) is
+    pinned in tests/test_stats.py and drives the stationarity loop."""
     from .functions.stats import adf_table
 
     m = _daily_events(spark, sf_dir)
-    t = adf_table(m)
+    t = adf_table(m, k=0)
     return t.select(
         "series_id",
         r6(F.col("statistic")).alias("statistic"),
@@ -1465,38 +1668,82 @@ def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_hosking", None)
+@query(
+    "stat_hosking",
+    _QUARTERLY_PAIR_CTE
+    + """,
+     d AS (SELECT ROW_NUMBER() OVER (ORDER BY obs_date) AS rn,
+                  revenue - AVG(revenue) OVER () AS e1,
+                  quantity - AVG(quantity) OVER () AS e2
+           FROM pair),
+     nn AS (SELECT COUNT(*) AS n FROM d),
+     c0 AS (SELECT SUM(e1*e1)/n AS c11, SUM(e1*e2)/n AS c12, SUM(e2*e2)/n AS c22
+            FROM d, nn GROUP BY n),
+     inv AS (SELECT c22/(c11*c22-c12*c12) AS i11,
+                    -c12/(c11*c22-c12*c12) AS i12,
+                    c11/(c11*c22-c12*c12) AS i22 FROM c0),
+     cj AS (SELECT j.j,
+                   SUM(t.e1*s.e1)/MAX(nn.n) AS a11, SUM(t.e1*s.e2)/MAX(nn.n) AS a12,
+                   SUM(t.e2*s.e1)/MAX(nn.n) AS a21, SUM(t.e2*s.e2)/MAX(nn.n) AS a22
+            FROM range(1,10) j(j), d t, d s, nn
+            WHERE s.rn = t.rn - j.j GROUP BY j.j),
+     term AS (SELECT j,
+        (a11*(i11*(a11*i11+a12*i12)+i12*(a21*i11+a22*i12))
+       + a12*(i11*(a11*i12+a12*i22)+i12*(a21*i12+a22*i22))
+       + a21*(i12*(a11*i11+a12*i12)+i22*(a21*i11+a22*i12))
+       + a22*(i12*(a11*i12+a12*i22)+i22*(a21*i12+a22*i22)))
+        / (nn.n - j) AS trm
+       FROM cj, inv, nn),
+     q AS (SELECT m.m AS lag, 4*m.m AS df, nn.n,
+                  (SELECT SUM(trm) FROM term WHERE j <= m.m) AS cum
+           FROM (VALUES (3),(6),(9)) m(m), nn),
+     stats AS (
+       SELECT 'hosking' AS test, lag, CAST(n AS DOUBLE)*n*cum AS statistic, df
+       FROM q
+       UNION ALL
+       SELECT 'ljung_box_mv', lag, CAST(n AS DOUBLE)*(n+2)*cum, df FROM q),
+     pv AS (SELECT test, lag, statistic, df,
+                   exp(-statistic/2)
+                     * (SELECT SUM(pow(s.statistic/2, k.k)/gamma(k.k+1.0))
+                        FROM range(0,64) k(k) WHERE k.k < s.df/2) AS p_value
+            FROM stats s)
+    SELECT test, lag, ROUND(statistic,6) AS statistic, df,
+           ROUND(p_value,6) AS p_value
+    FROM pv ORDER BY test, lag
+    """,
+)
 def stat_hosking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M24: Hosking (1980) multivariate portmanteau on the residuals
-    of the VAR(2) fit over the quarterly pair (reference Main.R:304
-    ``Hosking(resids, order=3)``) plus the multivariate Ljung–Box
-    scaling (Testing.R:389-390). Verified in pytest against a
-    brute-force implementation and the univariate reduction —
-    rows-only here (matrix-trace statistic is not SQL-expressible)."""
+    """M24: Hosking (1980) multivariate portmanteau (reference
+    Main.R:304 ``Hosking(resids, order=3)``) plus the multivariate
+    Ljung–Box scaling (Testing.R:389-390), applied to the demeaned
+    quarterly pair (order=0 — a white-noise test of the raw series,
+    so the full matrix-trace statistic is DuckDB-replayable: 2×2
+    closed-form C₀⁻¹, explicit trace algebra, and the even-df χ²
+    survival series exp(-x/2)·Σ(x/2)^j/j!). The VAR-residual form
+    (order=p) is pinned in tests/test_stats.py against a brute-force
+    implementation and the univariate reduction."""
+    import numpy as np
+
     from .functions.stats import hosking_test
-    from .ml.var_model import fit_enet_var, residual_frame
 
     wide = _quarterly_pair(spark, sf_dir)
-    m = fit_enet_var(
-        wide, ["revenue", "quantity"], p=2, alpha=0.5, lam=0.01, intercept=True
-    )
-    resid = (
-        residual_frame(m)
-        .orderBy("obs_date")
-        .select("resid_revenue", "resid_quantity")
+    U = (
+        wide.orderBy("obs_date")
+        .select("revenue", "quantity")
         .toPandas()
         .to_numpy(dtype=float)
     )
+    U = U - U.mean(axis=0)
     rows = []
     for modified, name in ((True, "hosking"), (False, "ljung_box_mv")):
-        for r in hosking_test(resid, lags=(3, 6, 9), order=2, modified=modified):
+        for r in hosking_test(U, lags=(3, 6, 9), order=0, modified=modified):
             rows.append(
                 (name, int(r["lag"]), round(float(r["statistic"]), 6),
                  int(r["df"]), round(float(r["p_value"]), 6))
             )
     return spark.createDataFrame(
         rows, "test string, lag int, statistic double, df int, p_value double"
-    )
+    ).orderBy("test", "lag")
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
