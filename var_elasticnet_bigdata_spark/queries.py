@@ -1342,6 +1342,134 @@ def ml_enet_var_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "z_name string, equation string, coef double")
 
 
+@query("ml_ridge_var_coefs", None)  # oracle generated below
+def ml_ridge_var_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2 at α=0: ridge VAR(2) on the quarterly pair through the
+    SAME distributed Gram pass + CD solver as the elastic-net path —
+    but ridge has a closed form, so the full chain (lag embed →
+    moments → glmnet standardization → solve → un-standardize) is
+    replayed in the DuckDB oracle via generated Cramer's-rule SQL.
+    This puts the estimation core itself inside the driver's hash
+    gate; the α>0 soft-thresholding semantics stay pinned in pytest
+    (KKT/orthonormal oracles)."""
+    from .ml.var_model import fit_enet_var
+
+    wide = _quarterly_pair(spark, sf_dir)
+    m = fit_enet_var(
+        wide, ["revenue", "quantity"], p=2, alpha=0.0, lam=0.05, intercept=True
+    )
+    B = m.coef_matrix()
+    rows = [
+        (rn, eq, round(float(B[i, j]), 6))
+        for i, rn in enumerate(m.row_names)
+        for j, eq in enumerate(m.series)
+    ]
+    return spark.createDataFrame(
+        rows, "z_name string, equation string, coef double"
+    ).orderBy("equation", "z_name")
+
+
+def _det_sql(m: list[list[str]]) -> str:
+    """Cofactor-expansion determinant of a matrix of SQL scalar
+    expressions — lets the DuckDB oracle solve small dense linear
+    systems (ridge normal equations) in closed form."""
+    if len(m) == 1:
+        return m[0][0]
+    terms = []
+    for j, head in enumerate(m[0]):
+        minor = [row[:j] + row[j + 1 :] for row in m[1:]]
+        sgn = "" if j % 2 == 0 else "-"
+        terms.append(f"{sgn}({head})*({_det_sql(minor)})")
+    return " + ".join(terms)
+
+
+def _register_ridge_oracle() -> None:
+    lam = 0.05
+    xs = ["rl1", "ql1", "rl2", "ql2"]
+    zn = ["revenue.l1", "quantity.l1", "revenue.l2", "quantity.l2"]
+
+    def ckey(a: str, b: str) -> str:
+        ia, ib = xs.index(a), xs.index(b)
+        return f"c_{xs[min(ia, ib)]}_{xs[max(ia, ib)]}"
+
+    sums = ", ".join(f"SUM({a}) AS s_{a}" for a in xs)
+    cross = ", ".join(
+        f"SUM({a}*{b}) AS c_{a}_{b}" for i, a in enumerate(xs) for b in xs[i:]
+    )
+    xy = ", ".join(
+        f"SUM({a}*y_{e}) AS cy_{a}_{e}" for a in xs for e in ("r", "q")
+    )
+    std_cols = (
+        ", ".join(f"s_{a}/n AS mx_{a}" for a in xs)
+        + ", "
+        + ", ".join(
+            f"sqrt(c_{a}_{a}/n - (s_{a}/n)*(s_{a}/n)) AS sc_{a}" for a in xs
+        )
+        + ", s_y_r/n AS my_r, s_y_q/n AS my_q"
+    )
+    solved_cols = (
+        ", ".join(
+            f"({ckey(a, b)}/n - mx_{a}*mx_{b})/(sc_{a}*sc_{b})"
+            + (f" + {lam}" if i == j else "")
+            + f" AS m_{i}_{j}"
+            for i, a in enumerate(xs)
+            for j, b in enumerate(xs)
+            if i <= j
+        )
+        + ", "
+        + ", ".join(
+            f"(cy_{a}_{e}/n - mx_{a}*my_{e})/sc_{a} AS r_{a}_{e}"
+            for a in xs
+            for e in ("r", "q")
+        )
+    )
+
+    def mref(i: int, j: int) -> str:
+        return f"m_{min(i, j)}_{max(i, j)}"
+
+    M = [[mref(i, j) for j in range(4)] for i in range(4)]
+    det_m = _det_sql(M)
+    rows_sql = []
+    for e, eq in (("r", "revenue"), ("q", "quantity")):
+        rhs = [f"r_{a}_{e}" for a in xs]
+        bex = []
+        for j in range(4):
+            Mj = [
+                [(rhs[i] if jj == j else M[i][jj]) for jj in range(4)]
+                for i in range(4)
+            ]
+            bex.append(f"(({_det_sql(Mj)})/({det_m}))/sc_{xs[j]}")
+        a0 = (
+            f"my_{e} - ("
+            + " + ".join(f"({bex[j]})*mx_{xs[j]}" for j in range(4))
+            + ")"
+        )
+        rows_sql.append(
+            f"SELECT 'intercept' AS z_name, '{eq}' AS equation,"
+            f" ROUND({a0},6) AS coef FROM solved"
+        )
+        for j in range(4):
+            rows_sql.append(
+                f"SELECT '{zn[j]}', '{eq}', ROUND({bex[j]},6) FROM solved"
+            )
+
+    ORACLE["ml_ridge_var_coefs"] = f"""
+        WITH q AS ({_QPAIR_SQL}),
+        lagged AS (
+          SELECT revenue AS y_r, quantity AS y_q,
+                 LAG(revenue,1) OVER w AS rl1, LAG(quantity,1) OVER w AS ql1,
+                 LAG(revenue,2) OVER w AS rl2, LAG(quantity,2) OVER w AS ql2
+          FROM q WINDOW w AS (ORDER BY obs_date)
+          QUALIFY rl2 IS NOT NULL AND ql2 IS NOT NULL),
+        mom AS (SELECT COUNT(*) AS n, {sums}, SUM(y_r) AS s_y_r,
+                       SUM(y_q) AS s_y_q, {cross}, {xy} FROM lagged),
+        std AS (SELECT *, {std_cols} FROM mom),
+        solved AS (SELECT *, {solved_cols} FROM std)
+        {" UNION ALL ".join(rows_sql)}
+        ORDER BY equation, z_name
+    """
+
+
 _QPAIR_SQL = """
       SELECT o.obs_date, o.revenue, l.quantity
       FROM (SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS obs_date,
@@ -1351,6 +1479,8 @@ _QPAIR_SQL = """
                    SUM(l_quantity)/1e5 AS quantity
             FROM lineitem GROUP BY 1) l USING (obs_date)
 """
+
+_register_ridge_oracle()
 
 
 @query(
