@@ -84,6 +84,26 @@ def test_ar1_coefs_stays_jvm_side(spark):
     assert all(len(c) <= 3 for c in cols), cols
 
 
+def test_curation_pipeline_stays_jvm_side(spark):
+    # the composed curation pipeline is pure built-in expressions:
+    # no Python boundary anywhere, and the documents scan pruned to
+    # (doc_id, text) out of 5 columns
+    df = Q.pipeline_corpus_curation(spark, SF_ORACLE)
+    text = explain_str(df)
+    assert "Python" not in text and "ArrowEval" not in text
+    assert "CartesianProduct" not in text  # near-dup join is bucketed
+    assert_scan_pruned(df, table_cols=5, max_read_cols=2)
+
+
+def test_adf_batch_partitions_by_series(spark):
+    # M18's grouped pass: one Arrow batch per series, never a global
+    # collect — the plan groups on series_id
+    df = Q.stat_adf_batch(spark, SF_ORACLE)
+    text = explain_str(df)
+    assert "series_id" in text
+    assert "FlatMapGroupsInPandas" in text or "applyInPandas" in text.lower()
+
+
 def test_session_window_partitions_by_user(spark):
     # gaps-and-islands sessionization: both windows partition by
     # user_id — never a global single-partition sort

@@ -200,6 +200,49 @@ def _attach_truth(fc: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
+def _rw_cells(
+    origin_rows: list[int], pred_ind: list[int], h: int, rw_mode: str
+) -> list[tuple[int, int]]:
+    """(horizon, target_idx) cells of the reference's h*.ind RW
+    windows (quirks Q2/Q3/Q4); target_idx −1 encodes the scalar-0
+    seed column."""
+    n_orig = len(origin_rows)
+    sel = {1: (h - 1, n_orig - 1), 2: (h - 2, n_orig - 2),
+           4: (h - 4, n_orig - 4), 8: (0, n_orig - h)}
+    cells = []
+    for hh in pred_ind:
+        a, b = sel.get(hh, (h - hh, n_orig - hh))
+        for j in range(a, b + 1):
+            jj = j - 1 if rw_mode == "faithful" else j  # Q3 seed shift
+            if jj < 0:
+                cells.append((int(hh), -1))  # the scalar-0 seed column
+                continue
+            cells.append((int(hh), int(origin_rows[jj] + hh)))
+    return cells
+
+
+def _rw_denominators_local(
+    y0: np.ndarray,
+    origin_rows: list[int],
+    pred_ind: list[int],
+    h: int,
+    rw_mode: str,
+) -> dict[int, float]:
+    """Broadcast-mode twin of ``_rw_denominators``: the target series
+    is already on the driver, so the denominators are a numpy fold —
+    no Spark jobs (the relational path re-evaluates the upstream
+    wide-frame aggregation once per broadcast side). Cell semantics
+    identical: out-of-range truths coalesce to the reference's
+    literal 0 padding."""
+    n = len(y0)
+    out: dict[int, float] = {}
+    for hh, t in _rw_cells(origin_rows, pred_ind, h, rw_mode):
+        y_tr = float(y0[t]) if 0 <= t < n else 0.0
+        y_lag = float(y0[t - 1]) if 0 <= t - 1 < n else 0.0
+        out[hh] = out.get(hh, 0.0) + (y_tr - y_lag) ** 2
+    return out
+
+
 def _rw_denominators(
     spark: SparkSession,
     truth: DataFrame,
@@ -214,18 +257,7 @@ def _rw_denominators(
     cells are a tiny driver-built list (4·n_origins rows), joined
     twice against the broadcast truth; out-of-sample cells coalesce
     to the reference's literal 0 padding."""
-    n_orig = len(origin_rows)
-    sel = {1: (h - 1, n_orig - 1), 2: (h - 2, n_orig - 2),
-           4: (h - 4, n_orig - 4), 8: (0, n_orig - h)}
-    cells = []
-    for hh in pred_ind:
-        a, b = sel.get(hh, (h - hh, n_orig - hh))
-        for j in range(a, b + 1):
-            jj = j - 1 if rw_mode == "faithful" else j  # Q3 seed shift
-            if jj < 0:
-                cells.append((int(hh), -1))  # the scalar-0 seed column
-                continue
-            cells.append((int(hh), int(origin_rows[jj] + hh)))
+    cells = _rw_cells(origin_rows, pred_ind, h, rw_mode)
     cdf = spark.createDataFrame(cells, "horizon int, target_idx int")
     tr = truth.select("target_idx", F.col("y_true").alias("y_tr"))
     yt = truth.select(
@@ -317,7 +349,17 @@ def modeltrain(
         spark, wide_df, ser, dates, origin_rows, h, date_col, fit_predict,
         y=y,
     )
-    truth = _truth_table(wide_df, ser[0], date_col)
+    if y is not None:
+        # broadcast mode: the frontier is already on the driver —
+        # build the (tiny) truth table from it instead of
+        # re-evaluating the upstream wide-frame plan per consumer
+        dtype = "timestamp" if hasattr(dates[0], "hour") else "date"
+        truth = spark.createDataFrame(
+            [(int(i), dates[i], float(y[i, 0])) for i in range(n)],
+            schema=f"target_idx int, target_date {dtype}, y_true double",
+        )
+    else:
+        truth = _truth_table(wide_df, ser[0], date_col)
     fc = _attach_truth(fc, truth)
     fc.cache()
 
@@ -340,9 +382,14 @@ def modeltrain(
     theils_rw: dict[int, float] = {}
     pred_ind = _pred_ind(h)
     model_sse = {int(r["horizon"]): float(r["sse"]) for r in agg}
-    denoms = _rw_denominators(
-        spark, truth, origin_rows, pred_ind, h, rw_mode
-    )
+    if y is not None:
+        denoms = _rw_denominators_local(
+            y[:, 0], origin_rows, pred_ind, h, rw_mode
+        )
+    else:
+        denoms = _rw_denominators(
+            spark, truth, origin_rows, pred_ind, h, rw_mode
+        )
     for hh in pred_ind:
         denom = denoms.get(hh, 0.0)
         theils_rw[hh] = (

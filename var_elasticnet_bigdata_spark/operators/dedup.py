@@ -99,14 +99,21 @@ def with_shingle_hashes(df: DataFrame, n: int = 3, out_col: str = "__sh") -> Dat
     CPU — measured 2× on the sf0.1 bench."""
     words = F.split(normalized_text(), " ")
     df = df.withColumn("__words", words)
-    shing = (
-        f"array_distinct(transform(sequence(1, greatest(size(__words)-{n}+1, 1)),"
-        f" i -> concat_ws(' ', slice(__words, i, {n}))))"
-    )
     return df.withColumn(
-        out_col,
-        F.expr(f"transform({shing}, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"),
+        out_col, F.expr(shingle_hashes_from_words("__words", n))
     ).drop("__words")
+
+
+def shingle_hashes_from_words(words_sql: str, n: int = 3) -> str:
+    """Shingle-hash array expression over a pre-split word-array
+    expression (pass a staged column name to keep trees small)."""
+    shing = (
+        f"array_distinct(transform(sequence(1, greatest(size({words_sql})-{n}+1, 1)),"
+        f" i -> concat_ws(' ', slice({words_sql}, i, {n}))))"
+    )
+    return (
+        f"transform({shing}, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"
+    )
 
 
 NORM_SQL_SPARK = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"

@@ -31,19 +31,21 @@ def token_count(text_sql: str = NORM_SQL_SPARK) -> Column:
     return F.expr(f"size(split({text_sql}, ' '))")
 
 
-def _marker_hits(text_sql: str, words: list[str]) -> str:
+def _marker_hits(distinct_words_sql: str, words: list[str]) -> str:
     arr = ", ".join(f"'{w}'" for w in words)
-    return (
-        f"size(array_intersect(array_distinct(split({text_sql}, ' ')), array({arr})))"
-    )
+    return f"size(array_intersect({distinct_words_sql}, array({arr})))"
 
 
-def lang_id_expr() -> Column:
-    """Argmax of per-language marker-word hits; CJK characters force
-    'zh'; ties and zero hits fall back to 'en'. Deterministic —
-    priority order en>de>fr>es on equal scores."""
+def lang_id_from(distinct_words_sql: str) -> Column:
+    """Argmax of per-language marker-word hits over a DISTINCT word
+    set expression; CJK characters force 'zh'; ties and zero hits
+    fall back to 'en'. Deterministic — priority order en>de>fr>es on
+    equal scores. Pass a staged column name (e.g. ``__uw``) to keep
+    the expression tree small — the inline default re-derives the
+    normalization per marker comparison, which multiplies codegen
+    compile time on composed pipelines."""
     scores = {
-        lang: _marker_hits(NORM_SQL_SPARK, words)
+        lang: _marker_hits(distinct_words_sql, words)
         for lang, words in LANG_MARKERS.items()
         if words
     }
@@ -59,6 +61,24 @@ def lang_id_expr() -> Column:
         )
         + "ELSE 'en' END"
     )
+
+
+def lang_id_expr() -> Column:
+    """Self-contained language-ID over the raw ``text`` column."""
+    return lang_id_from(f"array_distinct(split({NORM_SQL_SPARK}, ' '))")
+
+
+def quality_sql_spark(norm_sql: str, words_sql: str) -> str:
+    """Composite quality formula over a normalized-text expression
+    and its word-split expression (pass staged column names to avoid
+    re-deriving the normalization per term)."""
+    return f"""
+  round(
+    0.3 * least(size({words_sql}) / 200.0, 1.0)
+  + 0.3 * (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) / greatest(length(text), 1) * 5.0, 1.0))
+  + 0.4 * least(length({norm_sql}) / greatest(size({words_sql}), 1) / 8.0, 1.0)
+  , 6)
+"""
 
 
 def duck_lang_id_sql() -> str:
@@ -81,13 +101,9 @@ def duck_lang_id_sql() -> str:
     )
 
 
-QUALITY_SQL_SPARK = f"""
-  round(
-    0.3 * least(size(split({NORM_SQL_SPARK}, ' ')) / 200.0, 1.0)
-  + 0.3 * (1.0 - least((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) / greatest(length(text), 1) * 5.0, 1.0))
-  + 0.4 * least(length({NORM_SQL_SPARK}) / greatest(size(split({NORM_SQL_SPARK}, ' ')), 1) / 8.0, 1.0)
-  , 6)
-"""
+QUALITY_SQL_SPARK = quality_sql_spark(
+    NORM_SQL_SPARK, f"split({NORM_SQL_SPARK}, ' ')"
+)
 
 QUALITY_SQL_DUCK = f"""
   round(

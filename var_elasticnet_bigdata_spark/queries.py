@@ -1051,39 +1051,11 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the higher id of every Jaccard≥0.35 candidate pair) → per-
     (lang, quality-decile) corpus stats. The DuckDB oracle replays
     the identical pipeline stage for stage."""
-    from .operators.dedup import (
-        content_key,
-        jaccard_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
-    from .operators.text import lang_id_expr, quality_score, token_count
+    from .operators.curation import corpus_stats, curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "text",
-        token_count().alias("n_tokens"),
-        lang_id_expr().alias("lang_guess"),
-        quality_score().alias("quality"),
-    )
-    filt = scored.filter((F.col("quality") >= 0.6) & (F.col("n_tokens") >= 20))
-    keyed = filt.withColumn("ck", content_key())
-    winners = keyed.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
-    surv = keyed.join(winners, ["ck", "doc_id"])
-    sigs = minhash_signatures(surv, num_hashes=16)
-    cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
-    near = jaccard_pairs(surv, threshold=0.35, candidates=cand)
-    drops = near.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = surv.join(drops, "doc_id", "left_anti")
-    return kept.groupBy(
-        "lang_guess",
-        F.floor(F.col("quality") * 10).cast("int").alias("q_bucket"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        r6(F.avg("quality")).alias("avg_quality"),
-        r6(F.avg("n_tokens")).alias("avg_tokens"),
-    )
+    kept = curate_corpus(docs, min_quality=0.6, min_tokens=20)
+    return corpus_stats(kept)
 
 
 def _register_curation_oracle() -> None:
@@ -1528,7 +1500,10 @@ def ml_modeltrain_msfe(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication oracles)."""
     from .harness.modeltrain import modeltrain
 
-    wide = _quarterly_pair(spark, sf_dir)
+    # the post-aggregation quarterly frame is tiny at any sf — persist
+    # it so the date-axis collect, the matrix broadcast, and the truth
+    # table don't each re-run the orders/lineitem aggregation
+    wide = _quarterly_pair(spark, sf_dir).persist()
     dates = [r["obs_date"] for r in wide.select("obs_date").orderBy("obs_date").collect()]
     start = dates[len(dates) // 2 + 4]
     res = modeltrain(
