@@ -239,3 +239,33 @@ def test_residuals_from_last_refit(spark):
     rp = res.residuals.toPandas()
     # last refit trains through the last origin (n−2) → T−1−p rows
     assert len(rp) == (40 - 1) - 1
+
+
+def test_ar1_relational_matches_generic_fanout(spark):
+    # the relational cumulative-moment AR(1) experiment must equal
+    # the generic modeltrain fan-out metric for metric
+    from var_elasticnet_bigdata_spark.harness.modeltrain import (
+        ar1_rolling_relational,
+    )
+
+    rng = np.random.default_rng(11)
+    y = np.abs(rng.normal(size=(48, 1))).cumsum(axis=0)
+    wide, dates = make_wide(spark, y, ["a"])
+    start = dates[30]
+    for h in (4, 8):
+        res = modeltrain(
+            spark, wide, ["a"], start_pred=start, h=h, method="ar1",
+            const=False, with_ar1=False,
+        )
+        rel = {
+            int(r["horizon"]): (float(r["msfe"]), float(r["theils_u_rw"]))
+            for r in ar1_rolling_relational(
+                spark, wide, "a", start_pred=start, h=h
+            ).collect()
+        }
+        assert set(rel) == set(res.msfe)
+        for hh in res.msfe:
+            assert rel[hh][0] == pytest.approx(round(res.msfe[hh], 6), abs=1e-6)
+            assert rel[hh][1] == pytest.approx(
+                round(res.theils_u_rw[hh], 6), abs=1e-6
+            )

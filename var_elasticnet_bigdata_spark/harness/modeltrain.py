@@ -432,6 +432,116 @@ def modeltrain(
     )
 
 
+def ar1_rolling_relational(
+    spark: SparkSession,
+    wide_df: DataFrame,
+    target: str,
+    start_pred,
+    h: int = 8,
+    date_col: str = "obs_date",
+    rw_mode: str = "fixed",
+) -> DataFrame:
+    """The rolling-origin AR(1) experiment (M9/M23 benchmark arm of
+    E1) as ONE relational DAG — no Python boundary, no broadcast
+    matrix, no per-origin tasks.
+
+    The CSS AR(1) estimate is a ratio of PREFIX moments
+    (φ_o = Σ_{t≤o} y_{t−1}y_t / Σ_{t≤o} y_{t−1}²), so every origin's
+    fit is a cumulative window over the series — the idiomatic Spark
+    expression of a closed-form per-origin estimator, and the 100 TB
+    path for closed-form benchmarks (the generic ``modeltrain``
+    fan-out is for estimators that need an iterative solver).
+    Recursive prediction is ``φ^h·y_o`` (const=False), alignment and
+    both metrics are the same joins/aggregations as ``modeltrain``;
+    results are identical (asserted in tests/test_modeltrain.py).
+
+    Returns a lazy ``(horizon, msfe, theils_u_rw)`` DataFrame.
+
+    Scale note: the cumulative windows order globally over ONE
+    series' time axis — bounded by the post-aggregation quarter/day
+    count (thousands of rows at 100 TB of raw input), the same
+    frontier the reference materializes wholesale. For many-series
+    batch runs, partition the same windows by series_id (the
+    operators in ``operators/timeseries.py`` show the pattern).
+    """
+    from pyspark.sql import Window
+
+    pred_ind = _pred_ind(h)
+    dates = _dates(wide_df, date_col)
+    n = len(dates)
+    try:
+        start_idx = dates.index(start_pred)
+    except ValueError as e:
+        raise ValueError(f"start_pred {start_pred!r} not in date index") from e
+    ws = start_idx - h
+    if ws < 1:
+        raise ValueError("not enough pre-sample for the first origin")
+    origin_rows = list(range(ws, n - 1))
+
+    wo = Window.orderBy(date_col)
+    wc = Window.orderBy(date_col).rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        wide_df.select(date_col, F.col(f"`{target}`").cast("double").alias("y"))
+        .withColumn("rn", F.row_number().over(wo) - F.lit(1))
+        .withColumn("ylag", F.lag("y").over(wo))
+        .withColumn("num", F.sum(F.col("ylag") * F.col("y")).over(wc))
+        .withColumn("den", F.sum(F.col("ylag") * F.col("ylag")).over(wc))
+    )
+    phi = F.when(F.col("den") > 0, F.col("num") / F.col("den")).otherwise(F.lit(0.0))
+    origins = d.filter((F.col("rn") >= ws) & (F.col("rn") <= n - 2)).select(
+        F.col("rn").alias("origin_idx"), F.col("y").alias("y_o"), phi.alias("phi")
+    )
+    hz = spark.createDataFrame([(int(p),) for p in pred_ind], "horizon int")
+    fc = origins.join(F.broadcast(hz)).select(
+        "origin_idx",
+        "horizon",
+        (F.pow("phi", F.col("horizon")) * F.col("y_o")).alias("yhat"),
+        (F.col("origin_idx") + F.col("horizon")).alias("target_idx"),
+    )
+    truth = d.select(F.col("rn").alias("target_idx"), F.col("y").alias("y_true"))
+    joined = fc.join(F.broadcast(truth), "target_idx", "left").withColumn(
+        "err", F.col("yhat") - F.col("y_true")
+    )
+    aligned = joined.filter(
+        (F.col("target_idx") >= start_idx) & (F.col("target_idx") <= n - 1)
+    )
+    msfe = aligned.groupBy("horizon").agg(
+        F.sum(F.col("err") * F.col("err")).alias("sse"),
+        F.count("err").alias("cnt"),
+    )
+    # RW denominators over the reference's h*.ind windows: the cell
+    # list is O(h·n_origins) driver-built ints, values stay relational
+    cells = _rw_cells(origin_rows, pred_ind, h, rw_mode)
+    cdf = spark.createDataFrame(cells, "horizon int, target_idx int")
+    tr = truth.select("target_idx", F.col("y_true").alias("y_tr"))
+    yt = truth.select(
+        (F.col("target_idx") + 1).alias("target_idx"),
+        F.col("y_true").alias("y_lag"),
+    )
+    denom = (
+        cdf.join(F.broadcast(tr), "target_idx", "left")
+        .join(F.broadcast(yt), "target_idx", "left")
+        .withColumn(
+            "term",
+            (F.coalesce("y_tr", F.lit(0.0)) - F.coalesce("y_lag", F.lit(0.0)))
+            ** 2,
+        )
+        .groupBy("horizon")
+        .agg(F.sum("term").alias("denom"))
+    )
+    return (
+        msfe.join(denom, "horizon")
+        .select(
+            "horizon",
+            F.round(F.col("sse") / F.col("cnt"), 6).alias("msfe"),
+            F.round(F.sqrt(F.col("sse") / F.col("denom")), 6).alias(
+                "theils_u_rw"
+            ),
+        )
+        .orderBy("horizon")
+    )
+
+
 def ar1_train(
     spark: SparkSession,
     wide_df: DataFrame,

