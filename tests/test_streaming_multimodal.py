@@ -157,3 +157,54 @@ def test_multimodal_frame_sampling(spark):
 def test_real_decoder_seam_raises():
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image(b"\x89PNG")
+
+
+def test_stream_exact_dedup_matches_batch(spark):
+    from var_elasticnet_bigdata_spark.operators.dedup import exact_dedup
+    from var_elasticnet_bigdata_spark.streaming.dedup import (
+        stream_documents,
+        stream_exact_dedup,
+    )
+
+    docs = stream_documents(spark, SF_SMALL)
+    kept = stream_exact_dedup(docs)
+    q = kept.writeStream.format("memory").queryName("sdedup").outputMode(
+        "append"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.sql("SELECT content_key FROM sdedup").toPandas()
+    batch = exact_dedup(load_table(spark, SF_SMALL, "documents")).toPandas()
+    # one survivor per content key, same key set as the batch dedup
+    assert sorted(got["content_key"]) == sorted(batch["content_key"])
+    assert got["content_key"].is_unique
+
+
+def test_stream_scoring_matches_batch_expressions(spark):
+    from var_elasticnet_bigdata_spark.streaming.dedup import (
+        stream_documents,
+        stream_scored,
+    )
+
+    docs = stream_documents(spark, SF_SMALL)
+    scored = stream_scored(docs)
+    q = scored.writeStream.format("memory").queryName("sscore").outputMode(
+        "append"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT doc_id, n_tokens, lang_guess, quality, fingerprint FROM sscore")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from var_elasticnet_bigdata_spark import queries as Q
+
+    toks = Q.QUERIES["text_token_count"](spark, SF_SMALL).toPandas()
+    qual = Q.QUERIES["text_quality_score"](spark, SF_SMALL).toPandas()
+    fp = Q.QUERIES["text_fingerprint"](spark, SF_SMALL).toPandas()
+    merged = toks.merge(qual, on="doc_id").merge(fp, on="doc_id").sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert (got["n_tokens"].to_numpy() == merged["n_tokens"].to_numpy()).all()
+    assert np.allclose(got["quality"].to_numpy(), merged["quality"].to_numpy())
+    assert (got["fingerprint"].to_numpy() == merged["fingerprint"].to_numpy()).all()

@@ -1,0 +1,80 @@
+"""Streaming corpus curation: the dedup/scoring stages of the
+training-data pipeline over a document STREAM.
+
+The batch curation operators (operators/dedup.py, operators/text.py)
+are pure narrow expressions, so they compose onto ``readStream``
+unchanged — the scoring/signature stages below are literally the
+batch expressions. The one genuinely stateful piece is exact dedup
+across micro-batches: ``dropDuplicatesWithinWatermark`` keys the
+state store by the content key and EVICTS state older than the
+watermark, so a continuous ingest run holds state proportional to
+the dedup horizon, not the corpus (the unbounded ``dropDuplicates``
+variant is the classic streaming OOM).
+
+Stream ≡ batch is asserted under availableNow in
+tests/test_streaming_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import content_key
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents table (staging symlink dir
+    — in production the ingest directory IS the source). An ingest
+    timestamp is synthesized deterministically from ``doc_id`` so the
+    watermark semantics are testable; a real feed carries its own."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/spark_graft_stream_{tag}/documents"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/documents.parquet"
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return raw.withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")),
+    )
+
+
+def stream_exact_dedup(docs: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Exact dedup over a document stream: min-state survivor per
+    content key within the watermark horizon. State is evicted past
+    the horizon — bounded by the duplicate-arrival window, not the
+    corpus size."""
+    keyed = docs.withColumn("content_key", content_key())
+    return keyed.withWatermark("ingest_ts", horizon).dropDuplicatesWithinWatermark(
+        ["content_key"]
+    )
+
+
+def stream_scored(docs: DataFrame) -> DataFrame:
+    """The batch curation scoring stage applied to a stream verbatim
+    (narrow expressions — no state, no shuffle)."""
+    from ..operators.dedup import normalized_text, shingle_hashes_from_words
+    from ..operators.text import lang_id_from, quality_sql_spark
+
+    staged = (
+        docs.withColumn("__norm", normalized_text())
+        .withColumn("__words", F.split(F.col("__norm"), " "))
+        .withColumn("__uw", F.array_distinct("__words"))
+    )
+    return staged.select(
+        "doc_id",
+        "ingest_ts",
+        F.size("__words").alias("n_tokens"),
+        lang_id_from("__uw").alias("lang_guess"),
+        F.expr(quality_sql_spark("__norm", "__words")).alias("quality"),
+        F.expr("array_min(" + shingle_hashes_from_words("__words", 5) + ")").alias(
+            "fingerprint"
+        ),
+    )
