@@ -1729,6 +1729,59 @@ def ml_acf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, rank int, series string")
 
 
+@query(
+    "ml_acf_m15_topn",
+    _DAILY_EVENTS_CTE
+    + """,
+ tname AS (SELECT MIN(series_id) AS target FROM m),
+ stats AS (SELECT series_id, AVG(value) AS mm,
+                  SUM(value*value)/COUNT(*) - AVG(value)*AVG(value) AS vv,
+                  COUNT(*) AS tt
+           FROM m GROUP BY 1),
+ tstat AS (SELECT mm AS mx, vv AS vx FROM stats, tname
+           WHERE series_id = target),
+ lagged AS (SELECT series_id, obs_date, k.lag,
+                   LAG(value, k.lag) OVER
+                     (PARTITION BY series_id, k.lag ORDER BY obs_date) AS y
+            FROM m CROSS JOIN (SELECT unnest([1,2,3,4]) AS lag) k),
+ tx AS (SELECT obs_date, value AS x FROM m, tname WHERE series_id = target),
+ xacf AS (SELECT l.series_id, l.lag,
+                 SUM((t.x - ts.mx) * (l.y - s.mm))
+                   / (s.tt * sqrt(s.vv * ts.vx)) AS acf
+          FROM lagged l JOIN tx t USING (obs_date)
+          JOIN stats s ON s.series_id = l.series_id
+          CROSS JOIN tstat ts
+          GROUP BY l.series_id, l.lag, s.tt, s.vv, ts.vx),
+ scores AS (SELECT series_id, AVG(acf*acf) AS score FROM xacf GROUP BY 1),
+ ranked AS (SELECT series_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, series_id) AS rn
+            FROM scores),
+ sel AS (SELECT * FROM ranked WHERE rn <= 3),
+ tail AS (SELECT series_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY rn) AS INT) AS rank
+          FROM sel, tname WHERE series_id <> target)
+    SELECT 0 AS rank, target AS series FROM tname
+    UNION ALL
+    SELECT rank, series_id AS series FROM tail
+    ORDER BY rank
+    """,
+)
+def ml_acf_m15_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 acf.var.selection (quirk-Q10-fixed path), hash-checked end
+    to end: mean-square cross-ACF score (R normalization — full-series
+    population moments, denominator T) → deterministic (−score, name)
+    ranking → top-N with target prepended. The DuckDB twin replays
+    the whole selection; the greedy M16/M17 variants stay rows-only
+    in ``ml_acf_selection`` (driver loops on the score matrix)."""
+    from .ml.selection import acf_var_selection
+
+    m = _daily_events(spark, sf_dir)
+    target = m.select(F.min("series_id")).collect()[0][0]
+    sel = acf_var_selection(m, target, lag=4, maxnrvar=3)
+    rows = [(i, s) for i, s in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, series string").orderBy("rank")
+
+
 @query("ml_tune_best", None)
 def ml_tune_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 enetVARtune: rolling-origin (timeSlice) grid search over
