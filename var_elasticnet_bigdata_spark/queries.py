@@ -1782,6 +1782,103 @@ def ml_acf_m15_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank int, series string").orderBy("rank")
 
 
+@query("ml_tune_ridge", None)  # oracle generated below
+def ml_tune_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 enetVARtune at α=0 — the caret timeSlice grid search
+    hash-checked END TO END: the ridge closed form makes every
+    (origin, λ) fold fit exact, and each origin's Gram is a PREFIX
+    of cumulative cross-moments, so the DuckDB twin replays the
+    entire grid search (expanding-window moments → per-origin
+    standardization → 2×2 ridge solve → horizon forecasts → mean
+    RMSE per λ → caret first-min tie-break) in SQL. The α>0 grid is
+    ``ml_tune_best`` (rows-only; sequential-replication pytest)."""
+    import numpy as np
+
+    from .ml.tuning import rolling_origin_tune
+
+    wide = _quarterly_pair(spark, sf_dir)
+    n = wide.count()
+    best = rolling_origin_tune(
+        spark, wide, ["revenue", "quantity"], lag=1,
+        init_window=max(n - 16, 8), horizon=2,
+        alpha_grid=np.array([0.0]),
+        lambda_grid=_TUNE_LAMBDA_GRID,
+        intercept=False,
+    )
+    rows = [
+        (str(eq), round(float(lam), 6), round(float(rm), 6))
+        for eq, lam, rm in best[["equation", "lambda", "rmse"]].to_numpy()
+    ]
+    return spark.createDataFrame(
+        rows, "equation string, lambda double, rmse double"
+    ).orderBy("equation")
+
+
+_TUNE_LAMBDA_GRID = tuple(10 ** __import__("numpy").linspace(0, -3, 10))
+
+
+def _register_tune_ridge_oracle() -> None:
+    lam_rows = ", ".join(f"({i}, {float(l)!r})" for i, l in enumerate(_TUNE_LAMBDA_GRID))
+    eq_cases = []
+    for e, eq in (("r", "revenue"), ("q", "quantity")):
+        eq_cases.append(f"""
+ sse_{e} AS (
+   SELECT g.gi, g.lam,
+          SUM(POW(t.x1 * (((1+g.lam)*(o.c1{e}/o.rn/o.s1) - o.rho*(o.c2{e}/o.rn/o.s2))
+                          / ((1+g.lam)*(1+g.lam) - o.rho*o.rho)) / o.s1
+                + t.x2 * (((1+g.lam)*(o.c2{e}/o.rn/o.s2) - o.rho*(o.c1{e}/o.rn/o.s1))
+                          / ((1+g.lam)*(1+g.lam) - o.rho*o.rho)) / o.s2
+                - t.y_{e}, 2)) AS sse,
+          COUNT(*) AS cnt
+   FROM origins o
+   CROSS JOIN par
+   CROSS JOIN grid g
+   JOIN emb t ON t.rn > o.rn AND t.rn <= o.rn + par.horizon
+   GROUP BY g.gi, g.lam),
+ best_{e} AS (
+   SELECT '{eq}' AS equation, ROUND(lam, 6) AS lambda,
+          ROUND(SQRT(sse / cnt), 6) AS rmse,
+          ROW_NUMBER() OVER (ORDER BY SQRT(sse / cnt) ASC, lam ASC) AS pick
+   FROM sse_{e})""")
+    ORACLE["ml_tune_ridge"] = f"""
+        WITH q AS ({_QPAIR_SQL}),
+        base AS (SELECT obs_date,
+                        CAST(revenue AS DOUBLE) AS revenue,
+                        CAST(quantity AS DOUBLE) AS quantity,
+                        CAST(LAG(revenue) OVER (ORDER BY obs_date) AS DOUBLE) AS x1,
+                        CAST(LAG(quantity) OVER (ORDER BY obs_date) AS DOUBLE) AS x2
+                 FROM q),
+        emb AS (SELECT ROW_NUMBER() OVER (ORDER BY obs_date) AS rn, x1, x2,
+                       revenue AS y_r, quantity AS y_q
+                FROM base WHERE x1 IS NOT NULL),
+        par AS (SELECT GREATEST((SELECT COUNT(*) FROM q) - 16, 8) AS iw,
+                       2 AS horizon,
+                       (SELECT COUNT(*) FROM emb) AS n_emb),
+        cum AS (SELECT rn, x1, x2, y_r, y_q,
+                       SUM(x1*x1) OVER w AS c11, SUM(x1*x2) OVER w AS c12,
+                       SUM(x2*x2) OVER w AS c22,
+                       SUM(x1*y_r) OVER w AS c1r, SUM(x2*y_r) OVER w AS c2r,
+                       SUM(x1*y_q) OVER w AS c1q, SUM(x2*y_q) OVER w AS c2q
+                FROM emb
+                WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)),
+        origins AS (SELECT c.*,
+                           SQRT(c.c11/c.rn) AS s1, SQRT(c.c22/c.rn) AS s2,
+                           c.c12/SQRT(c.c11*c.c22) AS rho
+                    FROM cum c, par
+                    WHERE c.rn >= par.iw AND c.rn <= par.n_emb - par.horizon),
+        grid AS (SELECT gi, CAST(lam AS DOUBLE) AS lam
+                 FROM (VALUES {lam_rows}) g(gi, lam)),{",".join(eq_cases)}
+        SELECT equation, lambda, rmse FROM best_r WHERE pick = 1
+        UNION ALL
+        SELECT equation, lambda, rmse FROM best_q WHERE pick = 1
+        ORDER BY equation
+    """
+
+
+_register_tune_ridge_oracle()
+
+
 @query("ml_tune_best", None)
 def ml_tune_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 enetVARtune: rolling-origin (timeSlice) grid search over
