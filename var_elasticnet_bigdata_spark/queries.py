@@ -1385,8 +1385,7 @@ def _det_sql(m: list[list[str]]) -> str:
     return " + ".join(terms)
 
 
-def _register_ridge_oracle() -> None:
-    lam = 0.05
+def _ridge_oracle_sql(lam: float, dp: int) -> str:
     xs = ["rl1", "ql1", "rl2", "ql2"]
     zn = ["revenue.l1", "quantity.l1", "revenue.l2", "quantity.l2"]
 
@@ -1448,14 +1447,14 @@ def _register_ridge_oracle() -> None:
         )
         rows_sql.append(
             f"SELECT 'intercept' AS z_name, '{eq}' AS equation,"
-            f" ROUND({a0},6) AS coef FROM solved"
+            f" ROUND({a0},{dp}) AS coef FROM solved"
         )
         for j in range(4):
             rows_sql.append(
-                f"SELECT '{zn[j]}', '{eq}', ROUND({bex[j]},6) FROM solved"
+                f"SELECT '{zn[j]}', '{eq}', ROUND({bex[j]},{dp}) FROM solved"
             )
 
-    ORACLE["ml_ridge_var_coefs"] = f"""
+    return f"""
         WITH q AS ({_QPAIR_SQL}),
         lagged AS (
           SELECT revenue AS y_r, quantity AS y_q,
@@ -1482,7 +1481,8 @@ _QPAIR_SQL = """
             FROM lineitem GROUP BY 1) l USING (obs_date)
 """
 
-_register_ridge_oracle()
+ORACLE["ml_ridge_var_coefs"] = _ridge_oracle_sql(0.05, 6)
+ORACLE["ml_group_ridge_coefs"] = _ridge_oracle_sql(0.05, 4)
 
 
 @query(
@@ -1701,6 +1701,51 @@ def ml_group_enet_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, yc in enumerate(fit.y_cols)
     ]
     return spark.createDataFrame(rows, "z_name string, equation string, coef double")
+
+
+@query("ml_group_ridge_coefs", None)  # oracle registered near _QPAIR_SQL
+def ml_group_ridge_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7/M8 at α=0: the GROUP (mgaussian) block-CD solver through
+    the same distributed Gram pass, hash-checked against the ridge
+    closed form — at α=0 the group penalty separates per coefficient
+    and the response standardization cancels, so the mgaussian
+    solution equals per-equation ridge and the ml_ridge_var_coefs
+    Cramer oracle applies verbatim. Declared at 4 dp: block CD at
+    tol=1e-16 converges to ~1e-6 of the closed form on this
+    near-collinear design (group KKT / K=1-equivalence pytest covers
+    α>0)."""
+    import numpy as np
+
+    from .ml.gram import compute_moments
+    from .ml.group_enet import group_enet_path
+    from .operators.lag_embed import lag_col_name, var_z
+
+    wide = _quarterly_pair(spark, sf_dir)
+    series = ["revenue", "quantity"]
+    p, lam = 2, 0.05
+    vz = var_z(wide.select("obs_date", *series), series, p, date_col="obs_date")
+    z_cols = [lag_col_name(s, i) for i in range(1, p + 1) for s in series]
+    cond = None
+    for c in [*z_cols, *series]:
+        pred = F.col(f"`{c}`").isNotNull()
+        cond = pred if cond is None else (cond & pred)
+    m = compute_moments(vz.df.filter(cond), z_cols + series)
+    fit = group_enet_path(
+        m, z_cols, series, alpha=0.0,
+        lambdas=np.linspace(2 * lam, lam / 2, 10), intercept=True, tol=1e-16,
+    )
+    B, a0 = fit.coef_at(lam)
+    rows = [
+        ("intercept", eq, round(float(a0[j]), 4))
+        for j, eq in enumerate(series)
+    ] + [
+        (zn, eq, round(float(B[i, j]), 4))
+        for i, zn in enumerate(z_cols)
+        for j, eq in enumerate(series)
+    ]
+    return spark.createDataFrame(
+        rows, "z_name string, equation string, coef double"
+    ).orderBy("equation", "z_name")
 
 
 @query("ml_acf_selection", None)
