@@ -193,9 +193,14 @@ def adf_test(x: np.ndarray, k: int | None = None) -> dict[str, float]:
     resid = resp - X @ beta
     dof = T - X.shape[1]
     s2 = float(resid @ resid) / dof
-    xtx_inv = np.linalg.inv(X.T @ X)
-    se = math.sqrt(s2 * xtx_inv[2, 2])
-    stat = float(beta[2] / se)
+    try:
+        xtx_inv = np.linalg.inv(X.T @ X)
+    except np.linalg.LinAlgError:  # degenerate design (constant series)
+        xtx_inv = np.linalg.pinv(X.T @ X)
+    var_rho = s2 * xtx_inv[2, 2]
+    if not var_rho > 0:
+        return {"statistic": float("nan"), "p_value": float("nan"), "k": k}
+    stat = float(beta[2] / math.sqrt(var_rho))
     # two-way interpolation (n, then stat→p), constant extrapolation.
     # tseries::adf.test interpolates the table at n = length(diff(x))
     # (its `n <- length(y)` AFTER `y <- diff(x)`) — one less than the
