@@ -42,6 +42,7 @@ ALLOW_GLOBAL_WINDOW = {
     "j1_align_join",
     "w7_reconstruct_levels",  # per-series via partitionBy; checked below
     "stat_hosking",  # demeaned pair, ~40 rows
+    "ml_lasso_soft_threshold",  # one lag over the quarterly axis
     "w4_lag_embed",  # VAR.Z over ONE wide series frame — the
     # post-aggregation estimation frontier (§4.3); the ML fits that
     # embed the same frame reduce it to moments immediately

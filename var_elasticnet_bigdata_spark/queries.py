@@ -1703,6 +1703,66 @@ def ml_group_enet_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "z_name string, equation string, coef double")
 
 
+@query(
+    "ml_lasso_soft_threshold",
+    _QUARTERLY_PAIR_CTE
+    + """,
+ base AS (SELECT obs_date, CAST(revenue AS DOUBLE) AS y,
+                 CAST(LAG(quantity) OVER (ORDER BY obs_date) AS DOUBLE) AS x
+          FROM pair),
+ emb AS (SELECT x, y FROM base WHERE x IS NOT NULL),
+ mom AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                SUM(x*x) AS sxx, SUM(x*y) AS sxy
+         FROM emb),
+ std AS (SELECT n, sx/n AS mx, sy/n AS my,
+                sqrt(sxx/n - (sx/n)*(sx/n)) AS s,
+                (sxy/n - (sx/n)*(sy/n)) / sqrt(sxx/n - (sx/n)*(sx/n)) AS r
+         FROM mom),
+ grid AS (SELECT CAST(lam AS DOUBLE) AS lam
+          FROM (VALUES (0.0005), (0.005), (0.05), (0.5), (1.5)) g(lam)),
+ sol AS (SELECT g.lam,
+                (CASE WHEN std.r > g.lam THEN std.r - g.lam
+                      WHEN std.r < -g.lam THEN std.r + g.lam
+                      ELSE 0.0 END) / std.s AS coef,
+                std.mx, std.my
+         FROM grid g CROSS JOIN std)
+    SELECT ROUND(lam, 6) AS lam, ROUND(coef, 6) AS coef,
+           ROUND(my - coef * mx, 6) AS intercept
+    FROM sol ORDER BY lam
+    """,
+)
+def ml_lasso_soft_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 at α=1 on one predictor — the lasso soft-threshold rule in
+    the driver hash gate: on the standardized 1-feature problem the
+    path solution is S(r, λ)/scale exactly, so the DuckDB twin
+    replays standardization + thresholding + un-standardization in
+    closed form for λ on both sides of the threshold. (The multi-
+    feature α∈(0,1) path is pinned by KKT/orthonormal pytest
+    oracles; ridge and group closed forms have their own gate
+    queries.)"""
+    from .ml.elastic_net import enet_path
+    from .ml.gram import compute_moments
+
+    wide = _quarterly_pair(spark, sf_dir)
+    w = Window.orderBy("obs_date")  # quarterly time axis — bounded
+    frame = wide.select(
+        F.col("revenue").cast("double").alias("revenue"),
+        F.lag("quantity").over(w).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = compute_moments(frame, ["x", "revenue"])
+    rows = []
+    for lam in (0.0005, 0.005, 0.05, 0.5, 1.5):
+        fit = enet_path(
+            m, ["x"], "revenue", alpha=1.0,
+            lambdas=__import__("numpy").array([lam]), intercept=True,
+        )
+        b, a0 = fit.coef_at(lam)
+        rows.append((round(lam, 6), round(float(b[0]), 6), round(float(a0), 6)))
+    return spark.createDataFrame(
+        rows, "lam double, coef double, intercept double"
+    ).orderBy("lam")
+
+
 @query("ml_group_ridge_coefs", None)  # oracle registered near _QPAIR_SQL
 def ml_group_ridge_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7/M8 at α=0: the GROUP (mgaussian) block-CD solver through
