@@ -201,3 +201,21 @@ def test_text_features_sanity(spark, docs):
     assert tf.lang_guess.isin(["en", "de", "fr", "es", "zh"]).all()
     assert ((tf.quality >= 0) & (tf.quality <= 1)).all()
     assert tf.fingerprint.notna().all()
+
+
+def test_connected_components_transitive(spark):
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2-3 (diameter 3), triangle 4-5-6, singleton 7
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}

@@ -242,3 +242,59 @@ def simhash(
     return with_shingle_hashes(df, n).select(
         F.col(id_col), F.expr(assemble).alias("simhash")
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster connected components by min-label
+    propagation: every node starts labeled with its own id; each
+    round pushes the smaller label across every edge (both
+    directions) until a fixpoint. Returns ``(id_col, component)``
+    with component = the smallest node id in the cluster (the usual
+    survivor representative).
+
+    Scale shape: each round is one shuffle (edge join + min
+    aggregate); rounds needed = cluster diameter, and near-dup
+    clusters are shallow (pairs come from LSH verification — chains,
+    not paths across the corpus). Lineage is truncated per round
+    with persist/unpersist so the plan doesn't grow with iterations;
+    convergence is detected by counting label changes (one tiny
+    action per round).
+    """
+    labels = nodes.select(F.col(id_col).alias("id")).withColumn(
+        "comp", F.col("id")
+    ).persist()
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.select("id", "comp").union(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "old"), "id"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))

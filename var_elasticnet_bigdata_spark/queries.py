@@ -1032,6 +1032,81 @@ _register_jaccard_oracle()
 
 
 @query(
+    "dedup_components",
+    None,  # filled below (reuses the LSH pipeline fragments)
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: near-dup pairs from the
+    MinHash-LSH pipeline → connected components by iterative
+    min-label propagation (one shuffle per round, lineage truncated
+    per round — the standard Spark shape for transitive closure, no
+    graph library needed). Output (doc_id, component) where component
+    is the smallest doc id in the cluster; the DuckDB oracle walks
+    the same symmetric edge set with a recursive CTE."""
+    from .operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+    pairs = jaccard_pairs(docs, threshold=0.35, candidates=cand)
+    return connected_components(docs.select("doc_id"), pairs).orderBy("doc_id")
+
+
+def _register_components_oracle() -> None:
+    from .operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        duck_shingle_hashes,
+    )
+
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(16)
+    )
+    ORACLE["dedup_components"] = f"""
+        WITH RECURSIVE
+        s AS (SELECT doc_id, {duck_shingle_hashes(3)} AS sh FROM documents),
+        sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM s),
+        band AS (
+          SELECT doc_id, b,
+                 md5(array_to_string(list_slice(sig, b*2+1, b*2+2), ',')) AS bh
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id
+        ),
+        near AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN s sa ON sa.doc_id = c.id_a
+          JOIN s sb ON sb.doc_id = c.id_b
+          WHERE ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.35
+        ),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM near
+                UNION SELECT id_b, id_a FROM near),
+        reach(id, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.id
+        )
+        SELECT id AS doc_id, MIN(label) AS component
+        FROM reach GROUP BY id ORDER BY doc_id
+    """
+
+
+_register_components_oracle()
+
+
+@query(
     "dedup_simhash",
     None,
 )
