@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.asof import asof_join
 from .sources import load_table
 
 
@@ -233,6 +234,59 @@ def j_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("customers"),
             r2(F.sum("c_acctbal")).alias("total_acctbal"),
         )
+    )
+
+
+@query(
+    "j2_asof_join",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id, p.ts, c.ts AS ts_r, c.click_id,
+           ROUND(c.click_value, 6) AS click_value,
+           date_diff('microsecond', c.ts, p.ts) AS gap_us
+    FROM p ASOF JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-merge formulation, `operators/asof.py`):
+    every purchase picks up the most recent prior click of the same
+    user — one shuffle on user_id, one per-key sort, no range
+    explosion. Oracle: DuckDB's native ASOF JOIN. The right side is
+    tie-free on (user_id, ts) in this dataset (verified), so the
+    match is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    res = asof_join(purch, clicks, on="user_id", left_ts="ts", how="inner")
+    return res.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        "ts_r",
+        "click_id",
+        r6(F.col("click_value")).alias("click_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("gap_us"),
     )
 
 
