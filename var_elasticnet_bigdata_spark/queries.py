@@ -290,6 +290,84 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g8_salted_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(AVG(value), 6) AS avg_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def g8_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via `operators/skew.salted_agg`: only 5
+    distinct event_type keys over the whole table, so an un-salted
+    final reduce is 5 tasks no matter the cluster size. The salted
+    two-stage spreads each key over 8 reducers and recombines; the
+    oracle is the PLAIN group-by — salting must be invisible in the
+    result."""
+    from .operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    res = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salts=8,
+    )
+    return res.select(
+        "event_type",
+        "n_events",
+        r2(F.col("total_value")).alias("total_value"),
+        r6(F.col("avg_value")).alias("avg_value"),
+        r6(F.col("min_value")).alias("min_value"),
+        r6(F.col("max_value")).alias("max_value"),
+    )
+
+
+@query(
+    "j3_salted_skew_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value,
+           ROUND(AVG(c.c_acctbal), 2) AS avg_acctbal
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def j3_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-salt join (`operators/skew.salted_join`): events'
+    user_id histogram concentrates on 150 keys; the salted form joins
+    on (key, salt) with the customer side replicated 8x, splitting
+    every hot key across 8 shuffle partitions. Oracle is the plain
+    SQL join — the rewrite is semantics-preserving by construction."""
+    from .operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_acctbal"
+    )
+    joined = salted_join(ev, cust, on="user_id", salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r2(F.sum("value")).alias("total_value"),
+            r2(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # time-series windows W1-W10 over testdata series
 # --------------------------------------------------------------------------
