@@ -219,3 +219,24 @@ def test_connected_components_transitive(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_seed_centroids_deterministic_unit_norm(spark):
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivf_topk,
+        seed_centroids,
+    )
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    C1 = seed_centroids(emb, nlist=8)
+    C2 = seed_centroids(emb, nlist=8)
+    np.testing.assert_array_equal(C1, C2)  # bit-identical across runs
+    norms = np.linalg.norm(C1, axis=1)
+    np.testing.assert_allclose(norms[norms > 0], 1.0, rtol=1e-12)
+    # the fixed-centroid IVF path still returns one row per vector at k=1
+    out = ivf_topk(emb, k=1, nlist=8, nprobe=8, centroids=C1).toPandas()
+    assert (out["rank"] == 1).all()
+    assert out["vec_id"].is_unique

@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -293,6 +295,56 @@ def ivf_centroids(
     return C
 
 
+def seed_centroids(
+    df: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 12,
+) -> np.ndarray:
+    """Deterministic, SQL-replayable IVF centroids (no Lloyd
+    iterations): cell j = the L2-normalized position-wise mean of the
+    L2-normalized vectors with ``id % nlist == j``. This is the
+    gate-check twin of `ivf_centroids`: the whole rule is expressible
+    in plain SQL, so the distributed assign/probe/rerank machinery
+    downstream can be hash-checked against DuckDB (`ann_ivf_fixed`),
+    while the k-means path keeps its recall tests.
+
+    Computed distributed: one narrow posexplode → groupBy(cell, pos)
+    avg → a (nlist × d)-row collect. Components are rounded to
+    ``round_dp`` decimals BEFORE normalization on both engines so
+    aggregation-order float drift cannot leak into assignments; the
+    final norm uses a sequential fold to match SQL's list_sum order.
+    """
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    nrm = F.sqrt(
+        F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    normed = v.select(
+        (F.col(id_col) % nlist).cast("int").alias("cell"),
+        F.transform("__v", lambda x: x / nrm).alias("e"),
+    )
+    comp = (
+        normed.select("cell", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), round_dp).alias("cx"))
+        .collect()
+    )
+    dim = max(r["pos"] for r in comp) + 1
+    C = np.zeros((nlist, dim), dtype=np.float64)
+    for r in comp:
+        C[r["cell"], r["pos"]] = r["cx"]
+    for j in range(nlist):
+        s = 0.0
+        for val in C[j]:  # sequential fold == SQL list_sum order
+            s += val * val
+        if s > 0:
+            C[j] = C[j] / math.sqrt(s)
+    return C
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -341,6 +393,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index —
     the k-means-bucketed alternative to ``lsh_topk``: corpus vectors
@@ -361,7 +414,9 @@ def ivf_topk(
     ~6 GB of shuffle payload at sf0.1 with nprobe/nlist = 1/2,
     measured 13.5 s vs 2 s for this layout; at 100 TB the per-pair
     variant is quadratic payload, the per-cell one is linear."""
-    C = ivf_centroids(df, nlist, id_col, vec_col)
+    C = centroids if centroids is not None else ivf_centroids(
+        df, nlist, id_col, vec_col
+    )
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )

@@ -2261,6 +2261,76 @@ def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_fixed",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS e,
+             CAST(vec_id % 16 AS INT) AS seed_cell
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT seed_cell AS cell, pos, ROUND(AVG(x), 12) AS cx
+      FROM (SELECT seed_cell, unnest(e) AS x,
+                   generate_subscripts(e, 1) AS pos FROM n)
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT cell, list(cx ORDER BY pos) AS c FROM comp GROUP BY 1),
+    centn AS (
+      SELECT cell,
+             list_transform(c, x -> x / sqrt(list_sum(
+               list_transform(c, y -> y * y)))) AS c
+      FROM cent
+    ),
+    sims AS (
+      SELECT n.vec_id, cn.cell, list_dot_product(n.e, cn.c) AS s
+      FROM n CROSS JOIN centn cn
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC)
+               AS rn
+      FROM sims
+    ),
+    corpus AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= 4),
+    cand AS (
+      SELECT p.vec_id, c.vec_id AS nb
+      FROM probe p JOIN corpus c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.vec_id, cand.nb, list_dot_product(a.e, b.e) AS s
+      FROM cand JOIN n a ON a.vec_id = cand.vec_id
+                JOIN n b ON b.vec_id = cand.nb
+    )
+    SELECT vec_id, nb AS neighbor_id
+    FROM (SELECT vec_id, nb,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, nb ASC)
+                   AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic SQL-replayable centroids
+    (`similarity.seed_centroids`: cell j = normalized mean of vectors
+    with id % nlist == j, no Lloyd iterations) — puts the ENTIRE
+    distributed IVF machinery (assignment matmul, nprobe probing,
+    per-cell cogroup rerank, global tie-broken top-1) inside the
+    driver hash gate. `ann_ivf_top1` keeps the real k-means training
+    (rows-only, recall-tested); this query proves the pipeline around
+    it is exact. Output id-only so the hash is float-jitter-proof."""
+    from .operators.similarity import ivf_topk, seed_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    C = seed_centroids(e, nlist=16)
+    out = ivf_topk(e, k=1, nlist=16, nprobe=4, centroids=C)
+    return out.select("vec_id", "neighbor_id")
+
+
+@query(
     "stat_hosking",
     _QUARTERLY_PAIR_CTE
     + """,
