@@ -198,7 +198,8 @@ def ezlasso(
     horizon: int = 1,
     rank_abs: bool = False,
     date_col: str = "obs_date",
-) -> list[str]:
+    return_details: bool = False,
+) -> list[str] | tuple[list[str], float, dict[str, float]]:
     """ezlasso (enetVAR.R:617-641): tune λ by rolling-origin RMSE on
     the single equation target ~ predictors (α fixed), refit on the
     full sample at bestTune, rank coefficients, take top maxnrvar,
@@ -237,4 +238,9 @@ def ezlasso(
     # descending, deterministic tiebreak on predictor order (Q8 fix)
     idx = np.lexsort((np.arange(len(co)), -key))[:maxnrvar]
     chosen = [predictors[i] for i in idx]
-    return [target, *[c for c in chosen if c != target]]
+    sel = [target, *[c for c in chosen if c != target]]
+    if return_details:
+        # expose the tuned λ and refit coefficients so the driver
+        # oracle can hash-check the whole chain, not just the names
+        return sel, best_lam, {p: float(c) for p, c in zip(predictors, co)}
+    return sel

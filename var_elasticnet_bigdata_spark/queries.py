@@ -2227,20 +2227,114 @@ def ml_tune_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ml_ezlasso_select", None)
 def ml_ezlasso_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M14 ezlasso: λ-tuned ridge ranking of predictors for the
-    revenue equation (quirk-Q6 signed ranking), target prepended —
-    rows-only (inner tuner not SQL-expressible; signed-ranking
-    semantics pinned in tests/test_tuning.py)."""
+    """M14 ezlasso at α=0, hash-gated END TO END (oracle registered
+    below): the caret timeSlice λ tuner (expanding-window origins over
+    the reference's 100-point 10^[2,-2] grid), full-sample ridge refit
+    at λ.best via the standardized 2×2 closed form, and quirk-Q6
+    SIGNED coefficient ranking with the target prepended — every stage
+    replayed in SQL. Output carries the tuned λ and refit coefficients
+    so the hash covers the numbers, not just the selection order.
+    The α>0 path stays pinned in tests/test_tuning.py."""
     from .ml.tuning import ezlasso
 
-    wide = _quarterly_pair(spark, sf_dir)
-    n = wide.count()
-    sel = ezlasso(
-        spark, wide, "revenue", ["quantity"],
-        alpha=0.0, maxnrvar=1, init_window=max(n // 2, 8), horizon=1,
+    daily = _daily_events(spark, sf_dir)
+    wide = (
+        daily.groupBy("obs_date")
+        .pivot("series_id", ["click", "purchase", "view"])
+        .agg(F.first("value"))
     )
-    rows = [(i, s) for i, s in enumerate(sel)]
-    return spark.createDataFrame(rows, "rank int, series string")
+    n = wide.dropna().count()
+    sel, best_lam, coefs = ezlasso(
+        spark, wide, "click", ["purchase", "view"],
+        alpha=0.0, maxnrvar=2, init_window=max(n // 2, 8), horizon=1,
+        return_details=True,
+    )
+    rows = [(0, "click", 0.0, round(best_lam, 6))]
+    for i, s in enumerate(sel[1:], start=1):
+        rows.append((i, s, round(coefs[s], 6), round(best_lam, 6)))
+    return spark.createDataFrame(
+        rows, "rank int, series string, coef double, best_lambda double"
+    )
+
+
+def _register_ezlasso_oracle() -> None:
+    import numpy as np
+
+    grid = sorted(float(l) for l in 10 ** np.linspace(2, -2, 100))
+    lam_rows = ", ".join(f"({float(l)!r})" for l in grid)
+    det = "((1+b.lam)*(1+b.lam) - fm.rho*fm.rho)"
+    a1 = "(fm.c1y/fm.n/fm.s1)"
+    a2 = "(fm.c2y/fm.n/fm.s2)"
+    b1 = f"(((1+b.lam)*{a1} - fm.rho*{a2})/{det})/fm.s1"
+    b2 = f"(((1+b.lam)*{a2} - fm.rho*{a1})/{det})/fm.s2"
+    ORACLE["ml_ezlasso_select"] = (
+        _DAILY_EVENTS_CTE
+        + f""",
+    wide AS (
+      SELECT obs_date,
+             MAX(CASE WHEN series_id = 'click' THEN value END) AS y,
+             MAX(CASE WHEN series_id = 'purchase' THEN value END) AS x1,
+             MAX(CASE WHEN series_id = 'view' THEN value END) AS x2
+      FROM m GROUP BY 1),
+    emb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY obs_date) AS rn, y, x1, x2
+      FROM wide
+      WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
+    par AS (SELECT GREATEST(CAST(FLOOR(COUNT(*)/2) AS INT), 8) AS iw,
+                   1 AS horizon, COUNT(*) AS n_emb FROM emb),
+    cum AS (
+      SELECT rn, x1, x2, y,
+             SUM(x1*x1) OVER w AS c11, SUM(x1*x2) OVER w AS c12,
+             SUM(x2*x2) OVER w AS c22,
+             SUM(x1*y) OVER w AS c1y, SUM(x2*y) OVER w AS c2y
+      FROM emb
+      WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    origins AS (
+      SELECT c.*, SQRT(c.c11/c.rn) AS s1, SQRT(c.c22/c.rn) AS s2,
+             c.c12/SQRT(c.c11*c.c22) AS rho
+      FROM cum c, par
+      WHERE c.rn >= par.iw AND c.rn <= par.n_emb - par.horizon),
+    grid AS (SELECT CAST(lam AS DOUBLE) AS lam FROM (VALUES {lam_rows}) g(lam)),
+    sse AS (
+      SELECT g.lam,
+             SUM(POW(t.x1 * (((1+g.lam)*(o.c1y/o.rn/o.s1) - o.rho*(o.c2y/o.rn/o.s2))
+                             / ((1+g.lam)*(1+g.lam) - o.rho*o.rho)) / o.s1
+                   + t.x2 * (((1+g.lam)*(o.c2y/o.rn/o.s2) - o.rho*(o.c1y/o.rn/o.s1))
+                             / ((1+g.lam)*(1+g.lam) - o.rho*o.rho)) / o.s2
+                   - t.y, 2)) AS sse,
+             COUNT(*) AS cnt
+      FROM origins o CROSS JOIN grid g CROSS JOIN par
+      JOIN emb t ON t.rn > o.rn AND t.rn <= o.rn + par.horizon
+      GROUP BY g.lam),
+    best AS (
+      SELECT lam FROM (
+        SELECT lam, ROW_NUMBER() OVER (ORDER BY SQRT(sse/cnt) ASC, lam ASC)
+                 AS pick
+        FROM sse) WHERE pick = 1),
+    fm AS (
+      SELECT * , SQRT(c11/n) AS s1, SQRT(c22/n) AS s2,
+             c12/SQRT(c11*c22) AS rho
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x1*x1) AS c11, SUM(x1*x2) AS c12, SUM(x2*x2) AS c22,
+                   SUM(x1*y) AS c1y, SUM(x2*y) AS c2y
+            FROM emb)),
+    coefs AS (
+      SELECT 'purchase' AS series, 1 AS ord, {b1} AS coef FROM fm, best b
+      UNION ALL
+      SELECT 'view', 2, {b2} FROM fm, best b)
+    SELECT CAST(0 AS INT) AS rank, 'click' AS series,
+           CAST(0.0 AS DOUBLE) AS coef,
+           ROUND((SELECT lam FROM best), 6) AS best_lambda
+    UNION ALL
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY coef DESC, ord ASC) AS INT),
+           series, ROUND(coef, 6), ROUND((SELECT lam FROM best), 6)
+    FROM coefs
+    """
+    )
+
+
+_register_ezlasso_oracle()
 
 
 @query("ann_ivf_top1", None)
