@@ -291,6 +291,47 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j4_range_join",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS obs_day,
+             MIN(ts) AS lo, MAX(ts) AS hi
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (SELECT ts FROM events WHERE event_type = 'purchase')
+    SELECT iv.user_id, iv.obs_day, COUNT(*) AS n_hits
+    FROM iv JOIN p ON p.ts >= iv.lo AND p.ts <= iv.hi
+    GROUP BY 1, 2
+    """,
+)
+def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (`operators/rangejoin.py`): count
+    ALL purchases falling inside each user's daily click-activity
+    window [first click, last click] — no equi-key, so the naive plan
+    is cartesian. The grid-bucketed form (1-day cells ≈ the interval
+    width) joins on cell keys only; the oracle is DuckDB's native
+    range join over the same predicate."""
+    from .operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("obs_day"),
+        )
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("pts")
+    )
+    hits = range_join(pts, iv, "pts", "lo", "hi", grid=86_400.0)
+    return hits.groupBy("user_id", "obs_day").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+@query(
     "g8_salted_agg",
     """
     SELECT event_type,
