@@ -291,6 +291,31 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g9_percentile",
+    """
+    WITH g AS (
+      SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS qv
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, [0.5, 0.9, 0.99][i] AS q, ROUND(x, 6) AS value
+    FROM (SELECT event_type, unnest(qv) AS x,
+                 generate_subscripts(qv, 1) AS i
+          FROM g)
+    """,
+)
+def g9_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (`operators/sketch.grouped_quantiles`):
+    linear-interpolated percentiles per event type — the driver-gate
+    twin of the mergeable percentile_approx sketch, whose rank error
+    is measured against this in tests/test_sketch.py."""
+    from .operators.sketch import grouped_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    res = grouped_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+    return res.select("event_type", "q", r6(F.col("value")).alias("value"))
+
+
+@query(
     "j4_range_join",
     """
     WITH iv AS (
