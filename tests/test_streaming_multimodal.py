@@ -208,3 +208,27 @@ def test_stream_scoring_matches_batch_expressions(spark):
     assert (got["n_tokens"].to_numpy() == merged["n_tokens"].to_numpy()).all()
     assert np.allclose(got["quality"].to_numpy(), merged["quality"].to_numpy())
     assert (got["fingerprint"].to_numpy() == merged["fingerprint"].to_numpy()).all()
+
+
+def test_stream_interval_join_matches_batch(spark):
+    from var_elasticnet_bigdata_spark.streaming.joins import (
+        purchase_click_attribution,
+    )
+
+    batch = purchase_click_attribution(
+        load_table(spark, SF_SMALL, "events"), lookback_minutes=360
+    )
+    exp = sorted(
+        (r.purchase_id, r.click_id) for r in batch.collect()
+    )
+    assert len(exp) > 0  # the fixture actually exercises the join
+
+    stream = stream_events(spark, SF_SMALL)
+    joined = purchase_click_attribution(stream, lookback_minutes=360)
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "sjoin", output_mode="append")
+    act = sorted(
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM sjoin").collect()
+    )
+    assert act == exp

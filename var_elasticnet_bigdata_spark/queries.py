@@ -291,6 +291,32 @@ def j2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j5_interval_attribution",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.c_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+               AND c.c_ts <= p.p_ts
+               AND c.c_ts >= p.p_ts - INTERVAL 360 MINUTES
+    """,
+)
+def j5_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed event-time interval join (`streaming/joins.py`): every
+    purchase attributed to same-user clicks within the preceding 6 h.
+    The IDENTICAL builder runs as a watermarked stream-stream join
+    (state bounded by the lookback, asserted stream ≡ batch in
+    tests/test_streaming_multimodal.py); this batch form is the
+    DuckDB hash gate."""
+    from .streaming.joins import purchase_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_click_attribution(ev, lookback_minutes=360)
+
+
+@query(
     "g9_percentile",
     """
     WITH g AS (
