@@ -92,3 +92,65 @@ def test_ar1_relational_zero_prefix_guard(spark):
         spark, wide, "a", start_pred=pdf["obs_date"][20], h=4
     ).collect()
     assert len(out) == 3  # horizons 1,2,4 — zero-denominator phi guarded
+
+
+def test_asof_join_empty_right_keeps_left(spark):
+    import pandas as pd
+
+    from var_elasticnet_bigdata_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "t": [10, 20], "v": [1.0, 2.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [5], "w": [9.0]})
+    ).filter("k > 99")
+    out = asof_join(left, right, "k", "t").toPandas()
+    assert len(out) == 2 and out["w"].isna().all()
+    inner = asof_join(left, right, "k", "t", how="inner").toPandas()
+    assert len(inner) == 0
+
+
+def test_range_join_empty_and_degenerate_interval(spark):
+    import pandas as pd
+
+    from var_elasticnet_bigdata_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(pd.DataFrame({"p": [5.0, 6.0]}))
+    iv = spark.createDataFrame(pd.DataFrame({"lo": [5.0], "hi": [5.0]}))
+    out = range_join(pts, iv, "p", "lo", "hi", grid=10.0).toPandas()
+    assert out["p"].tolist() == [5.0]  # zero-width interval still matches
+    empty = range_join(
+        pts.filter("p > 99"), iv, "p", "lo", "hi", grid=10.0
+    ).toPandas()
+    assert len(empty) == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        range_join(pts, iv, "p", "lo", "hi", grid=0.0)
+
+
+def test_salted_agg_empty_and_single_row(spark):
+    import pandas as pd
+
+    from var_elasticnet_bigdata_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(pd.DataFrame({"k": [7], "v": [3.5]}))
+    out = salted_agg(
+        df, ["k"], {"n": ("count", "v"), "a": ("avg", "v")}, salts=8
+    ).toPandas()
+    assert out.loc[0, "n"] == 1 and out.loc[0, "a"] == 3.5
+    none = salted_agg(
+        df.filter("k > 99"), ["k"], {"n": ("count", "v")}, salts=8
+    ).toPandas()
+    assert len(none) == 0
+
+
+def test_grouped_quantiles_single_value_group(spark):
+    import pandas as pd
+
+    from var_elasticnet_bigdata_spark.operators.sketch import grouped_quantiles
+
+    df = spark.createDataFrame(pd.DataFrame({"g": [1], "v": [2.0]}))
+    out = grouped_quantiles(df, ["g"], "v", [0.0, 0.5, 1.0]).toPandas()
+    assert out["value"].tolist() == [2.0, 2.0, 2.0]
