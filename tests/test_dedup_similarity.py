@@ -240,3 +240,37 @@ def test_seed_centroids_deterministic_unit_norm(spark):
     out = ivf_topk(emb, k=1, nlist=8, nprobe=8, centroids=C1).toPandas()
     assert (out["rank"] == 1).all()
     assert out["vec_id"].is_unique
+
+
+def test_redact_pii_patterns(spark):
+    import pandas as pd
+
+    from var_elasticnet_bigdata_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "t": [
+                    "mail a.user+x@sub.example.org now",
+                    "from 192.168.0.1 dial +44 20-7946-0958 twice: 555 123 4567",
+                    "clean text with no identifiers at all",
+                ],
+            }
+        )
+    )
+    out = {
+        r.id: (r.t, r.n)
+        for r in redact_pii(df, "t")
+        .withColumn("n", pii_counts("t"))  # counts AFTER redaction: 0
+        .collect()
+    }
+    assert out[1][0] == "mail <EMAIL> now"
+    assert out[2][0] == "from <IP> dial <PHONE> twice: <PHONE>"
+    assert out[3][0] == "clean text with no identifiers at all"
+    assert all(n == 0 for _, n in out.values())  # redacted text re-scans clean
+    pre = {r.id: r.n for r in df.withColumn("n", pii_counts("t")).collect()}
+    assert pre == {1: 1, 2: 3, 3: 0}

@@ -136,3 +136,41 @@ def text_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         quality_score().alias("quality"),
         fingerprint_expr().alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — training-corpus scrubbing
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement); patterns restricted to the syntax both
+# Java regex (Spark, JVM-side regexp_replace — no Python in the loop)
+# and RE2 (DuckDB oracle) implement identically: character classes,
+# bounded repetition, \b — no lookaround, no backrefs. Order matters:
+# emails first (their local parts contain digits), then dotted IPs,
+# then bare digit runs as phone-like.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+    """Replace email / IPv4 / phone-shaped spans with typed markers —
+    a narrow per-row transform (chained JVM regexp_replace, no
+    shuffle, codegen'd) that composes with the curation pipeline
+    before fingerprinting/dedup so redacted duplicates still
+    collapse."""
+    c = F.col(col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col or col, c)
+
+
+def pii_counts(col: str) -> Column:
+    """Total PII hits in ``col`` (counted on the raw text, per
+    pattern, before any replacement)."""
+    total = F.lit(0)
+    for _, pat, _ in PII_PATTERNS:
+        total = total + F.regexp_count(F.col(col), F.lit(pat))
+    return total

@@ -1575,6 +1575,64 @@ def _register_fingerprint_oracle() -> None:
 _register_fingerprint_oracle()
 
 
+@query("text_pii_redaction", None)  # oracle registered below
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (`operators/text.redact_pii`): the corpus text
+    carries no PII, so the query plants deterministic email / IPv4 /
+    phone spans derived from (doc_id, source) and then redacts — the
+    md5 of the redacted text and the per-row hit count flow through
+    the hash gate, and the oracle replays the plant + the same
+    pattern chain in RE2. Patterns are restricted to the
+    Java-regex ∩ RE2 common syntax so both engines redact
+    identically."""
+    from .operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact "),
+            F.col("source"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    ).withColumn("n_pii", pii_counts("text").cast("long"))
+    red = redact_pii(aug, "text")
+    return red.select(
+        "doc_id", F.md5("text").alias("redacted_md5"), "n_pii"
+    )
+
+
+def _register_pii_oracle() -> None:
+    from .operators.text import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    ORACLE["text_pii_redaction"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 substr(text, 1, 40) || ' contact ' || source ||
+                 CAST(doc_id AS VARCHAR) || '@example.com host 10.0.' ||
+                 CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-' ||
+                 CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+          FROM documents)
+        SELECT doc_id, md5({red}) AS redacted_md5,
+               CAST({counts} AS BIGINT) AS n_pii
+        FROM aug
+    """
+
+
+_register_pii_oracle()
+
+
 # --------------------------------------------------------------------------
 # ML / statistical operators through the driver contract (rows-only
 # checks — not SQL-expressible; the numerical oracles live in pytest)
