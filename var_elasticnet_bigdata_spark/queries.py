@@ -507,6 +507,51 @@ def _daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_frame(spark, sf_dir, "daily_events", build)
 
 
+_CORR_SERIES = ["click", "error", "purchase", "signup", "view"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_SERIES)
+    for b in _CORR_SERIES[i + 1 :]
+]
+
+
+@query(
+    "stat_corr_matrix",
+    _DAILY_EVENTS_CTE
+    + f""",
+    wide AS (
+      SELECT obs_date,
+             {", ".join(f"MAX(CASE WHEN series_id = '{s}' THEN value END) AS {s}" for s in _CORR_SERIES)}
+      FROM m GROUP BY 1),
+    c AS (SELECT {", ".join(f"corr({a}, {b}) AS c_{a}_{b}" for a, b in _CORR_PAIRS)}
+          FROM wide)
+    {" UNION ALL ".join(f"SELECT '{a}' AS series_a, '{b}' AS series_b, ROUND(c_{a}_{b}, 6) AS corr FROM c" for a, b in _CORR_PAIRS)}
+    """,
+)
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of all daily event series in ONE
+    aggregation pass (the §4.3 moments pattern: every corr aggregate
+    shares the single scan/shuffle of the wide frame — never a
+    per-pair self-join). Upper triangle, long form."""
+    daily = _daily_events(spark, sf_dir)
+    wide = (
+        daily.groupBy("obs_date")
+        .pivot("series_id", _CORR_SERIES)
+        .agg(F.first("value"))
+    )
+    agg = wide.agg(
+        *[F.corr(a, b).alias(f"{a}|{b}") for a, b in _CORR_PAIRS]
+    )
+    stack = (
+        f"stack({len(_CORR_PAIRS)}, "
+        + ", ".join(f"'{a}', '{b}', `{a}|{b}`" for a, b in _CORR_PAIRS)
+        + ") as (series_a, series_b, corr)"
+    )
+    return agg.selectExpr(stack).select(
+        "series_a", "series_b", r6(F.col("corr")).alias("corr")
+    )
+
+
 @query(
     "w1_diff",
     _DAILY_EVENTS_CTE
