@@ -2237,6 +2237,64 @@ def ml_acf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ml_pacf_m17_profile",
+    _DAILY_EVENTS_CTE
+    + """,
+ stats AS (SELECT series_id, AVG(value) AS mm,
+                  SUM(value*value)/COUNT(*) - AVG(value)*AVG(value) AS vv,
+                  COUNT(*) AS tt
+           FROM m GROUP BY 1),
+ lagged AS (SELECT series_id, obs_date, k.lag, value,
+                   LAG(value, k.lag) OVER
+                     (PARTITION BY series_id, k.lag ORDER BY obs_date) AS y
+            FROM m CROSS JOIN (SELECT unnest([1,2,3,4]) AS lag) k),
+ acf AS (SELECT l.series_id, l.lag,
+                SUM((l.value - s.mm) * (l.y - s.mm)) / (s.tt * s.vv) AS r
+         FROM lagged l JOIN stats s USING (series_id)
+         GROUP BY l.series_id, l.lag, s.tt, s.vv),
+ w AS (SELECT series_id,
+              MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+              MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+              MAX(CASE WHEN lag = 3 THEN r END) AS r3,
+              MAX(CASE WHEN lag = 4 THEN r END) AS r4
+       FROM acf GROUP BY 1),
+ dl1 AS (SELECT *, r1 AS p11 FROM w),
+ dl2 AS (SELECT *, (r2 - p11*r1) / (1 - p11*r1) AS p22 FROM dl1),
+ dl2b AS (SELECT *, p11 - p22*p11 AS q21 FROM dl2),
+ dl3 AS (SELECT *, (r3 - (q21*r2 + p22*r1))
+                   / (1 - (q21*r1 + p22*r2)) AS p33 FROM dl2b),
+ dl3b AS (SELECT *, q21 - p33*p22 AS q31, p22 - p33*q21 AS q32 FROM dl3),
+ dl4 AS (SELECT *, (r4 - (q31*r3 + q32*r2 + p33*r1))
+                   / (1 - (q31*r1 + q32*r2 + p33*r3)) AS p44 FROM dl3b)
+    SELECT series_id, 1 AS lag, ROUND(p11, 6) AS pacf FROM dl4
+    UNION ALL SELECT series_id, 2, ROUND(p22, 6) FROM dl4
+    UNION ALL SELECT series_id, 3, ROUND(p33, 6) FROM dl4
+    UNION ALL SELECT series_id, 4, ROUND(p44, 6) FROM dl4
+    """,
+)
+def ml_pacf_m17_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17's PACF profile hash-gated: per-series univariate
+    Durbin–Levinson partials at lags 1..4 from the one-pass R-normal
+    ACF table — the DuckDB twin unrolls the DL recursion in closed
+    form, so the gate covers the ACF pipeline AND the recursion; only
+    the greedy diversity pick (`ml_acf_selection`) stays rows-only."""
+    import numpy as np
+
+    from .operators.acf import acf_table, pacf_from_acf
+
+    daily = _daily_events(spark, sf_dir)
+    rows = acf_table(daily, 4, method="r").collect()
+    by: dict[str, dict[int, float]] = {}
+    for r in rows:
+        by.setdefault(r["series_id"], {})[r["lag"]] = r["acf"]
+    out = []
+    for s in sorted(by):
+        p = pacf_from_acf(np.array([by[s][k] for k in (1, 2, 3, 4)]))
+        out.extend((s, k + 1, round(float(p[k]), 6)) for k in range(4))
+    return spark.createDataFrame(out, "series_id string, lag int, pacf double")
+
+
+@query(
     "ml_acf_m15_topn",
     _DAILY_EVENTS_CTE
     + """,
