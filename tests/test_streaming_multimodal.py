@@ -232,3 +232,55 @@ def test_stream_interval_join_matches_batch(spark):
         for r in spark.sql("SELECT * FROM sjoin").collect()
     )
     assert act == exp
+
+
+def test_multimodal_features_feed_similarity_pipeline(spark):
+    """End-to-end: binary payloads → Arrow-batched feature extraction
+    → embedding near-dup pairs. Exact duplicate payloads must surface
+    as cosine-1 pairs through the SAME similarity operators the
+    embeddings table uses — the decode seam is the only stub."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(40)
+    with_payloads = attach_payloads(docs)
+    # plant one exact duplicate payload pair with fresh ids
+    a = with_payloads.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "payload"
+    )
+    corpus = with_payloads.select("doc_id", "payload").unionByName(a)
+    feats = extract_features(corpus, dim=8).withColumnRenamed(
+        "features", "embedding"
+    )
+    pairs = cosine_near_dup_pairs(
+        feats, threshold=0.999999, id_col="doc_id", vec_col="embedding"
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100000) in found  # identical payloads ≡ cosine 1
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once file sink: a stream run to completion, torn down,
+    and restarted with the SAME checkpoint must not duplicate rows."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = stream_events(spark, SF_SMALL)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # no new input files → checkpoint says: nothing to do
+    n2 = spark.read.parquet(out).count()
+    batch_n = load_table(spark, SF_SMALL, "events").count()
+    assert n1 == batch_n
+    assert n2 == n1  # restart did not re-ingest
