@@ -274,3 +274,44 @@ def test_redact_pii_patterns(spark):
     assert all(n == 0 for _, n in out.values())  # redacted text re-scans clean
     pre = {r.id: r.n for r in df.withColumn("n", pii_counts("t")).collect()}
     assert pre == {1: 1, 2: 3, 3: 0}
+
+
+def test_keep_latest_and_fuzzy_pairs(spark):
+    import pandas as pd
+
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        fuzzy_near_dup_pairs,
+        keep_latest,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "ts": [10, 20, 20, 5],
+                "sid": [100, 101, 102, 103],
+                "v": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    out = {r.k: r.sid for r in keep_latest(df, ["k"], "ts", "sid").collect()}
+    assert out == {1: 102, 2: 103}  # max ts, tie → max sid
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha beta gamma delta epsilon",
+                    "alpha beta gamma delta epsilom",  # 1 edit, same block
+                    "alpha beta totally different words",  # same block, far
+                    "omega psi gamma delta epsilon",  # different block
+                ],
+            }
+        )
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_near_dup_pairs(docs, max_dist=2, len_band=400).collect()
+    }
+    assert pairs == {(1, 2): 1}  # near pair found, far/other-block absent

@@ -27,7 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # fixed MinHash permutation coefficients (numpy default_rng(777))
@@ -298,3 +298,73 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Upsert-style compaction: one surviving row per key group — the
+    one with the greatest ``order_col`` (ties broken by greatest
+    ``tiebreak`` so the survivor is deterministic). This is the
+    keep-last half of CDC/append-log compaction: one hash shuffle on
+    the keys, per-group rank, no global sort."""
+    order = [F.col(order_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fuzzy_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 20,
+    prefix: int = 80,
+    block_tokens: int = 2,
+    len_band: int = 40,
+) -> DataFrame:
+    """Edit-distance near-duplicates with blocking: candidates are
+    pairs agreeing on the first ``block_tokens`` tokens AND a
+    ``len_band``-wide length band; only candidates pay the
+    O(prefix²) Levenshtein verify (JVM built-in, prefix-truncated).
+    The all-pairs N² comparison never happens — the blocking join
+    shuffles block keys only, the same candidate+verify shape as the
+    MinHash pipeline. Recall is bounded by the blocking choice
+    (prefix edits can split a true pair across blocks — that is the
+    standard fuzzy-blocking tradeoff; widen with multiple block
+    passes if needed). Returns (id_a, id_b, dist), id_a < id_b."""
+    d = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.array_join(
+            F.slice(F.split(F.col(text_col), " "), 1, block_tokens), " "
+        ).alias("__blk"),
+        F.floor(F.length(text_col) / len_band).cast("int").alias("__lb"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(
+        F.substring(F.col(f"a.{text_col}"), 1, prefix),
+        F.substring(F.col(f"b.{text_col}"), 1, prefix),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__lb") == F.col("b.__lb"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

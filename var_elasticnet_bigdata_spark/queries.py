@@ -317,6 +317,63 @@ def j5_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_fuzzy_levenshtein",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+               AS blk,
+             CAST(FLOOR(len(text)/40) AS INT) AS lb
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))
+                AS BIGINT) AS dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.lb = b.lb
+                     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 20
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup
+    (`operators/dedup.fuzzy_near_dup_pairs`): candidates agree on the
+    first two tokens and a length band, then a prefix-truncated JVM
+    Levenshtein verifies — candidate+verify like the MinHash pipeline,
+    never all-pairs. Oracle replays blocking and verification with
+    DuckDB's levenshtein."""
+    from .operators.dedup import fuzzy_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_near_dup_pairs(docs)
+
+
+@query(
+    "dedup_keep_latest",
+    """
+    SELECT user_id, event_type, event_id, ts, ROUND(value, 6) AS value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/CDC compaction (`operators/dedup.keep_latest`): one
+    surviving row per (user, event type) — the most recent, tie-broken
+    on event_id so the survivor is deterministic. One key shuffle,
+    per-group rank."""
+    from .operators.dedup import keep_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    res = keep_latest(
+        ev, ["user_id", "event_type"], "ts", tiebreak="event_id"
+    )
+    return res.select(
+        "user_id", "event_type", "event_id", "ts",
+        r6(F.col("value")).alias("value"),
+    )
+
+
+@query(
     "g9_percentile",
     """
     WITH g AS (
