@@ -317,6 +317,55 @@ def j5_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g10_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+         p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+    SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def g10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users whose first view precedes a
+    click precedes a purchase, counted per completed step. Each stage
+    is a keyed min-aggregate joined forward — three key shuffles,
+    monotonically shrinking frames, no sequence explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    count = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_users")
+    ).select(F.lit(name).alias("step"), "n_users")
+    return count(v, "1_view").unionByName(count(c, "2_click")).unionByName(
+        count(p, "3_purchase")
+    )
+
+
+@query(
     "dedup_fuzzy_levenshtein",
     """
     WITH d AS (
