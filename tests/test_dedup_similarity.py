@@ -315,3 +315,30 @@ def test_keep_latest_and_fuzzy_pairs(spark):
         for r in fuzzy_near_dup_pairs(docs, max_dist=2, len_band=400).collect()
     }
     assert pairs == {(1, 2): 1}  # near pair found, far/other-block absent
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from var_elasticnet_bigdata_spark.operators.split import (
+        hash_split,
+        split_thresholds,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": list(range(20_000))})
+    )
+    lab1 = hash_split(df, "id").toPandas().sort_values("id")
+    lab2 = hash_split(df, "id").toPandas().sort_values("id")
+    assert (lab1["split"].values == lab2["split"].values).all()
+    frac = lab1["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # appending new rows never reassigns old ones
+    bigger = spark.createDataFrame(pd.DataFrame({"id": list(range(40_000))}))
+    lab3 = hash_split(bigger, "id").toPandas().sort_values("id").head(20_000)
+    assert (lab3["split"].values == lab1["split"].values).all()
+    with _pt.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.6})

@@ -1,0 +1,70 @@
+"""Deterministic train/validation/test assignment by content hash.
+
+Random splits (``randomSplit``) are neither stable across runs and
+cluster layouts nor reproducible outside Spark. A 100 TB pipeline
+wants the split to be a PURE FUNCTION of the row id: re-runs,
+backfills, and other engines (the DuckDB oracle) must agree row for
+row, and late-arriving rows land in their split without reshuffling
+history.
+
+The assignment key is the first two hex digits of ``md5(id)`` — 256
+uniform buckets as a STRING, compared lexically against precomputed
+hex thresholds. Using the hex string (not a numeric conversion)
+keeps the rule portable to any engine with md5 and substring, which
+is exactly what the hash gate exercises. Narrow, shuffle-free,
+codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-bound hex bucket) pairs, cumulative over the 256
+    buckets; the last split absorbs the rounding remainder."""
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be positive: {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        out.append((name, format(min(int(round(acc * 256)), 256), "02x")))
+    return out
+
+
+def bucket_expr(id_col: str) -> Column:
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split label: bucket =
+    ``substr(md5(id), 1, 2)``, thresholded by cumulative fraction.
+    Same id → same split, on any engine, forever."""
+    fracs = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    thresholds = split_thresholds(fracs)
+    b = bucket_expr(id_col)
+    expr: Column | None = None
+    for name, hi in reversed(thresholds):
+        expr = F.lit(name) if expr is None else F.when(b < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def duck_split_sql(id_col: str, fractions: dict[str, float] | None = None) -> str:
+    """The identical rule as DuckDB SQL (for oracles / other engines)."""
+    fracs = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    thresholds = split_thresholds(fracs)
+    b = f"substr(md5(CAST({id_col} AS VARCHAR)), 1, 2)"
+    sql = f"'{thresholds[-1][0]}'"
+    for name, hi in reversed(thresholds[:-1]):
+        sql = f"CASE WHEN {b} < '{hi}' THEN '{name}' ELSE {sql} END"
+    return sql

@@ -316,6 +316,39 @@ def j5_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_click_attribution(ev, lookback_minutes=360)
 
 
+@query("split_train_val_test", None)  # oracle registered below
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (`operators/split.hash_split`): split = pure function of
+    md5(doc_id) hex buckets, so re-runs, backfills, and other engines
+    agree row for row — the DuckDB twin IS the same rule
+    (`duck_split_sql`). Narrow and shuffle-free; the aggregate output
+    keeps the gate focused on assignment, not row order."""
+    from .operators.split import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = hash_split(docs, "doc_id")
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
+def _register_split_oracle() -> None:
+    from .operators.split import duck_split_sql
+
+    ORACLE["split_train_val_test"] = f"""
+        SELECT {duck_split_sql("doc_id")} AS split,
+               COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_id
+        FROM documents GROUP BY 1
+    """
+
+
+_register_split_oracle()
+
+
 @query(
     "g10_funnel",
     """
