@@ -174,3 +174,38 @@ def pii_counts(col: str) -> Column:
     for _, pat, _ in PII_PATTERNS:
         total = total + F.regexp_count(F.col(col), F.lit(pat))
     return total
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring — perplexity-lite corpus quality
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own empirical distribution — the cheap stand-in for an LM
+    perplexity filter (outlier docs score low). Two linear passes:
+    tokens → (token, count) vocabulary (shuffles token keys), then a
+    token-keyed join back and a per-doc mean of
+    ``ln(count/total)``. No model state, no Python in the loop; at
+    100 TB the vocabulary aggregation is an ordinary combinable
+    group-by and the score join shuffles (token, doc) pairs once.
+    Returns ``(id_col, n_tokens, logprob)``."""
+    norm = F.expr(NORM_SQL_SPARK.replace("text", text_col))
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("cnt") / F.col("tot"))).alias("logprob"),
+        )
+    )

@@ -316,6 +316,42 @@ def j5_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_click_attribution(ev, lookback_minutes=360)
 
 
+@query("text_unigram_logprob", None)  # oracle registered below
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-lite corpus scoring
+    (`operators/text.unigram_logprob`): per-doc mean
+    ln P(token) under the corpus's own unigram distribution — the
+    outlier-document filter of a curation pipeline, fully relational
+    (vocab group-by + token-keyed join), replayed exactly in SQL."""
+    from .operators.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = unigram_logprob(docs)
+    return res.select(
+        "doc_id", "n_tokens", r6(F.col("logprob")).alias("logprob")
+    )
+
+
+def _register_unigram_oracle() -> None:
+    from .operators.dedup import NORM_SQL_DUCK
+
+    ORACLE["text_unigram_logprob"] = f"""
+        WITH toks AS (
+          SELECT doc_id, t.tok
+          FROM documents, UNNEST(string_split({NORM_SQL_DUCK}, ' ')) AS t(tok)
+          WHERE t.tok <> ''),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        total AS (SELECT SUM(cnt) AS tot FROM vocab)
+        SELECT toks.doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(LN(vocab.cnt / total.tot)), 6) AS logprob
+        FROM toks JOIN vocab USING (tok) CROSS JOIN total
+        GROUP BY 1
+    """
+
+
+_register_unigram_oracle()
+
+
 @query("split_train_val_test", None)  # oracle registered below
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
