@@ -136,3 +136,32 @@ def test_single_shuffle_plan(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     for bad in ("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoop"):
         assert bad not in plan
+
+
+def test_null_right_payload_does_not_stitch_rows(spark):
+    # regression: per-column fill would take 'a' from an OLDER row when
+    # the matched row's 'a' is NULL — the match must be atomic per row
+    left = pd.DataFrame({"k": [1], "t": [6]})
+    right = pd.DataFrame(
+        {"k": [1, 1], "t": [1, 5], "a": [1.0, None], "tag": ["old", "new"]}
+    )
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right), "k", "t"
+    ).toPandas()
+    assert out.loc[0, "tag"] == "new" and out.loc[0, "t_r"] == 5
+    assert np.isnan(out.loc[0, "a"])  # NOT 1.0 from the t=1 row
+    # and with a tolerance excluding t=1, nothing leaks through either
+    tol = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        "k", "t", tolerance=2.0,
+    ).toPandas()
+    assert tol.loc[0, "tag"] == "new" and np.isnan(tol.loc[0, "a"])
+
+
+def test_output_name_collision_raises(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [1], "v": [1.0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [1], "v": [2.0], "v_r": [3.0]})
+    )
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, "k", "t")

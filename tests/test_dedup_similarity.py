@@ -342,3 +342,18 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert (lab3["split"].values == lab1["split"].values).all()
     with _pt.raises(ValueError):
         split_thresholds({"a": 0.5, "b": 0.6})
+
+
+def test_split_thresholds_quantization_guards():
+    import pytest as _pt
+
+    from var_elasticnet_bigdata_spark.operators.split import split_thresholds
+
+    # regression: a non-final bound of 256 has no 2-char hex form and
+    # would lexically invert the split — must raise, on both extremes
+    with _pt.raises(ValueError, match="buckets"):
+        split_thresholds({"train": 0.999, "holdout": 0.001})
+    with _pt.raises(ValueError, match="buckets"):
+        split_thresholds({"tiny": 0.001, "rest": 0.999})
+    ok = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [b for _, b in ok] == ["cd", "e6", "100"]  # final bound unused

@@ -35,8 +35,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TS = "__asof_ts"
-_RTS = "__asof_rts"
 _ISL = "__asof_is_left"
+_PKT = "__asof_match"
 
 
 def asof_join(
@@ -70,27 +70,40 @@ def asof_join(
     rts = right_ts or left_ts
 
     ltypes = {f.name: f.dataType for f in left.schema.fields}
-    rtypes = {f.name: f.dataType for f in right.schema.fields}
     lpay = [c for c in left.columns if c not in keys and c != left_ts]
     rpay = [c for c in right.columns if c not in keys and c != rts]
     out_names = {c: (c + suffix if c in left.columns else c) for c in rpay}
     rts_out = rts + suffix
+    outs = [rts_out, *out_names.values()]
+    if len(set(outs)) != len(outs) or set(outs) & set(left.columns):
+        raise ValueError(
+            f"output name collision after suffixing with {suffix!r}: "
+            f"{sorted(outs)} vs left columns {sorted(left.columns)}"
+        )
+
+    # the matched right row travels as ONE struct so every payload
+    # column (and the matched ts) comes from the SAME row — per-column
+    # last(ignorenulls) would stitch values from different rows
+    # whenever a right payload value is NULL
+    pkt = F.struct(
+        F.col(rts).alias("__rts"),
+        *[F.col(c).alias(out_names[c]) for c in rpay],
+    )
+    pkt_type = right.select(pkt.alias(_PKT)).schema[0].dataType
 
     lrows = left.select(
         *keys,
         F.col(left_ts).alias(_TS),
         F.lit(True).alias(_ISL),
         *[F.col(c) for c in lpay],
-        *[F.lit(None).cast(rtypes[c]).alias(out_names[c]) for c in rpay],
-        F.lit(None).cast(rtypes[rts]).alias(_RTS),
+        F.lit(None).cast(pkt_type).alias(_PKT),
     )
     rrows = right.select(
         *[F.col(k).cast(ltypes[k]).alias(k) for k in keys],
         F.col(rts).cast(ltypes[left_ts]).alias(_TS),
         F.lit(False).alias(_ISL),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay],
-        *[F.col(c).alias(out_names[c]) for c in rpay],
-        F.col(rts).alias(_RTS),
+        pkt.alias(_PKT),
     )
 
     ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
@@ -101,40 +114,32 @@ def asof_join(
         .orderBy(ts_order, F.col(_ISL).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = [F.last(out_names[c], ignorenulls=True).over(w) for c in rpay]
-    filled_rts = F.last(_RTS, ignorenulls=True).over(w)
 
     res = lrows.unionByName(rrows).select(
         *keys,
         F.col(_TS),
         F.col(_ISL),
         *[F.col(c) for c in lpay],
-        *[e.alias(out_names[c]) for c, e in zip(rpay, filled)],
-        filled_rts.alias(_RTS),
+        F.last(_PKT, ignorenulls=True).over(w).alias(_PKT),
     ).filter(F.col(_ISL))
 
     if tolerance is not None:
-        gap = F.abs(F.col(_TS).cast("double") - F.col(_RTS).cast("double"))
-        ok = F.col(_RTS).isNotNull() & (gap <= F.lit(float(tolerance)))
+        gap = F.abs(
+            F.col(_TS).cast("double")
+            - F.col(f"{_PKT}.__rts").cast("double")
+        )
+        ok = F.col(_PKT).isNotNull() & (gap <= F.lit(float(tolerance)))
         res = res.select(
-            *keys,
-            _TS,
-            _ISL,
-            *lpay,
-            *[
-                F.when(ok, F.col(out_names[c])).alias(out_names[c])
-                for c in rpay
-            ],
-            F.when(ok, F.col(_RTS)).alias(_RTS),
+            *keys, _TS, _ISL, *lpay, F.when(ok, F.col(_PKT)).alias(_PKT)
         )
 
     if how == "inner":
-        res = res.filter(F.col(_RTS).isNotNull())
+        res = res.filter(F.col(_PKT).isNotNull())
 
     return res.select(
         *keys,
         F.col(_TS).alias(left_ts),
         *lpay,
-        F.col(_RTS).alias(rts_out),
-        *[F.col(out_names[c]) for c in rpay],
+        F.col(f"{_PKT}.__rts").alias(rts_out),
+        *[F.col(f"{_PKT}.{out_names[c]}").alias(out_names[c]) for c in rpay],
     )

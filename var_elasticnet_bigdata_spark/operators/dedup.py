@@ -116,8 +116,26 @@ def shingle_hashes_from_words(words_sql: str, n: int = 3) -> str:
     )
 
 
-NORM_SQL_SPARK = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
-NORM_SQL_DUCK = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+def norm_sql_spark(col: str = "text") -> str:
+    """The shared normalization as a Spark SQL expression over a named
+    column — generate per column instead of string-replacing into the
+    constant (which would rewrite ANY occurrence of the substring)."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}),"
+        " '[^a-z0-9 ]', ' '), ' +', ' '))"
+    )
+
+
+def norm_sql_duck(col: str = "text") -> str:
+    """DuckDB twin of `norm_sql_spark` (RE2 needs the 'g' flag)."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}),"
+        " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+NORM_SQL_SPARK = norm_sql_spark()
+NORM_SQL_DUCK = norm_sql_duck()
 
 
 def duck_shingle_hashes(n: int = 3) -> str:

@@ -319,9 +319,12 @@ def seed_centroids(
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    nrm = F.sqrt(
-        F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
-    )
+    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+    # zero vectors divide by 1 (contributing zeros, like ivf_assign's
+    # norms[norms == 0] = 1.0). NOTE: the SQL oracle twin
+    # (ann_ivf_fixed), like every ann_* oracle, assumes no zero
+    # vectors in the corpus — this guard is operator robustness only.
+    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
     normed = v.select(
         (F.col(id_col) % nlist).cast("int").alias("cell"),
         F.transform("__v", lambda x: x / nrm).alias("e"),
@@ -332,6 +335,11 @@ def seed_centroids(
         .agg(F.round(F.avg("x"), round_dp).alias("cx"))
         .collect()
     )
+    if not comp:
+        raise ValueError(
+            f"seed_centroids: no vectors to train on ({id_col}/{vec_col} "
+            "input is empty)"
+        )
     dim = max(r["pos"] for r in comp) + 1
     C = np.zeros((nlist, dim), dtype=np.float64)
     for r in comp:

@@ -23,17 +23,30 @@ from pyspark.sql import functions as F
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     """(name, upper-bound hex bucket) pairs, cumulative over the 256
-    buckets; the last split absorbs the rounding remainder."""
+    buckets; the last split absorbs the rounding remainder. Bounds
+    are quantized to 1/256 — a non-final bound that quantizes to 0 or
+    256 buckets would silently empty a split (and 256 has no 2-char
+    hex form, which would invert the lexical comparison), so both
+    raise instead."""
     if any(f <= 0 for f in fractions.values()):
         raise ValueError(f"fractions must be positive: {fractions}")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
     out: list[tuple[str, str]] = []
+    prev = 0
+    names = list(fractions)
     acc = 0.0
-    for name, frac in fractions.items():
-        acc += frac
-        out.append((name, format(min(int(round(acc * 256)), 256), "02x")))
+    for i, name in enumerate(names):
+        acc += fractions[name]
+        bound = int(round(acc * 256)) if i < len(names) - 1 else 256
+        if i < len(names) - 1 and not prev < bound < 256:
+            raise ValueError(
+                f"split {name!r} bound {bound}/256 leaves no buckets for "
+                f"itself or a later split at 1/256 granularity: {fractions}"
+            )
+        prev = bound
+        out.append((name, format(min(bound, 256), "02x")))
     return out
 
 

@@ -168,11 +168,17 @@ def redact_pii(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame
 
 
 def pii_counts(col: str) -> Column:
-    """Total PII hits in ``col`` (counted on the raw text, per
-    pattern, before any replacement)."""
+    """Total PII spans in ``col``: each pattern is counted on the text
+    AFTER the previous patterns were redacted (mirroring the
+    `redact_pii` chain), so a span matching two categories — e.g. a
+    long digit run inside an email local part that also looks
+    phone-shaped — is counted once, as the category that actually
+    replaces it."""
     total = F.lit(0)
-    for _, pat, _ in PII_PATTERNS:
-        total = total + F.regexp_count(F.col(col), F.lit(pat))
+    c: Column = F.col(col)
+    for _, pat, repl in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, repl)
     return total
 
 
@@ -193,10 +199,15 @@ def unigram_logprob(
     100 TB the vocabulary aggregation is an ordinary combinable
     group-by and the score join shuffles (token, doc) pairs once.
     Returns ``(id_col, n_tokens, logprob)``."""
-    norm = F.expr(NORM_SQL_SPARK.replace("text", text_col))
+    from .dedup import norm_sql_spark
+
+    norm = F.expr(norm_sql_spark(text_col))
     toks = (
         df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok"))
         .filter(F.col("tok") != "")
+        # consumed by BOTH the vocab group-by and the score join: one
+        # materialization instead of two normalize+explode corpus scans
+        .persist()
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("tot"))

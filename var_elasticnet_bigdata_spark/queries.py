@@ -1830,12 +1830,14 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_pii_oracle() -> None:
     from .operators.text import PII_PATTERNS
 
-    counts = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
-    )
+    # counts mirror pii_counts: each pattern counted on the text AFTER
+    # the previous patterns' redaction, so a span is counted once
+    terms = []
     red = "text"
     for _, pat, repl in PII_PATTERNS:
+        terms.append(f"len(regexp_extract_all({red}, '{pat}'))")
         red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = " + ".join(terms)
     ORACLE["text_pii_redaction"] = f"""
         WITH aug AS (
           SELECT doc_id,
