@@ -1,0 +1,155 @@
+"""Lexical retrieval over the document corpus: Okapi BM25 scoring
+and top-k ranking for a fixed query-term set (beyond-reference
+surface — the retrieval/quality-ranking step of a training-data
+pipeline, e.g. scoring documents against a "high quality" seed
+query before sampling).
+
+Scale design: the per-document token work is narrow; the only
+exploded rows are tokens that MATCH the query terms (the isin filter
+sits under the explode's generator output before any shuffle, so the
+term-frequency group-by shuffles a few rows per matching doc, not the
+corpus's full token stream). Document frequencies per term reduce to
+at most ``len(terms)`` rows and broadcast back; corpus stats (N,
+avgdl) are one scalar aggregate broadcast into the score expression.
+The final top-k is a ``TakeOrderedAndProject`` — no global sort.
+
+Determinism contract for the oracle gate: scores are ROUNDED to 6 dp
+BEFORE ranking and ties break on ``doc_id``, so Spark and DuckDB
+pick identical top-k sets even under 1-ulp float drift.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 against ``query_terms``.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Returns ``(doc_id, n_terms, bm25)`` with ``bm25`` rounded to
+    6 dp (ranking happens on the rounded value — see module note).
+    """
+    from .dedup import norm_sql_spark
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"size({words})").alias("dl"),
+        F.explode(F.expr(words)).alias("tok"),
+    ).filter(F.col("tok").isin(query_terms))
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.expr(f"size({words})")).alias("avgdl"),
+    )
+    tf = toks.groupBy(id_col, "tok", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def duck_bm25_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``bm25_topk`` — identical formula, rounding,
+    and tie-break."""
+    from .dedup import NORM_SQL_DUCK
+
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+        WITH w AS (
+          SELECT {id_col},
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '), x -> x <> '') AS toks
+          FROM {table}),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM w),
+        tf AS (
+          SELECT {id_col}, len(toks) AS dl, t.tok, COUNT(*) AS tf
+          FROM w, UNNEST(toks) AS t(tok)
+          WHERE t.tok IN ({terms})
+          GROUP BY 1, 2, 3),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT {id_col}, COUNT(*) AS n_terms,
+               ROUND(SUM(
+                 LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * tf.tf * {k1 + 1.0}
+                 / (tf.tf + {k1} * ({1.0 - b} + {b} * tf.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+        GROUP BY {id_col}
+        ORDER BY bm25 DESC, {id_col}
+        LIMIT {k}
+    """
+
+
+def bm25_reference(
+    docs: list[tuple[int, list[str]]],
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict[int, float]:
+    """Plain-Python oracle for unit tests: exact BM25 per doc id."""
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    dfreq = {
+        t: sum(1 for _, toks in docs if t in toks) for t in query_terms
+    }
+    out: dict[int, float] = {}
+    for doc_id, toks in docs:
+        s = 0.0
+        dl = len(toks)
+        for t in query_terms:
+            tf = toks.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        if s > 0:
+            out[doc_id] = s
+    return out

@@ -81,3 +81,89 @@ def duck_split_sql(id_col: str, fractions: dict[str, float] | None = None) -> st
     for name, hi in reversed(thresholds[:-1]):
         sql = f"CASE WHEN {b} < '{hi}' THEN '{name}' ELSE {sql} END"
     return sql
+
+
+def split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    train_split: str = "train",
+    eval_split: str = "test",
+    fractions: dict[str, float] | None = None,
+    split_col: str | None = None,
+) -> DataFrame:
+    """Train→eval contamination check: for every document in the
+    ``eval_split``, the fraction of its word ``n``-grams that also
+    occur anywhere in the ``train_split`` — the standard
+    decontamination scan run before an eval set is trusted.
+
+    Pass ``split_col`` to reuse an existing label column; otherwise
+    the deterministic ``hash_split`` assignment is applied.
+
+    Scale: shingles are computed narrowly per row (staged md5
+    pipeline from ``operators.dedup``); the train side is reduced to
+    a DISTINCT shingle-hash set (combinable aggregate) and the only
+    shuffle is on the uniform shingle hash — never a doc×doc
+    comparison. At 100 TB this is one hash-keyed left join between
+    an exploded eval side and the train shingle set.
+
+    Returns ``(id_col, n_shingles, n_hit, hit_ratio)`` per eval doc.
+    """
+    from .dedup import with_shingle_hashes
+
+    if split_col is None:
+        df = hash_split(df, id_col, fractions)
+        split_col = "split"
+    sh = with_shingle_hashes(df, n=n).select(
+        F.col(id_col), F.col(split_col).alias("__split"), F.col("__sh")
+    )
+    # shingle arrays are array_distinct per doc, so explode yields
+    # one row per (doc, distinct shingle)
+    train_set = (
+        sh.filter(F.col("__split") == train_split)
+        .select(F.explode("__sh").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("__split") == eval_split).select(
+        F.col(id_col), F.explode("__sh").alias("s")
+    )
+    return (
+        ev.join(train_set, "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.avg(F.coalesce(F.col("hit"), F.lit(0)).cast("double")).alias("hit_ratio"),
+        )
+    )
+
+
+def duck_contamination_sql(
+    id_col: str = "doc_id",
+    n: int = 8,
+    train_split: str = "train",
+    eval_split: str = "test",
+    fractions: dict[str, float] | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``split_contamination`` (same split rule, same
+    shingle hashes, same left-join accounting)."""
+    from .dedup import duck_shingle_hashes
+
+    return f"""
+        WITH lab AS (
+          SELECT {id_col}, {duck_split_sql(id_col, fractions)} AS split,
+                 {duck_shingle_hashes(n)} AS sh
+          FROM {table}),
+        tr AS (SELECT DISTINCT t.s FROM lab, UNNEST(sh) AS t(s)
+               WHERE split = '{train_split}'),
+        te AS (SELECT {id_col}, t.s FROM lab, UNNEST(sh) AS t(s)
+               WHERE split = '{eval_split}')
+        SELECT te.{id_col}, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               AVG(CASE WHEN tr.s IS NOT NULL THEN 1.0 ELSE 0.0 END) AS hit_ratio
+        FROM te LEFT JOIN tr ON te.s = tr.s
+        GROUP BY te.{id_col}
+    """

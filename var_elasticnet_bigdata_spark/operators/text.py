@@ -220,3 +220,86 @@ def unigram_logprob(
             F.avg(F.log(F.col("cnt") / F.col("tot"))).alias("logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-size token chunking — documents into training sequences
+# ---------------------------------------------------------------------------
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack each document into fixed-size token chunks — the
+    document→training-sequence step of an LLM data pipeline
+    (optionally overlapping via ``stride`` < ``chunk_size``).
+
+    Chunk ``k`` (1-based) covers tokens
+    ``[(k-1)*stride + 1, (k-1)*stride + chunk_size]``; the number of
+    chunks is ``1 + max(ceil((n_tokens - chunk_size)/stride), 0)`` so
+    every token is covered and a short/empty document still yields
+    exactly one (possibly short) chunk.
+
+    Scale: entirely narrow — normalize → split → per-row sequence
+    explode → slice; no shuffle, whole-stage codegen end to end. The
+    emitted ``chunk_key`` is the md5 of the chunk text so downstream
+    exact-dedup of sequences is a plain hash group-by without carrying
+    the strings.
+    """
+    from .dedup import norm_sql_spark
+
+    if stride is None:
+        stride = chunk_size
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError(f"chunk_size/stride must be positive: {chunk_size}, {stride}")
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    n_chunks = (
+        f"1 + greatest(cast(ceil((size(__w) - {chunk_size}) / cast({stride} as double)) as int), 0)"
+    )
+    return (
+        df.withColumn("__w", F.expr(words))
+        .withColumn("chunk_id", F.explode(F.expr(f"sequence(1, {n_chunks})")))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.expr(f"slice(__w, (chunk_id - 1) * {stride} + 1, {chunk_size})").alias("__c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size("__c").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "__c")).alias("chunk_key"),
+        )
+    )
+
+
+def duck_chunk_sql(
+    chunk_size: int = 32,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``chunk_tokens`` (same chunk-count formula,
+    1-based inclusive ``list_slice``)."""
+    from .dedup import NORM_SQL_DUCK
+
+    if stride is None:
+        stride = chunk_size
+    return f"""
+        WITH w AS (
+          SELECT {id_col},
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '), x -> x <> '') AS toks
+          FROM {table}),
+        c AS (
+          SELECT {id_col}, CAST(t.i AS INT) AS chunk_id,
+                 list_slice(toks, (t.i - 1) * {stride} + 1,
+                            (t.i - 1) * {stride} + {chunk_size}) AS ch
+          FROM w, UNNEST(range(1, 2 + greatest(CAST(ceil((len(toks) - {chunk_size}) / CAST({stride} AS DOUBLE)) AS BIGINT), 0))) AS t(i))
+        SELECT {id_col}, chunk_id, CAST(len(ch) AS INT) AS n_tokens,
+               md5(array_to_string(ch, ' ')) AS chunk_key
+        FROM c
+    """

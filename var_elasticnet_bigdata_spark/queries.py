@@ -2932,6 +2932,83 @@ def stat_hosking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("test", "lag")
 
 
+@query("text_chunking", None)  # oracle registered below
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap
+    (`operators/text.chunk_tokens`): documents → 32-token training
+    sequences at stride 24 — entirely narrow (sequence-explode +
+    slice, no shuffle); chunk identity travels as an md5 key so
+    sequence-level dedup downstream is a plain hash group-by."""
+    from .operators.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, chunk_size=32, stride=24)
+
+
+def _register_chunk_oracle() -> None:
+    from .operators.text import duck_chunk_sql
+
+    ORACLE["text_chunking"] = duck_chunk_sql(chunk_size=32, stride=24)
+
+
+_register_chunk_oracle()
+
+
+@query("split_contamination", None)  # oracle registered below
+def split_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test decontamination scan
+    (`operators/split.split_contamination`): per test-split document,
+    the fraction of its word 8-grams that occur anywhere in the
+    train split. Train side reduces to a DISTINCT shingle-hash set;
+    the only shuffle is the uniform shingle-hash left join — never
+    doc×doc."""
+    from .operators.split import split_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = split_contamination(docs, n=8)
+    return res.select(
+        "doc_id", "n_shingles", "n_hit", r6(F.col("hit_ratio")).alias("hit_ratio")
+    )
+
+
+def _register_contamination_oracle() -> None:
+    from .operators.split import duck_contamination_sql
+
+    sql = duck_contamination_sql(n=8)
+    ORACLE["split_contamination"] = f"""
+        SELECT doc_id, n_shingles, n_hit, ROUND(hit_ratio, 6) AS hit_ratio
+        FROM ({sql})
+    """
+
+
+_register_contamination_oracle()
+
+
+@query("text_bm25_topk", None)  # oracle registered below
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (`operators/retrieval.bm25_topk`)
+    for a fixed query-term set: only query-matching tokens survive
+    the explode, document frequencies broadcast back, final top-k is
+    TakeOrderedAndProject. Scores round to 6 dp BEFORE ranking with a
+    doc_id tie-break so both engines pick identical sets."""
+    from .operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=10)
+
+
+BM25_TERMS = ["spark", "window", "merge", "sort"]
+
+
+def _register_bm25_oracle() -> None:
+    from .operators.retrieval import duck_bm25_sql
+
+    ORACLE["text_bm25_topk"] = duck_bm25_sql(BM25_TERMS, k=10)
+
+
+_register_bm25_oracle()
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
