@@ -1,0 +1,190 @@
+"""Unit tests for repetition scoring, regex tokenization, and
+deterministic stratified sampling."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# repetition_score
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_extremes(spark):
+    from var_elasticnet_bigdata_spark.operators.text import repetition_score
+
+    rows = {
+        r.doc_id: r
+        for r in repetition_score(
+            _docs(
+                spark,
+                [
+                    (1, "spam spam spam spam spam spam"),  # fully repeated
+                    (2, "a b c d e f g"),  # all bigrams distinct
+                ],
+            ),
+            n=2,
+        ).collect()
+    }
+    # doc 1: 5 bigrams, all "spam spam" → 1 distinct → dup_frac 0.8
+    assert rows[1].n_ngrams == 5
+    assert rows[1].dup_frac == pytest.approx(0.8)
+    assert rows[2].dup_frac == pytest.approx(0.0)
+
+
+def test_repetition_short_doc_is_zero(spark):
+    from var_elasticnet_bigdata_spark.operators.text import repetition_score
+
+    r = repetition_score(_docs(spark, [(1, "one")]), n=2).collect()[0]
+    assert r.n_ngrams == 1
+    assert r.dup_frac == pytest.approx(0.0)
+
+
+def test_repetition_partial(spark):
+    from var_elasticnet_bigdata_spark.operators.text import repetition_score
+
+    # "x y x y z": bigrams [x y, y x, x y, y z] → 4 total, 3 distinct
+    r = repetition_score(_docs(spark, [(1, "x y x y z")]), n=2).collect()[0]
+    assert r.n_ngrams == 4
+    assert r.dup_frac == pytest.approx(0.25)
+
+
+# ---------------------------------------------------------------------------
+# regex_token_stats
+# ---------------------------------------------------------------------------
+
+
+def test_regex_tokens_classification(spark):
+    import hashlib
+
+    from var_elasticnet_bigdata_spark.operators.text import regex_token_stats
+
+    r = regex_token_stats(
+        _docs(spark, [(1, "Call me at 555-1234, ok?")])
+    ).collect()[0]
+    # lower → call me at 555 - 1234 , ok ?
+    toks = ["call", "me", "at", "555", "-", "1234", ",", "ok", "?"]
+    assert r.n_tokens == 9
+    assert r.n_alpha == 4
+    assert r.n_num == 2
+    assert r.n_punct == 3
+    assert r.tok_key == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+def test_regex_tokens_whitespace_never_tokenized(spark):
+    from var_elasticnet_bigdata_spark.operators.text import regex_token_stats
+
+    r = regex_token_stats(_docs(spark, [(1, "a  \t b \n c")])).collect()[0]
+    assert r.n_tokens == 3
+    assert r.n_alpha == 3
+    assert r.n_punct == 0
+
+
+def test_regex_tokens_empty(spark):
+    from var_elasticnet_bigdata_spark.operators.text import regex_token_stats
+
+    r = regex_token_stats(_docs(spark, [(1, "")])).collect()[0]
+    assert (r.n_tokens, r.n_alpha, r.n_num, r.n_punct) == (0, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def _lang_docs(spark, n=2000):
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stratified_rates_approximate(spark):
+    from var_elasticnet_bigdata_spark.operators.split import stratified_sample
+
+    df = _lang_docs(spark)
+    out = (
+        stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}, "doc_id")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    got = {r.lang: r["count"] for r in out}
+    # ~667 docs per lang; md5 buckets are uniform
+    assert got["en"] == pytest.approx(667 * 0.5, rel=0.2)
+    assert got["de"] == pytest.approx(667 * 0.1, rel=0.5)
+    assert "fr" not in got  # default_rate=0 drops unlisted strata
+
+
+def test_stratified_samples_nest(spark):
+    """The 10% sample is a subset of the 50% sample (thresholds nest)."""
+    from var_elasticnet_bigdata_spark.operators.split import stratified_sample
+
+    df = _lang_docs(spark)
+    lo = {
+        r.doc_id
+        for r in stratified_sample(df, "lang", {"en": 0.1}, "doc_id").collect()
+    }
+    hi = {
+        r.doc_id
+        for r in stratified_sample(df, "lang", {"en": 0.5}, "doc_id").collect()
+    }
+    assert lo <= hi
+    assert len(lo) < len(hi)
+
+
+def test_stratified_independent_of_hash_split(spark):
+    """The salted sampling key decorrelates from hash_split: a 10%
+    en-sample must NOT land entirely inside one split."""
+    from var_elasticnet_bigdata_spark.operators.split import (
+        hash_split,
+        stratified_sample,
+    )
+
+    df = hash_split(_lang_docs(spark), "doc_id")
+    out = stratified_sample(df, "lang", {"en": 0.2}, "doc_id")
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert len(splits) >= 2
+
+
+def test_stratified_rate_one_keeps_all(spark):
+    from var_elasticnet_bigdata_spark.operators.split import stratified_sample
+
+    df = _lang_docs(spark, n=300)
+    kept = stratified_sample(df, "lang", {"en": 1.0}, "doc_id").count()
+    assert kept == df.filter("lang = 'en'").count()
+
+
+def test_stratified_rejects_bad_rate(spark):
+    from var_elasticnet_bigdata_spark.operators.split import stratified_sample
+
+    with pytest.raises(ValueError):
+        stratified_sample(_lang_docs(spark, 10), "lang", {"en": 1.5}, "doc_id")
+
+
+def test_stratified_matches_duck_predicate(spark, duck):
+    from var_elasticnet_bigdata_spark.operators.split import (
+        duck_stratified_sample_sql,
+        stratified_sample,
+    )
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    got = {
+        r.doc_id
+        for r in stratified_sample(
+            docs, "lang", {"en": 0.3, "de": 0.7}, "doc_id", default_rate=0.05
+        ).collect()
+    }
+    pred = duck_stratified_sample_sql(
+        "lang", {"en": 0.3, "de": 0.7}, "doc_id", default_rate=0.05
+    )
+    want = {
+        d for (d,) in duck.execute(
+            f"SELECT doc_id FROM documents WHERE {pred}"
+        ).fetchall()
+    }
+    assert got == want

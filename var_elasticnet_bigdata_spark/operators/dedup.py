@@ -104,6 +104,46 @@ def with_shingle_hashes(df: DataFrame, n: int = 3, out_col: str = "__sh") -> Dat
     ).drop("__words")
 
 
+def exploded_shingle_hashes(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    out_col: str = "s",
+) -> DataFrame:
+    """One output row per (input row, DISTINCT shingle hash), with all
+    other columns carried through.
+
+    Plan-shape contract: the expensive steps are staged as separate
+    projections (normalize→split, then string shingles) and the final
+    md5 transform stays INSIDE the explode child as a lambda.
+    ``InferFiltersFromGenerate`` only infers a ``size(child) > 0``
+    filter for lambda-free generator children; when the child is a
+    plain column reference, predicate pushdown then re-inlines the
+    entire shingle pipeline into a scan-level Filter — including
+    re-evaluating the normalize+split per lambda element — measured
+    12.2 s vs 1.2 s on the sf0.1 documents table. Keeping a lambda in
+    the child suppresses the (always-true here: ``greatest(..,1)``
+    guarantees ≥1 shingle) inferred filter entirely."""
+    shing = (
+        f"array_distinct(transform(sequence(1, greatest(size(__words)-{n}+1, 1)),"
+        f" i -> concat_ws(' ', slice(__words, i, {n}))))"
+    )
+    return (
+        df.withColumn("__words", F.split(normalized_text(text_col), " "))
+        .withColumn("__ss", F.expr(shing))
+        .drop("__words")
+        .select(
+            "*",
+            F.explode(
+                F.expr(
+                    "transform(__ss, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"
+                )
+            ).alias(out_col),
+        )
+        .drop("__ss")
+    )
+
+
 def shingle_hashes_from_words(words_sql: str, n: int = 3) -> str:
     """Shingle-hash array expression over a pre-split word-array
     expression (pass a staged column name to keep trees small)."""

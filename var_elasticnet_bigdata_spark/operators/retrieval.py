@@ -48,14 +48,22 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
-    toks = df.select(
+    terms_sql = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    # stage the word array once; explode only the query-matching
+    # tokens (a lambda-bearing explode child also keeps
+    # InferFiltersFromGenerate from re-inlining the pipeline into a
+    # scan filter — see dedup.exploded_shingle_hashes)
+    base = df.withColumn("__w", F.expr(words))
+    toks = base.select(
         F.col(id_col),
-        F.expr(f"size({words})").alias("dl"),
-        F.explode(F.expr(words)).alias("tok"),
-    ).filter(F.col("tok").isin(query_terms))
-    stats = df.select(
+        F.expr("size(__w)").alias("dl"),
+        F.explode(
+            F.expr(f"filter(__w, t -> t IN ({terms_sql}))")
+        ).alias("tok"),
+    )
+    stats = base.select(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.expr(f"size({words})")).alias("avgdl"),
+        F.avg(F.expr("size(__w)")).alias("avgdl"),
     )
     tf = toks.groupBy(id_col, "tok", "dl").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

@@ -110,25 +110,29 @@ def split_contamination(
 
     Returns ``(id_col, n_shingles, n_hit, hit_ratio)`` per eval doc.
     """
-    from .dedup import with_shingle_hashes
+    from .dedup import exploded_shingle_hashes
 
     if split_col is None:
         df = hash_split(df, id_col, fractions)
         split_col = "split"
-    sh = with_shingle_hashes(df, n=n).select(
-        F.col(id_col), F.col(split_col).alias("__split"), F.col("__sh")
+    # exploded_shingle_hashes (not explode-of-__sh): a lambda-free
+    # explode child makes InferFiltersFromGenerate re-inline the whole
+    # shingle pipeline into a scan-level filter — 10× (see dedup.py)
+    lab = df.select(
+        F.col(id_col), F.col(split_col).alias("__split"), F.col(text_col)
     )
     # shingle arrays are array_distinct per doc, so explode yields
     # one row per (doc, distinct shingle)
+    sh = exploded_shingle_hashes(lab, n=n, text_col=text_col, out_col="s").select(
+        id_col, "__split", "s"
+    )
     train_set = (
         sh.filter(F.col("__split") == train_split)
-        .select(F.explode("__sh").alias("s"))
+        .select("s")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    ev = sh.filter(F.col("__split") == eval_split).select(
-        F.col(id_col), F.explode("__sh").alias("s")
-    )
+    ev = sh.filter(F.col("__split") == eval_split).select(F.col(id_col), "s")
     return (
         ev.join(train_set, "s", "left")
         .groupBy(id_col)
@@ -167,3 +171,68 @@ def duck_contamination_sql(
         FROM te LEFT JOIN tr ON te.s = tr.s
         GROUP BY te.{id_col}
     """
+
+
+def sample_bucket_expr(id_col: str, salt: str = "sample") -> Column:
+    """65536-bucket hex sampling key. SALTED (md5 over
+    ``salt || ':' || id``) so sampling decisions are independent of
+    the ``hash_split`` assignment, which hashes the bare id — with an
+    unsalted key a 10% sample would drain entirely from the 'train'
+    bucket range."""
+    key = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    return F.substring(F.md5(key), 1, 4)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its salted
+    md5 bucket (of 65536) falls below the stratum's rate threshold.
+    Unlike ``df.sampleBy`` the decision is a pure function of the id
+    — stable across runs, engines, cluster layouts, and backfills,
+    and a resampled superset at a higher rate CONTAINS the lower-rate
+    sample (thresholds nest). Narrow, shuffle-free, codegen'd.
+
+    Rates quantize to 1/65536; strata absent from ``rates`` use
+    ``default_rate``.
+    """
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} out of [0,1]: {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate out of [0,1]: {default_rate}")
+    b = sample_bucket_expr(id_col, salt)
+    thr: Column = F.lit(_hex4(default_rate))
+    for name, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == name, F.lit(_hex4(rate))).otherwise(thr)
+    return df.filter(b < thr)
+
+
+def _hex4(rate: float) -> str:
+    # 65536 has no 4-hex-digit form; 'g000' sorts above every md5
+    # bucket so rate=1.0 keeps all rows
+    n = int(round(rate * 65536))
+    return "g000" if n >= 65536 else format(n, "04x")
+
+
+def duck_stratified_sample_sql(
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> str:
+    """The identical sampling predicate as DuckDB SQL."""
+    b = f"substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 4)"
+    sql = f"'{_hex4(default_rate)}'"
+    for name, rate in sorted(rates.items(), reverse=True):
+        sql = (
+            f"CASE WHEN {strata_col} = '{name}' THEN '{_hex4(rate)}' "
+            f"ELSE {sql} END"
+        )
+    return f"{b} < {sql}"

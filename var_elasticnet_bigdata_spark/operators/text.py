@@ -303,3 +303,122 @@ def duck_chunk_sql(
                md5(array_to_string(ch, ' ')) AS chunk_key
         FROM c
     """
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style duplicate n-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+def repetition_score(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate word-``n``-gram fraction WITHIN each document —
+    the Gopher/MassiveText repetition quality filter (boilerplate and
+    degenerate generations score high). ``dup_frac = 1 −
+    distinct/total`` over the doc's n-gram multiset.
+
+    Entirely narrow (split → transform → two sizes), no shuffle.
+    Returns ``(id_col, n_ngrams, dup_frac)``; short docs (< n tokens)
+    produce one partial n-gram and score 0.
+    """
+    from .dedup import norm_sql_spark
+
+    # stage words and grams as separate projections: inlining the
+    # split into the slice lambda re-evaluates normalize+split per
+    # n-gram (measured 13 s vs 1 s at sf0.1); multi-referenced
+    # non-cheap aliases are not collapsed by CollapseProject
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    grams = (
+        f"transform(sequence(1, greatest(size(__w) - {n} + 1, 1)),"
+        f" i -> concat_ws(' ', slice(__w, i, {n})))"
+    )
+    return (
+        df.withColumn("__w", F.expr(words))
+        .withColumn("__g", F.expr(grams))
+        .select(
+            F.col(id_col),
+            F.expr("size(__g)").alias("n_ngrams"),
+            F.expr(
+                "round(1.0 - size(array_distinct(__g)) / cast(size(__g) as double), 6)"
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def duck_repetition_sql(
+    n: int = 2, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB twin of ``repetition_score``."""
+    words = f"list_filter(string_split({NORM_SQL_DUCK}, ' '), x -> x <> '')"
+    grams = (
+        f"list_transform(range(1, greatest(len({words}) - {n} + 1, 1) + 1),"
+        f" i -> array_to_string(list_slice({words}, i, i + {n} - 1), ' '))"
+    )
+    return f"""
+        SELECT {id_col}, CAST(len(g) AS INT) AS n_ngrams,
+               ROUND(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6) AS dup_frac
+        FROM (SELECT {id_col}, {grams} AS g FROM {table})
+    """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization — subword-style token statistics
+# ---------------------------------------------------------------------------
+
+# letter runs | digit runs | single non-alnum mark (GPT-2-pretokenizer
+# flavored, restricted to the Java∩RE2 common syntax so the Spark
+# expression and the DuckDB twin compile the same automaton)
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def regex_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token statistics under a BPE-ish pre-tokenizer regex (letter
+    runs, digit runs, isolated punctuation marks) — the
+    token-budget estimator of a training-data pipeline when the real
+    BPE vocab isn't in the loop. Narrow, codegen'd, no shuffle.
+
+    Returns ``(id_col, n_tokens, n_alpha, n_num, n_punct,
+    tok_key)`` where ``tok_key`` is the md5 of the joined token
+    stream (so tokenization equality across engines is part of the
+    hash gate, not just the counts).
+    """
+    # Spark SQL string literals process backslash escapes (DuckDB's
+    # don't), so the pattern's \s must be doubled HERE only
+    pat = BPE_ISH_PATTERN.replace("\\", "\\\\")
+    toks = f"regexp_extract_all(lower({text_col}), '{pat}', 0)"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"size(filter({toks}, t -> t rlike '^[a-z]+$'))"
+        ).alias("n_alpha"),
+        F.expr(
+            f"size(filter({toks}, t -> t rlike '^[0-9]+$'))"
+        ).alias("n_num"),
+        F.expr(
+            f"size(filter({toks}, t -> t rlike '^[^a-z0-9\\\\s]$'))"
+        ).alias("n_punct"),
+        F.expr(f"md5(concat_ws(' ', {toks}))").alias("tok_key"),
+    )
+
+
+def duck_regex_token_sql(
+    id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB twin of ``regex_token_stats``."""
+    toks = f"regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')"
+    return f"""
+        SELECT {id_col},
+               CAST(len(t) AS INT) AS n_tokens,
+               CAST(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) AS INT) AS n_alpha,
+               CAST(len(list_filter(t, x -> regexp_full_match(x, '[0-9]+'))) AS INT) AS n_num,
+               CAST(len(list_filter(t, x -> regexp_full_match(x, '[^a-z0-9\\s]'))) AS INT) AS n_punct,
+               md5(array_to_string(t, ' ')) AS tok_key
+        FROM (SELECT {id_col}, {toks} AS t FROM {table})
+    """

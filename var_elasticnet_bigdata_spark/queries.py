@@ -3009,6 +3009,82 @@ def _register_bm25_oracle() -> None:
 _register_bm25_oracle()
 
 
+@query("text_repetition", None)  # oracle registered below
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter
+    (`operators/text.repetition_score`): duplicate word-bigram
+    fraction per doc — narrow split/transform/size pipeline, no
+    shuffle."""
+    from .operators.text import repetition_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_score(docs, n=2)
+
+
+def _register_repetition_oracle() -> None:
+    from .operators.text import duck_repetition_sql
+
+    ORACLE["text_repetition"] = duck_repetition_sql(n=2)
+
+
+_register_repetition_oracle()
+
+
+@query("text_regex_tokens", None)  # oracle registered below
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenizer statistics
+    (`operators/text.regex_token_stats`): letter-run / digit-run /
+    punctuation token counts plus an md5 of the joined token stream,
+    so tokenization EQUALITY across engines sits inside the hash
+    gate. Narrow, codegen'd."""
+    from .operators.text import regex_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return regex_token_stats(docs)
+
+
+def _register_regex_token_oracle() -> None:
+    from .operators.text import duck_regex_token_sql
+
+    ORACLE["text_regex_tokens"] = duck_regex_token_sql()
+
+
+_register_regex_token_oracle()
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+
+
+@query("sample_stratified", None)  # oracle registered below
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling
+    (`operators/split.stratified_sample`): keep iff the SALTED md5
+    bucket of the doc id clears the language's rate threshold — a
+    pure function of the id, so samples nest across rates and agree
+    across engines (the returned per-doc rows pin exact
+    membership, not just counts)."""
+    from .operators.split import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", SAMPLE_RATES, "doc_id", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
+def _register_sample_oracle() -> None:
+    from .operators.split import duck_stratified_sample_sql
+
+    pred = duck_stratified_sample_sql(
+        "lang", SAMPLE_RATES, "doc_id", default_rate=0.1
+    )
+    ORACLE["sample_stratified"] = (
+        f"SELECT doc_id, lang FROM documents WHERE {pred}"
+    )
+
+
+_register_sample_oracle()
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
