@@ -188,3 +188,31 @@ def test_stratified_matches_duck_predicate(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regression: InferFiltersFromGenerate tax
+# ---------------------------------------------------------------------------
+
+
+def test_no_generate_inferred_normalize_filter(spark):
+    """No query plan may contain a Filter that re-evaluates the text
+    normalize pipeline inside a lambda (the InferFiltersFromGenerate
+    + pushdown re-inline signature; 10x at sf0.1)."""
+    from var_elasticnet_bigdata_spark import queries as Q
+
+    for name in (
+        "split_contamination",
+        "text_repetition",
+        "text_bm25_topk",
+        "text_unigram_logprob",
+        "text_chunking",
+    ):
+        df = Q.QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Filter" in line and "lambdafunction" in line:
+                assert "regexp_replace" not in line, (
+                    f"{name}: normalize pipeline re-inlined into a "
+                    f"Filter: {line[:200]}"
+                )

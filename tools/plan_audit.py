@@ -100,6 +100,24 @@ def audit(name: str, df) -> tuple[list[str], list[str]]:
             violations.append("un-partitioned Window (global sort)")
             break
 
+    # InferFiltersFromGenerate tax: a lambda-free explode child gets a
+    # size()>0 filter inferred, and predicate pushdown re-inlines the
+    # full expression chain into that Filter — if the chain contains
+    # the text-normalize pipeline inside a lambda, the filter
+    # re-evaluates regexp normalization PER ARRAY ELEMENT per row
+    # (measured 10× on the sf0.1 documents table). Keep a lambda in
+    # the explode child (dedup.exploded_shingle_hashes) to suppress it.
+    for m in re.finditer(r"\(\d+\) Filter[^\n]*\n(?:Input[^\n]*\n)?Condition : (.*)", plan):
+        cond = m.group(1)
+        if "lambdafunction" in cond and "regexp_replace" in cond:
+            violations.append(
+                "Filter re-evaluates a normalize pipeline per array "
+                "element (InferFiltersFromGenerate pushdown tax)"
+            )
+            break
+        if "regexp_replace" in cond:
+            notes.append("filter duplicates a normalize chain")
+
     for arrow in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
                   "FlatMapCoGroupsInPandas"):
         if arrow in plan:

@@ -201,10 +201,13 @@ def unigram_logprob(
     Returns ``(id_col, n_tokens, logprob)``."""
     from .dedup import norm_sql_spark
 
-    norm = F.expr(norm_sql_spark(text_col))
+    # empty-token filter INSIDE the explode child: same rows, and the
+    # lambda-bearing child suppresses InferFiltersFromGenerate's
+    # size()>0 filter, which pushdown would re-inline as a second
+    # normalize+split per row at the scan (see exploded_shingle_hashes)
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
     toks = (
-        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok"))
-        .filter(F.col("tok") != "")
+        df.select(F.col(id_col), F.explode(F.expr(words)).alias("tok"))
         # consumed by BOTH the vocab group-by and the score join: one
         # materialization instead of two normalize+explode corpus scans
         .persist()
