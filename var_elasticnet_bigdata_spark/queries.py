@@ -3085,6 +3085,54 @@ def _register_sample_oracle() -> None:
 _register_sample_oracle()
 
 
+@query(
+    "a7_incremental_rollup",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(value) AS cnt, ROUND(SUM(value), 6) AS total,
+           ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax,
+           ROUND(SUM(value) / COUNT(value), 6) AS avg
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (backfill-safe) aggregation
+    (`operators/incremental.py`): history and a late-arriving delta
+    are aggregated SEPARATELY into mergeable partials
+    (count/sum/min/max) and merged by key — O(delta + touched keys),
+    never a history rescan. The ORACLE is the full recompute, so
+    ``merge(partial(A), partial(B)) == partial(A ∪ B)`` is enforced
+    cross-engine by the hash gate itself."""
+    from .operators.incremental import (
+        finalize_rollup,
+        merge_rollup,
+        partial_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+        "ts",
+    )
+    cutoff = "2024-01-25"
+    hist = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    late = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    keys = ["event_type", "day"]
+    state = partial_rollup(hist, keys, "value")
+    merged = merge_rollup(state, partial_rollup(late, keys, "value"))
+    out = finalize_rollup(merged)
+    return out.select(
+        "event_type",
+        "day",
+        "cnt",
+        r6(F.col("total")).alias("total"),
+        r6(F.col("vmin")).alias("vmin"),
+        r6(F.col("vmax")).alias("vmax"),
+        r6(F.col("avg")).alias("avg"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
