@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from var_elasticnet_bigdata_spark.operators.multimodal import (
     attach_payloads,
-    decode_image,
+    decode_media,
     extract_features,
     fake_decode_features,
     sample_frames,
@@ -155,8 +155,11 @@ def test_multimodal_frame_sampling(spark):
 
 
 def test_real_decoder_seam_raises():
+    # compressed formats remain the codec seam; the 8-byte PNG magic
+    # must reach the dispatch (decode_media rejects shorter payloads
+    # as undecodable, not unimplemented)
     with pytest.raises(NotImplementedError, match="pillow"):
-        decode_image(b"\x89PNG")
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
 
 
 def test_stream_exact_dedup_matches_batch(spark):
