@@ -241,3 +241,94 @@ def test_bm25_rejects_empty_terms(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from var_elasticnet_bigdata_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    # 3 docs; "rare" only in doc 1, "common" in all
+    docs = _docs(
+        spark,
+        [
+            (1, "rare common common"),
+            (2, "common mid"),
+            (3, "common mid"),
+        ],
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    byid = {}
+    for r in rows:
+        byid.setdefault(r.doc_id, {})[r.tok] = (r.rank, r.tfidf)
+    # doc 1: rare tf=1 idf=ln(3/1); common tf=2 idf=ln(3/3)=0
+    assert byid[1]["rare"] == (1, pytest.approx(round(math.log(3), 6)))
+    assert byid[1]["common"][1] == pytest.approx(0.0)
+    # docs 2/3: mid tf=1 idf=ln(3/2) ranks first
+    assert byid[2]["mid"][0] == 1
+    assert byid[2]["mid"][1] == pytest.approx(round(math.log(1.5), 6))
+
+
+def test_tfidf_rank_is_per_doc_window(spark):
+    """k bounds EVERY doc's rows and the window is partitioned (no
+    global sort in the plan)."""
+    from var_elasticnet_bigdata_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    docs = _docs(spark, [(i, f"w{i} a b c d e f") for i in range(6)])
+    out = tfidf_top_terms(docs, k=2)
+    counts = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[.*?partitionBy=\[\]", plan):
+        raise AssertionError(f"global window: {m.group(0)[:120]}")
+
+
+# ---------------------------------------------------------------------------
+# chunk boundary grid (one Spark job per (size, stride) combo)
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(n_tokens, cs, st):
+    import math
+
+    n_chunks = 1 + max(math.ceil((n_tokens - cs) / st), 0)
+    return [
+        min(cs, max(n_tokens - k * st, 0)) for k in range(n_chunks)
+    ]
+
+
+@pytest.mark.parametrize("cs,st", [(8, 8), (8, 5), (5, 8), (1, 1), (16, 3)])
+def test_chunk_grid_matches_formula(spark, cs, st):
+    """For every doc length 0..40 in ONE DataFrame: per-chunk token
+    counts match the closed-form reference, chunks cover all tokens
+    (stride ≤ size), and chunk ids are dense from 1."""
+    from var_elasticnet_bigdata_spark.operators.text import chunk_tokens
+
+    docs = _docs(
+        spark,
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in range(0, 41)],
+    )
+    rows = chunk_tokens(docs, chunk_size=cs, stride=st).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.n_tokens
+    for n in range(0, 41):
+        want = _py_chunks(n, cs, st)
+        assert sorted(got[n]) == list(range(1, len(want) + 1)), (n, cs, st)
+        assert [got[n][i + 1] for i in range(len(want))] == want, (n, cs, st)
+        if st <= cs:  # full coverage when strides overlap or abut
+            covered = set()
+            for k in range(len(want)):
+                covered.update(range(k * st, k * st + want[k]))
+            assert covered == set(range(n)), (n, cs, st)

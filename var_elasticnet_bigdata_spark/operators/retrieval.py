@@ -161,3 +161,75 @@ def bm25_reference(
         if s > 0:
             out[doc_id] = s
     return out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword-extraction /
+    document-vector op of a text pipeline. ``score = tf · ln(N/df)``
+    with ``df`` = number of documents containing the term.
+
+    Scale: one token-keyed shuffle builds (doc, term, tf); document
+    frequencies reduce vocabulary-sized and join back on the uniform
+    term key; the final per-document rank is a window PARTITIONED by
+    document (never global). Scores round to 6 dp before ranking and
+    ties break on the term string, so engines agree on the exact
+    top-k set.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import norm_sql_spark
+
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(words)).alias("tok")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", "tfidf")
+    )
+
+
+def duck_tfidf_sql(
+    k: int = 3, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB twin of ``tfidf_top_terms``."""
+    from .dedup import NORM_SQL_DUCK
+
+    return f"""
+        WITH toks AS (
+          SELECT {id_col}, t.tok
+          FROM {table},
+               UNNEST(list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                                  x -> x <> '')) AS t(tok)),
+        n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+        tf AS (SELECT {id_col}, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.{id_col}, tf.tok,
+                 ROUND(tf.tf * LN(n.n_docs / dfreq.df), 6) AS tfidf
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        ranked AS (
+          SELECT {id_col}, tok, tfidf,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+                      ORDER BY tfidf DESC, tok) AS INT) AS rank
+          FROM scored)
+        SELECT {id_col}, rank, tok, tfidf FROM ranked WHERE rank <= {k}
+    """

@@ -3133,6 +3133,28 @@ def a7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_tfidf_topterms", None)  # oracle registered below
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction
+    (`operators/retrieval.tfidf_top_terms`): one token-keyed shuffle
+    for (doc, term, tf), vocabulary-sized df join-back, per-document
+    window rank (never global); scores rounded before ranking with a
+    term tie-break."""
+    from .operators.retrieval import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def _register_tfidf_oracle() -> None:
+    from .operators.retrieval import duck_tfidf_sql
+
+    ORACLE["text_tfidf_topterms"] = duck_tfidf_sql(k=3)
+
+
+_register_tfidf_oracle()
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
