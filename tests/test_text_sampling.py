@@ -216,3 +216,82 @@ def test_no_generate_inferred_normalize_filter(spark):
                     f"{name}: normalize pipeline re-inlined into a "
                     f"Filter: {line[:200]}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# composed training pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_training_pipeline_invariants(spark):
+    """Structural invariants on real testdata: only train-split docs
+    survive, every chunk is 1..32 tokens, chunk ids are dense, and
+    the pipeline is deterministic across runs."""
+    from var_elasticnet_bigdata_spark.operators.curation import (
+        training_pipeline,
+    )
+    from var_elasticnet_bigdata_spark.operators.split import hash_split
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = training_pipeline(docs).collect()
+    assert len(out) > 0
+    train_ids = {
+        r.doc_id
+        for r in hash_split(docs, "doc_id")
+        .filter("split = 'train'")
+        .select("doc_id")
+        .collect()
+    }
+    by_doc = {}
+    for r in out:
+        assert r.doc_id in train_ids
+        assert 1 <= r.n_tokens <= 32
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_id)
+    for cids in by_doc.values():
+        assert sorted(cids) == list(range(1, len(cids) + 1))
+    # deterministic
+    again = training_pipeline(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_training_pipeline_drops_planted_contamination(spark):
+    """A train doc that textually duplicates a test doc must be
+    removed by the decontamination stage (exact dedup can't catch it
+    when normalization differs, n-gram overlap does)."""
+    from var_elasticnet_bigdata_spark.operators.curation import (
+        training_pipeline,
+    )
+    from var_elasticnet_bigdata_spark.operators.split import hash_split
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    lab = hash_split(docs, "doc_id")
+    test_doc = (
+        lab.filter("split = 'test'")
+        .filter("length(text) > 120")
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .first()
+    )
+    # find a train id to carry the contaminated copy (append '!' so
+    # the normalized text matches the test doc but the raw differs)
+    train_id = next(
+        r.doc_id
+        for r in lab.filter("split = 'train'").select("doc_id").collect()
+    )
+    planted = spark.createDataFrame(
+        [(int(train_id) + 1_000_000, test_doc.text + "!!", "en", "planted", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # the planted id must land in 'train' for the test to be valid
+    planted_split = hash_split(planted, "doc_id").first().split
+    if planted_split != "train":
+        import pytest as _pytest
+
+        _pytest.skip("planted id hashed out of train; fixture-dependent")
+    out_ids = {
+        r.doc_id
+        for r in training_pipeline(docs.unionByName(planted)).collect()
+    }
+    assert int(train_id) + 1_000_000 not in out_ids

@@ -145,3 +145,116 @@ def corpus_stats(kept: DataFrame) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
     )
+
+
+def training_pipeline(
+    docs: DataFrame,
+    min_quality: float = 0.55,
+    min_tokens: int = 15,
+    contamination_n: int = 8,
+    contamination_max: float = 0.5,
+    sample_rates: dict[str, float] | None = None,
+    default_rate: float = 0.6,
+    chunk_size: int = 32,
+) -> DataFrame:
+    """The end-to-end TRAINING-DATA pipeline over a ``(doc_id, text,
+    lang)`` corpus — every stage one of the engine's oracled
+    operators, composed on ONE staged normalize/split pass:
+
+    1. quality + length scoring and filter (codegen'd expressions);
+    2. exact dedup (min-id survivor per content key, one hash
+       shuffle);
+    3. deterministic train/test assignment (``hash_split`` rule);
+    4. DECONTAMINATION: drop train docs whose ``contamination_n``-gram
+       overlap with the (deduped) test split exceeds
+       ``contamination_max`` — test-side shingles reduce to a DISTINCT
+       set, one uniform hash join, never doc×doc;
+    5. salted stratified sampling by ``lang``;
+    6. fixed-size token chunking (narrow sequence-explode + slice).
+
+    Returns the train-split training sequences:
+    ``(doc_id, chunk_id, n_tokens, chunk_key)``.
+    """
+    from .split import sample_bucket_expr, split_thresholds, stratified_sample
+
+    rates = sample_rates or {"en": 0.8, "de": 0.8}
+    staged = (
+        docs.withColumn("__norm", normalized_text())
+        .withColumn("__words", F.split(F.col("__norm"), " "))
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        "__norm",
+        "__words",
+        F.size("__words").alias("n_tokens"),
+        F.expr(quality_sql_spark("__norm", "__words")).alias("quality"),
+    )
+    filt = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    w = Window.partitionBy(F.md5("__norm"))
+    surv = (
+        filt.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id")
+    )
+    from .split import hash_split
+
+    lab = hash_split(surv, "doc_id").persist()
+    sh_expr = F.expr(shingle_hashes_from_words("__words", contamination_n))
+    # test-side distinct shingle set (the eval corpus to protect)
+    test_sh = (
+        lab.filter(F.col("split") == "test")
+        .withColumn("__ss", sh_expr)
+        .select(
+            F.explode(
+                F.expr("transform(__ss, s -> s)")  # lambda child: no
+                # inferred size() filter re-inlining (see dedup.py)
+            ).alias("s")
+        )
+        .distinct()
+        .withColumn("__in_test", F.lit(1))
+    )
+    train = lab.filter(F.col("split") == "train").withColumn("__ss", sh_expr)
+    tr_hits = (
+        train.select(
+            "doc_id",
+            F.explode(F.expr("transform(__ss, s -> s)")).alias("s"),
+        )
+        .join(test_sh, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.avg(F.coalesce(F.col("__in_test"), F.lit(0)).cast("double")).alias(
+                "__contam"
+            )
+        )
+        .filter(F.col("__contam") > contamination_max)
+    )
+    clean = train.join(tr_hits, "doc_id", "left_anti")
+    sampled = stratified_sample(clean, "lang", rates, "doc_id", default_rate)
+    # chunking from the staged words (empty tokens filtered, chunk
+    # semantics identical to text.chunk_tokens)
+    cs = chunk_size
+    sampled = sampled.withColumn(
+        "__cw", F.expr("filter(__words, w -> w <> '')")
+    )
+    n_chunks = (
+        f"1 + greatest(cast(ceil((size(__cw) - {cs}) / cast({cs} as double)) as int), 0)"
+    )
+    return (
+        sampled.withColumn(
+            "chunk_id", F.explode(F.expr(f"sequence(1, {n_chunks})"))
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.expr(f"slice(__cw, (chunk_id - 1) * {cs} + 1, {cs})").alias("__c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("__c").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "__c")).alias("chunk_key"),
+        )
+    )

@@ -3155,6 +3155,80 @@ def _register_tfidf_oracle() -> None:
 _register_tfidf_oracle()
 
 
+@query("pipeline_training_data", None)  # oracle registered below
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed TRAINING-DATA pipeline
+    (`operators/curation.training_pipeline`): quality/length filter →
+    exact dedup → hash split → train-side DECONTAMINATION against the
+    test split (distinct-shingle hash join) → salted stratified
+    sampling → fixed-size chunking. One staged normalize/split pass
+    feeds every stage; the DuckDB oracle replays all six stages."""
+    from .operators.curation import training_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_pipeline(docs)
+
+
+def _register_training_pipeline_oracle() -> None:
+    from .operators.dedup import NORM_SQL_DUCK, duck_shingle_hashes
+    from .operators.split import (
+        duck_split_sql,
+        duck_stratified_sample_sql,
+    )
+    from .operators.text import QUALITY_SQL_DUCK
+
+    sample_pred = duck_stratified_sample_sql(
+        "lang", {"en": 0.8, "de": 0.8}, "doc_id", default_rate=0.6
+    )
+    ORACLE["pipeline_training_data"] = f"""
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+                 len(string_split({NORM_SQL_DUCK}, ' ')) AS n_tokens,
+                 {QUALITY_SQL_DUCK} AS quality
+          FROM documents),
+        filt AS (SELECT * FROM scored
+                 WHERE quality >= 0.55 AND n_tokens >= 15),
+        keyed AS (SELECT *, md5({NORM_SQL_DUCK}) AS ck FROM filt),
+        winners AS (SELECT ck, MIN(doc_id) AS doc_id FROM keyed GROUP BY ck),
+        surv AS (SELECT k.* FROM keyed k
+                 JOIN winners w ON k.ck = w.ck AND k.doc_id = w.doc_id),
+        lab AS (SELECT *, {duck_split_sql("doc_id")} AS split FROM surv),
+        test_sh AS (
+          SELECT DISTINCT t.s
+          FROM (SELECT {duck_shingle_hashes(8)} AS sh FROM lab
+                WHERE split = 'test') x, UNNEST(sh) AS t(s)),
+        train_sh AS (
+          SELECT doc_id, t.s
+          FROM (SELECT doc_id, {duck_shingle_hashes(8)} AS sh FROM lab
+                WHERE split = 'train') x, UNNEST(sh) AS t(s)),
+        contam AS (
+          SELECT train_sh.doc_id
+          FROM train_sh LEFT JOIN test_sh ON train_sh.s = test_sh.s
+          GROUP BY 1
+          HAVING AVG(CASE WHEN test_sh.s IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                 > 0.5),
+        clean AS (
+          SELECT * FROM lab WHERE split = 'train'
+            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        sampled AS (SELECT * FROM clean WHERE {sample_pred}),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                             x -> x <> '') AS w
+          FROM sampled),
+        chunks AS (
+          SELECT doc_id, CAST(t.i AS INT) AS chunk_id,
+                 list_slice(w, (t.i - 1) * 32 + 1, (t.i - 1) * 32 + 32) AS ch
+          FROM toks, UNNEST(range(1, 2 + greatest(CAST(ceil((len(w) - 32) / 32.0) AS BIGINT), 0))) AS t(i))
+        SELECT doc_id, chunk_id, CAST(len(ch) AS INT) AS n_tokens,
+               md5(array_to_string(ch, ' ')) AS chunk_key
+        FROM chunks
+    """
+
+
+_register_training_pipeline_oracle()
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
