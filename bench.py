@@ -33,10 +33,16 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # one warmup to exclude JVM/codegen cold-start from the numbers
+    # warmups to exclude cold-start from the numbers: JVM/codegen
+    # (flagship) and the Python/Arrow worker pool (a no-op
+    # mapInPandas — otherwise the first ML query pays ~3 s of daemon
+    # startup that has nothing to do with its plan)
     Q.flagship_quarterly_revenue_growth(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.time()

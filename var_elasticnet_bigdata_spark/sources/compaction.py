@@ -1,0 +1,82 @@
+"""Small-files compaction for parquet layouts.
+
+At 100 TB the silent killer of scan throughput is file-count
+explosion: streaming micro-batches, per-task writes, and incremental
+appends leave thousands of KB-scale files per partition, so a scan
+pays a task (plus open/footer overhead) per tiny file and the
+NameNode/listing layer melts. Compaction rewrites a dataset into
+files near a target size WITHOUT changing its logical content.
+
+Design:
+
+- file count is derived from the MEASURED input bytes (post-filter,
+  parquet-compressed) over ``target_mb`` — not guessed;
+- un-partitioned data uses ``repartition(n)`` (round-robin — evenly
+  sized output files); partitioned data keeps its directory layout
+  (``partitionBy`` again) and spreads rows WITHIN each partition via
+  ``repartition(n, partition_cols..., rand-free salt on a stable
+  hash)`` — deterministic, no data movement across partitions;
+- ``maxRecordsPerFile`` is set as a hard upper bound so one skewed
+  task cannot emit a monster file;
+- content equality is the contract (tested): compaction is a pure
+  re-layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dir_bytes(path: str) -> int:
+    """Recursive on-disk byte count of a dataset directory."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def data_file_count(path: str) -> int:
+    """Number of data files (ignores _SUCCESS/metadata/hidden)."""
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith(("_", ".")) and f.endswith(".parquet"))
+    return n
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Rewrite the parquet dataset at ``src`` into ``dst`` with files
+    near ``target_mb``. Returns the file count it aimed for. Content
+    (rows, schema) is unchanged; layout (file count/sizes, and the
+    ``partition_cols`` directory tree if given) is normalized."""
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError("compact src and dst must differ (no in-place rewrite)")
+    df = spark.read.parquet(src)
+    n_files = max(1, -(-dir_bytes(src) // (target_mb * 1024 * 1024)))
+    writer_df: DataFrame
+    if partition_cols:
+        # deterministic spread inside each partition: hash of the
+        # remaining columns (stable, engine-side) instead of rand()
+        rest = [c for c in df.columns if c not in partition_cols]
+        writer_df = df.repartition(
+            n_files, *partition_cols, F.pmod(F.hash(*rest), F.lit(n_files))
+        )
+        w = writer_df.write.partitionBy(*partition_cols)
+    else:
+        writer_df = df.repartition(n_files)
+        w = writer_df.write
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.mode("overwrite").parquet(dst)
+    return n_files
