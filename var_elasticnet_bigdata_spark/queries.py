@@ -3229,6 +3229,31 @@ def _register_training_pipeline_oracle() -> None:
 _register_training_pipeline_oracle()
 
 
+@query("text_pack_sequences", None)  # oracle registered below
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (`operators/pack.pack_sequences`):
+    concatenate the corpus in doc-id order, cut 64-token sequences,
+    emit the (seq, doc, positions) pack manifest. Global token
+    offsets come from a two-phase DISTRIBUTED prefix sum
+    (range-partition cumsum + broadcast partition prefixes) — never a
+    single-partition global window; the result is provably
+    boundary-invariant, so the DuckDB oracle is the plain one-window
+    cumsum form."""
+    from .operators.pack import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=64)
+
+
+def _register_pack_oracle() -> None:
+    from .operators.pack import duck_pack_sql
+
+    ORACLE["text_pack_sequences"] = duck_pack_sql(capacity=64)
+
+
+_register_pack_oracle()
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
