@@ -43,6 +43,16 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: it, "x int"
     ).write.format("noop").mode("overwrite").save()
+    # cogroup/groupby Arrow paths initialize separately from
+    # mapInPandas — without these the first IVF (cogroup) and
+    # modeltrain (applyInPandas) queries carry the init cost
+    tiny = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    tiny.groupBy("k").applyInPandas(
+        lambda pdf: pdf, "k int, v double"
+    ).write.format("noop").mode("overwrite").save()
+    tiny.groupBy("k").cogroup(tiny.groupBy("k")).applyInPandas(
+        lambda a, b: a, "k int, v double"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.time()
