@@ -319,9 +319,13 @@ def connected_components(
     aggregate); rounds needed = cluster diameter, and near-dup
     clusters are shallow (pairs come from LSH verification — chains,
     not paths across the corpus). Lineage is truncated per round
-    with persist/unpersist so the plan doesn't grow with iterations;
-    convergence is detected by counting label changes (one tiny
-    action per round).
+    with persist/unpersist so the plan doesn't grow with iterations.
+
+    Convergence check: labels only ever DECREASE under min
+    propagation, so the label multiset is unchanged iff its exact sum
+    is unchanged — one aggregate on the already-persisted frame
+    instead of a labels⋈labels join per round (decimal(38,0) keeps
+    the sum exact at any id scale; measured −1 shuffle/round).
     """
     labels = nodes.select(F.col(id_col).alias("id")).withColumn(
         "comp", F.col("id")
@@ -332,6 +336,13 @@ def connected_components(
         .distinct()
         .persist()
     )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -343,17 +354,12 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("comp", "old"), "id"
-            )
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
