@@ -3254,6 +3254,57 @@ def _register_pack_oracle() -> None:
 _register_pack_oracle()
 
 
+@query(
+    "j6_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def j6_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join (the classic star-with-
+    same-nation theta edge): fact tables ``lineitem``/``orders``
+    shuffle on their join keys once; ``customer``/``supplier``/
+    ``nation``/``region`` broadcast (plan-asserted in
+    `tests/test_plans.py` family via the audit — no cartesian, dims
+    under the broadcast threshold). The s_nationkey = c_nationkey
+    equality rides the supplier broadcast join as an extra
+    condition, not a separate shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        r2(F.sum(li.l_extendedprice * (1 - li.l_discount))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
