@@ -86,3 +86,17 @@ def test_dir_bytes_counts_data_only(spark, tmp_path):
     import os
 
     assert any(f.startswith("_") for f in os.listdir(src))
+
+
+def test_compact_partition_cols_cover_schema_rejected(spark, tmp_path):
+    """partition_cols covering the whole schema fails fast with a
+    clear error (Spark's writer would reject it mid-job anyway)."""
+    src, dst = str(tmp_path / "allp"), str(tmp_path / "allpc")
+    (
+        spark.range(100)
+        .withColumn("cat", (F.col("id") % 2).cast("int"))
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="whole schema"):
+        compact(spark, src, dst, partition_cols=["id", "cat"])

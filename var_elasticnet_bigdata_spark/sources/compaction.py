@@ -69,6 +69,14 @@ def compact(
         # deterministic spread inside each partition: hash of the
         # remaining columns (stable, engine-side) instead of rand()
         rest = [c for c in df.columns if c not in partition_cols]
+        if not rest:
+            # Spark's parquet writer itself rejects partitioning by
+            # every column (ALL_PARTITION_COLUMNS_NOT_ALLOWED); fail
+            # here with actionable wording instead of mid-write
+            raise ValueError(
+                "partition_cols covers the whole schema; compaction "
+                "needs at least one data column to write"
+            )
         writer_df = df.repartition(
             n_files, *partition_cols, F.pmod(F.hash(*rest), F.lit(n_files))
         )
