@@ -100,3 +100,27 @@ def test_compact_partition_cols_cover_schema_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="whole schema"):
         compact(spark, src, dst, partition_cols=["id", "cat"])
+
+
+def test_compact_partitioned_global_file_budget(spark, tmp_path):
+    """The file budget is global: with n_files ≈ 4 over 3 partition
+    directories, each directory gets ~ceil(4/3) files — NOT 4 files
+    per directory (the salt-mod-n_files overshoot)."""
+    src, dst = str(tmp_path / "gfrag"), str(tmp_path / "gcompact")
+    (
+        spark.range(60_000)
+        .withColumn("cat", (F.col("id") % 3).cast("int"))
+        .withColumn("p1", F.md5(F.col("id").cast("string")))
+        .withColumn("p2", F.md5(F.concat(F.lit("x"), F.col("id").cast("string"))))
+        .repartition(48)
+        .write.partitionBy("cat")
+        .mode("overwrite")
+        .parquet(src)
+    )
+    n_target = compact(spark, src, dst, target_mb=1, partition_cols=["cat"])
+    assert n_target >= 2  # the fixture really is multi-file-budget
+    per_dir = -(-n_target // 3)
+    got = data_file_count(dst)
+    assert got <= 3 * per_dir, (n_target, got)
+    a, b = spark.read.parquet(src), spark.read.parquet(dst)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

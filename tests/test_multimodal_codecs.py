@@ -171,3 +171,21 @@ def test_resize_images_end_to_end(spark):
     )
     assert out[1].status.startswith("undecodable")  # WAV through image path
     assert out[1].payload is None
+
+
+def test_wav_zero_rate_header_is_undecodable(spark):
+    """A crafted WAV with sample-rate 0 must become a ValueError (and
+    a status row through Spark), not a ZeroDivisionError inside
+    feature extraction."""
+    payload = bytearray(encode_wav(_sine(100), 8000))
+    import struct
+
+    assert struct.unpack_from("<I", payload, 24)[0] == 8000
+    struct.pack_into("<I", payload, 24, 0)  # fmt-chunk sample rate
+    with pytest.raises(ValueError, match="corrupt WAV header"):
+        decode_wav(bytes(payload))
+    df = spark.createDataFrame(
+        [(9, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = extract_media_features(df).collect()[0]
+    assert r.status.startswith("undecodable")

@@ -95,3 +95,16 @@ def test_pack_rejects_bad_capacity(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark, [3]), capacity=0)
+
+
+def test_pack_null_text_doc_is_skipped(spark):
+    """NULL text behaves exactly like an empty doc: no rows, no
+    offset shift for later documents."""
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string"
+    )
+    from var_elasticnet_bigdata_spark.operators.pack import pack_sequences
+
+    rows = sorted(map(tuple, pack_sequences(docs, capacity=4).collect()))
+    # doc2 starts at global token 3: seq0 gets [a b c d], seq1 gets [e]
+    assert rows == [(0, 0, 0, 0, 3), (0, 2, 3, 0, 1), (1, 2, 0, 1, 1)]

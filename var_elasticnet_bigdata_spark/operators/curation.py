@@ -175,7 +175,7 @@ def training_pipeline(
     Returns the train-split training sequences:
     ``(doc_id, chunk_id, n_tokens, chunk_key)``.
     """
-    from .split import sample_bucket_expr, split_thresholds, stratified_sample
+    from .split import stratified_sample
 
     rates = sample_rates or {"en": 0.8, "de": 0.8}
     staged = (
@@ -233,28 +233,14 @@ def training_pipeline(
     )
     clean = train.join(tr_hits, "doc_id", "left_anti")
     sampled = stratified_sample(clean, "lang", rates, "doc_id", default_rate)
-    # chunking from the staged words (empty tokens filtered, chunk
-    # semantics identical to text.chunk_tokens)
-    cs = chunk_size
-    sampled = sampled.withColumn(
-        "__cw", F.expr("filter(__words, w -> w <> '')")
-    )
-    n_chunks = (
-        f"1 + greatest(cast(ceil((size(__cw) - {cs}) / cast({cs} as double)) as int), 0)"
-    )
-    return (
-        sampled.withColumn(
-            "chunk_id", F.explode(F.expr(f"sequence(1, {n_chunks})"))
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.expr(f"slice(__cw, (chunk_id - 1) * {cs} + 1, {cs})").alias("__c"),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.size("__c").alias("n_tokens"),
-            F.md5(F.concat_ws(" ", "__c")).alias("chunk_key"),
-        )
+    # chunking via the shared core over the staged words (empty
+    # tokens filtered first — same semantics as text.chunk_tokens)
+    from .text import chunk_words_column
+
+    return chunk_words_column(
+        sampled.withColumn("__cw", F.expr("filter(__words, w -> w <> '')")),
+        "__cw",
+        chunk_size,
+        None,
+        ["doc_id"],
     )

@@ -72,6 +72,12 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             raw = w.readframes(w.getnframes())
     except Exception as e:  # wave.Error, EOFError on truncation
         raise ValueError(f"not a decodable PCM WAV: {e}") from e
+    # stdlib wave does not validate the header fields; a crafted
+    # rate/channel of 0 would otherwise surface later as
+    # ZeroDivisionError inside feature extraction — which is NOT in
+    # callers' undecodable-status catch list
+    if rate <= 0 or nch <= 0:
+        raise ValueError(f"corrupt WAV header: rate={rate} channels={nch}")
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:  # WAV 8-bit is unsigned

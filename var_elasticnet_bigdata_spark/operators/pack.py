@@ -43,8 +43,20 @@ def global_token_offsets(
     ranged = toks.repartitionByRange(num_ranges, F.col(id_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("__pid").orderBy(id_col)
-    intra = ranged.withColumn("__c", F.sum("n_tokens").over(w))
+    # ROWS frame (not the default RANGE): matches the oracle's ROWS
+    # cumsum exactly; ids are expected unique, under which the two
+    # frames coincide — but never rely on the peer-inclusive default
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # persist: the totals collect below and the caller's action both
+    # consume this frame — without the cache the corpus tokenize scan
+    # and the range shuffle run twice. Shared-lineage persist (same
+    # pattern as curation.curate_corpus); MEMORY_AND_DISK blocks are
+    # evictable, so there is no unpersist hook on the returned frame.
+    intra = ranged.withColumn("__c", F.sum("n_tokens").over(w)).persist()
     totals = {
         r["__pid"]: r["t"]
         for r in intra.groupBy("__pid").agg(F.max("__c").alias("t")).collect()
@@ -84,8 +96,15 @@ def pack_sequences(
     # (the audit's InferFilters signature); instead they ride through
     # with n=0 and explode an EMPTY sequence below — same rows out,
     # no pushed filter
+    # NULL text → size() is NULL on modern Spark (dropped identically
+    # by both engines), but a legacy.sizeOfNull session yields -1,
+    # which would silently shift every later offset — pin to 0 either
+    # way so NULL docs behave exactly like empty ones
     toks = df.select(
-        F.col(id_col), F.expr(f"size({words})").cast("long").alias("n_tokens")
+        F.col(id_col),
+        F.greatest(F.coalesce(F.expr(f"size({words})"), F.lit(0)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     )
     offs = global_token_offsets(toks, id_col, num_ranges)
     cap = capacity

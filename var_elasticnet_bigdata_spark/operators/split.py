@@ -123,9 +123,12 @@ def split_contamination(
     )
     # shingle arrays are array_distinct per doc, so explode yields
     # one row per (doc, distinct shingle)
+    # persist: BOTH the train-set branch and the eval branch consume
+    # this frame — uncached, the normalize/shingle/md5 corpus pass
+    # runs twice (same shared-lineage pattern as unigram_logprob)
     sh = exploded_shingle_hashes(lab, n=n, text_col=text_col, out_col="s").select(
         id_col, "__split", "s"
-    )
+    ).persist()
     train_set = (
         sh.filter(F.col("__split") == train_split)
         .select("s")

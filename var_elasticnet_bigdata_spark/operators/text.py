@@ -255,25 +255,47 @@ def chunk_tokens(
     """
     from .dedup import norm_sql_spark
 
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    return chunk_words_column(
+        df.withColumn("__w", F.expr(words)),
+        "__w",
+        chunk_size,
+        stride,
+        [id_col],
+    )
+
+
+def chunk_words_column(
+    df: DataFrame,
+    words_col: str,
+    chunk_size: int,
+    stride: int | None,
+    keep_cols: list[str],
+) -> DataFrame:
+    """The chunking core over a PRE-STAGED word-array column — shared
+    by ``chunk_tokens`` and the composed pipelines so the chunk-count
+    formula and slicing live in exactly one place. Returns
+    ``keep_cols + (chunk_id, n_tokens, chunk_key)``."""
     if stride is None:
         stride = chunk_size
     if chunk_size <= 0 or stride <= 0:
         raise ValueError(f"chunk_size/stride must be positive: {chunk_size}, {stride}")
-    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
     n_chunks = (
-        f"1 + greatest(cast(ceil((size(__w) - {chunk_size}) / cast({stride} as double)) as int), 0)"
+        f"1 + greatest(cast(ceil((size({words_col}) - {chunk_size})"
+        f" / cast({stride} as double)) as int), 0)"
     )
     return (
-        df.withColumn("__w", F.expr(words))
-        .withColumn("chunk_id", F.explode(F.expr(f"sequence(1, {n_chunks})")))
+        df.withColumn("chunk_id", F.explode(F.expr(f"sequence(1, {n_chunks})")))
         .select(
-            F.col(id_col),
-            F.col("chunk_id"),
-            F.expr(f"slice(__w, (chunk_id - 1) * {stride} + 1, {chunk_size})").alias("__c"),
+            *keep_cols,
+            "chunk_id",
+            F.expr(
+                f"slice({words_col}, (chunk_id - 1) * {stride} + 1, {chunk_size})"
+            ).alias("__c"),
         )
         .select(
-            F.col(id_col),
-            F.col("chunk_id"),
+            *keep_cols,
+            "chunk_id",
             F.size("__c").alias("n_tokens"),
             F.md5(F.concat_ws(" ", "__c")).alias("chunk_key"),
         )

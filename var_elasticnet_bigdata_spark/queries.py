@@ -3274,12 +3274,13 @@ _register_pack_oracle()
 def j6_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped six-table join (the classic star-with-
     same-nation theta edge): fact tables ``lineitem``/``orders``
-    shuffle on their join keys once; ``customer``/``supplier``/
-    ``nation``/``region`` broadcast (plan-asserted in
-    `tests/test_plans.py` family via the audit — no cartesian, dims
-    under the broadcast threshold). The s_nationkey = c_nationkey
-    equality rides the supplier broadcast join as an extra
-    condition, not a separate shuffle."""
+    shuffle on their join keys once; ``supplier``/``nation``/
+    ``region`` are bounded dims and broadcast explicitly; CUSTOMER
+    scales with sf, so its join is left to AQE (runtime stats pick
+    broadcast at small sf, shuffle at large — a forced hint would
+    OOM the driver at the 100 TB framing). The s_nationkey =
+    c_nationkey equality rides the supplier broadcast join as an
+    extra condition, not a separate shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
@@ -3290,7 +3291,7 @@ def j6_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey)

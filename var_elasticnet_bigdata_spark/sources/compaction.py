@@ -77,8 +77,17 @@ def compact(
                 "partition_cols covers the whole schema; compaction "
                 "needs at least one data column to write"
             )
+        # the file budget is GLOBAL: each partition-directory should
+        # end up with ~n_files/n_dirs files, so the in-directory salt
+        # ranges over that quotient — a salt mod n_files would hand
+        # EVERY directory up to n_files writer slots and multiply the
+        # output file count by the directory count
+        n_dirs = max(df.select(*partition_cols).distinct().count(), 1)
+        per_dir = max(-(-n_files // n_dirs), 1)
         writer_df = df.repartition(
-            n_files, *partition_cols, F.pmod(F.hash(*rest), F.lit(n_files))
+            max(n_files, n_dirs),
+            *partition_cols,
+            F.pmod(F.hash(*rest), F.lit(per_dir)),
         )
         w = writer_df.write.partitionBy(*partition_cols)
     else:
