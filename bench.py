@@ -60,6 +60,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # several operators persist() intra-query shared frames; drop
+        # them between queries (untimed) so 80+ queries in one JVM
+        # don't accumulate cached blocks and GC drag in the 8g driver
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     print(
