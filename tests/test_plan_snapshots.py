@@ -1,0 +1,47 @@
+"""Plan lock-file check: every lockable query's physical-plan
+structure (multiset of structural operator names) must match
+tests/plan_snapshots.json. A silently lost broadcast, a new Exchange
+in a narrow pipeline, or a Python boundary appearing where none was
+fails here with the node-level diff. Intentional plan changes:
+
+    python tools/plan_snapshot.py --update
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from tools.plan_snapshot import SNAPSHOT_PATH, lockable, plan_signature
+
+
+def test_plans_match_lockfile(spark):
+    from var_elasticnet_bigdata_spark import queries as Q
+
+    locked = json.load(open(SNAPSHOT_PATH))
+    drifts = {}
+    missing = []
+    for name, fn in sorted(Q.QUERIES.items()):
+        if not lockable(name):
+            continue
+        if name not in locked:
+            missing.append(name)
+            continue
+        sig = plan_signature(fn(spark, "/root/testdata/sf0.01"))
+        want = locked[name]
+        if sig != want:
+            drifts[name] = {
+                k: (want.get(k, 0), sig.get(k, 0))
+                for k in sorted(set(want) | set(sig))
+                if want.get(k, 0) != sig.get(k, 0)
+            }
+    assert not missing, (
+        f"queries not in the plan lock (run tools/plan_snapshot.py "
+        f"--update): {missing}"
+    )
+    assert not drifts, f"plan drift (locked, current): {drifts}"
