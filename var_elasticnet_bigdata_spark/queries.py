@@ -3116,8 +3116,11 @@ def a7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     cutoff = "2024-01-25"
-    hist = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
-    late = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    # NTZ literal: a zoned-TIMESTAMP cast would re-interpret the
+    # cutoff in the (driver's) session zone and shift rows across the
+    # history/delta boundary relative to the naive DuckDB comparison
+    hist = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz"))
+    late = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz"))
     keys = ["event_type", "day"]
     state = partial_rollup(hist, keys, "value")
     merged = merge_rollup(state, partial_rollup(late, keys, "value"))
