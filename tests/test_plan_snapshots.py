@@ -32,6 +32,11 @@ def test_plans_match_lockfile(spark):
         if name not in locked:
             missing.append(name)
             continue
+        # clear per query: persisted shared frames (from earlier
+        # tests OR earlier queries in this loop) make the CacheManager
+        # substitute InMemoryTableScan into matching sub-plans,
+        # changing the shape vs the lock's canonical uncached form
+        spark.catalog.clearCache()
         sig = plan_signature(fn(spark, "/root/testdata/sf0.01"))
         want = locked[name]
         if sig != want:

@@ -53,7 +53,10 @@ KEEP = re.compile(
     r"Window|WindowGroupLimit|Generate|Expand|Sort|TakeOrderedAndProject|"
     r"GlobalLimit|LocalLimit|FlatMapGroupsInPandas|MapInPandas|"
     r"FlatMapCoGroupsInPandas|ArrowEvalPython|BatchEvalPython|"
-    r"FileScan|InMemoryTableScan|Union|Intersect|Except)"
+    # InMemoryTableScan excluded: the memoized shared frames
+    # (_shared_frame) make its presence depend on clearCache timing
+    # relative to their registration, not on the query's structure
+    r"FileScan|Union|Intersect|Except)"
 )
 
 
@@ -82,6 +85,11 @@ def build_signatures(sf_dir: str) -> dict[str, dict[str, int]]:
     for name, fn in sorted(Q.QUERIES.items()):
         if not lockable(name):
             continue
+        # some operators persist() shared frames at construction;
+        # the CacheManager then substitutes InMemoryTableScan into
+        # every later matching sub-plan — clear so each signature is
+        # the canonical uncached shape regardless of build order
+        spark.catalog.clearCache()
         out[name] = plan_signature(fn(spark, sf_dir))
     return out
 
