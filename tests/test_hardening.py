@@ -154,3 +154,113 @@ def test_grouped_quantiles_single_value_group(spark):
     df = spark.createDataFrame(pd.DataFrame({"g": [1], "v": [2.0]}))
     out = grouped_quantiles(df, ["g"], "v", [0.0, 0.5, 1.0]).toPandas()
     assert out["value"].tolist() == [2.0, 2.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions: null handling and validation edges
+# ---------------------------------------------------------------------------
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL-ts right rows are not matchable; NULL-ts left rows get
+    NULL payloads (kept under how='left', dropped under 'inner') —
+    in BOTH directions."""
+    import pytest
+
+    from var_elasticnet_bigdata_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b")], "k int, ts int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r5"), (1, None, "rnull")], "k int, ts int, rv string"
+    )
+    for direction in ("backward", "forward"):
+        rows = {
+            r.lv: r
+            for r in asof_join(
+                left, right, "k", "ts", direction=direction, how="left"
+            ).collect()
+        }
+        assert rows["b"].rv is None, direction  # null left ts: no match
+        if direction == "backward":
+            assert rows["a"].rv == "r5"
+        else:
+            assert rows["a"].rv is None  # only r5 (earlier) exists
+        inner = asof_join(
+            left, right, "k", "ts", direction=direction, how="inner"
+        ).collect()
+        assert all(r.lv == "a" or r.rv is not None for r in inner)
+
+
+def test_asof_tolerance_on_ntz_timestamps(spark):
+    """tolerance with TIMESTAMP_NTZ columns (the events.ts type) must
+    plan and filter correctly (no direct NTZ→double cast)."""
+    import datetime as dt
+
+    from var_elasticnet_bigdata_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=100))], "k int, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 1.0)], "k int, ts timestamp_ntz, rv double"
+    )
+    hit = asof_join(left, right, "k", "ts", tolerance=200.0).collect()[0]
+    assert hit.rv == 1.0
+    miss = asof_join(left, right, "k", "ts", tolerance=50.0).collect()[0]
+    assert miss.rv is None
+
+
+def test_asof_rejects_incompatible_key_types(spark):
+    import pytest
+
+    from var_elasticnet_bigdata_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([("x", 5, 1.0)], "k string, ts int, rv double")
+    with pytest.raises(ValueError, match="incompatible join column types"):
+        asof_join(left, right, "k", "ts")
+
+
+def test_grouped_quantiles_keeps_all_null_group(spark):
+    from var_elasticnet_bigdata_spark.operators.sketch import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("n", None), ("n", None)],
+        "g string, v double",
+    )
+    rows = grouped_quantiles(df, ["g"], "v", [0.5]).collect()
+    got = {r.g: r.value for r in rows}
+    assert got["a"] == 2.0
+    assert "n" in got and got["n"] is None  # group present, NULL quantile
+
+
+def test_salted_join_rejects_zero_salts(spark):
+    import pytest
+
+    from var_elasticnet_bigdata_spark.operators.skew import (
+        salted_agg,
+        salted_join,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    with pytest.raises(ValueError, match="salts"):
+        salted_join(df, df, "k", salts=0)
+    with pytest.raises(ValueError, match="salts"):
+        salted_agg(df, ["k"], {"s": ("sum", "v")}, salts=0)
+
+
+def test_ivf_assign_clamps_nprobe_to_cells(spark):
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    C = np.array([[1.0, 0.0], [0.0, 1.0]])  # only 2 cells
+    rows = ivf_assign(df, C, nprobe=5).collect()  # 5 > 2: clamp, no crash
+    assert len(rows) == 4  # 2 vectors x 2 available cells
+    assert {r.probe_rank for r in rows} == {0, 1}

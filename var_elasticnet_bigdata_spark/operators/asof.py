@@ -69,7 +69,34 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
 
+    reserved = {_TS, _ISL, _PKT}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"inputs may not contain reserved columns {sorted(clash)}")
+
     ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+
+    def _family(dt) -> str:
+        n = type(dt).__name__
+        if n in ("ByteType", "ShortType", "IntegerType", "LongType",
+                 "FloatType", "DoubleType", "DecimalType"):
+            return "numeric"
+        if n in ("TimestampType", "TimestampNTZType", "DateType"):
+            return "datetime"
+        return n
+
+    # the right side is cast to the left's key/ts types below; a cast
+    # ACROSS type families yields NULLs silently (every row unmatched)
+    # instead of an error — refuse it here
+    for k, lt in [(k, ltypes[k]) for k in keys] + [(rts, ltypes[left_ts])]:
+        rt = rtypes[k if k != rts else rts]
+        if _family(rt) != _family(lt):
+            raise ValueError(
+                f"incompatible join column types for {k!r}: left "
+                f"{lt.simpleString()} vs right {rt.simpleString()} — the "
+                "implicit cast would null out every right row"
+            )
     lpay = [c for c in left.columns if c not in keys and c != left_ts]
     rpay = [c for c in right.columns if c not in keys and c != rts]
     out_names = {c: (c + suffix if c in left.columns else c) for c in rpay}
@@ -98,7 +125,10 @@ def asof_join(
         *[F.col(c) for c in lpay],
         F.lit(None).cast(pkt_type).alias(_PKT),
     )
-    rrows = right.select(
+    # a right row with a NULL timestamp can never be the most-recent
+    # (or next) observation — keeping it would let the window attach
+    # it as a fabricated match under NULLS FIRST/LAST ordering
+    rrows = right.filter(F.col(rts).isNotNull()).select(
         *[F.col(k).cast(ltypes[k]).alias(k) for k in keys],
         F.col(rts).cast(ltypes[left_ts]).alias(_TS),
         F.lit(False).alias(_ISL),
@@ -115,19 +145,31 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
+    # a left row with a NULL timestamp has no as-of position — force
+    # its match to NULL (under forward/desc ordering NULLS sort last
+    # and would otherwise accumulate an arbitrary packet)
     res = lrows.unionByName(rrows).select(
         *keys,
         F.col(_TS),
         F.col(_ISL),
         *[F.col(c) for c in lpay],
-        F.last(_PKT, ignorenulls=True).over(w).alias(_PKT),
+        F.when(
+            F.col(_TS).isNotNull(),
+            F.last(_PKT, ignorenulls=True).over(w),
+        ).alias(_PKT),
     ).filter(F.col(_ISL))
 
     if tolerance is not None:
-        gap = F.abs(
-            F.col(_TS).cast("double")
-            - F.col(f"{_PKT}.__rts").cast("double")
-        )
+        from pyspark.sql.types import TimestampNTZType
+
+        def _secs(c):
+            # TIMESTAMP_NTZ has no direct double cast (same workaround
+            # as rangejoin.py) — route through TIMESTAMP first
+            if isinstance(ltypes[left_ts], TimestampNTZType):
+                c = c.cast("timestamp")
+            return c.cast("double")
+
+        gap = F.abs(_secs(F.col(_TS)) - _secs(F.col(f"{_PKT}.__rts")))
         ok = F.col(_PKT).isNotNull() & (gap <= F.lit(float(tolerance)))
         res = res.select(
             *keys, _TS, _ISL, *lpay, F.when(ok, F.col(_PKT)).alias(_PKT)

@@ -376,18 +376,23 @@ def ivf_assign(
 
     def run(batches):
         C = bc.value
+        # can't probe more cells than exist (fewer centroids than
+        # nlist happens when the training sample was small); an
+        # unclamped slice would mismatch the repeat/tile lengths and
+        # crash the task
+        k = min(np_, C.shape[0])
         for pdf in batches:
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             norms = np.linalg.norm(V, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             V = V / norms
             sims = V @ C.T
-            top = np.argsort(-sims, axis=1)[:, :np_]
+            top = np.argsort(-sims, axis=1)[:, :k]
             ids = pdf[id_col].to_numpy()
             out = {
-                id_col: np.repeat(ids, np_),
+                id_col: np.repeat(ids, k),
                 "cell": top.ravel().astype(np.int32),
-                "probe_rank": np.tile(np.arange(np_, dtype=np.int32), len(ids)),
+                "probe_rank": np.tile(np.arange(k, dtype=np.int32), len(ids)),
             }
             yield pd.DataFrame(out)
 
@@ -428,15 +433,25 @@ def ivf_topk(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    corpus = (
-        ivf_assign(df, C, 1, id_col, vec_col)
-        .join(vecs, id_col)
-        .select("cell", F.col(id_col).alias("cid"), F.col("__v").alias("cv"))
-    )
-    probes = (
+    # ONE assignment pass: the corpus placement is exactly the
+    # probe_rank==0 slice of the nprobe assignment — a second
+    # ivf_assign would re-scan and re-matmul the whole corpus
+    assigned = (
         ivf_assign(df, C, nprobe, id_col, vec_col)
         .join(vecs, id_col)
-        .select("cell", F.col(id_col).alias("pid"), F.col("__v").alias("pv"))
+        .persist()
+    )
+    corpus = assigned.filter(F.col("probe_rank") == 0).select(
+        "cell", F.col(id_col).alias("cid"), F.col("__v").alias("cv")
+    )
+    # rename EVERY probe-branch column (incl. the grouping key):
+    # corpus and probes share the persisted `assigned` lineage, and
+    # cogrouping two selects of the same plan with a same-named key
+    # trips the ambiguous-self-join analyzer
+    probes = assigned.select(
+        F.col("cell").alias("pcell"),
+        F.col(id_col).alias("pid"),
+        F.col("__v").alias("pv"),
     )
 
     schema = StructType(
@@ -479,7 +494,7 @@ def ivf_topk(
         ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
 
     scored = (
-        probes.groupBy("cell")
+        probes.groupBy("pcell")
         .cogroup(corpus.groupBy("cell"))
         .applyInPandas(cell_topk, schema)
     )

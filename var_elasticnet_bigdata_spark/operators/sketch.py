@@ -40,8 +40,16 @@ def grouped_quantiles(
         else F.percentile_approx(col, F.lit(qs), F.lit(accuracy))
     )
     agg = df.groupBy(*keys).agg(fn.alias("__qv"))
+    # an all-NULL group makes percentile return a NULL array;
+    # arrays_zip(_, NULL) is NULL and a plain explode would DROP the
+    # group's keys from the output — emit one NULL-quantile row per
+    # requested q instead (matching SQL quantile semantics)
     pairs = F.arrays_zip(
-        F.lit(qs).cast("array<double>").alias("q"), F.col("__qv").alias("value")
+        F.lit(qs).cast("array<double>").alias("q"),
+        F.coalesce(
+            F.col("__qv"),
+            F.array(*[F.lit(None).cast("double") for _ in qs]),
+        ).alias("value"),
     )
     return agg.select(
         *keys, F.explode(pairs).alias("__p")

@@ -58,6 +58,8 @@ def salted_agg(
     reducers); stage 2 groups by ``keys`` over at most
     ``distinct(keys) x salts`` rows — negligible at any scale.
     """
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
     partials: list[Column] = []
     finals: list[Column] = []
     for out, (fn, col) in aggs.items():
@@ -103,7 +105,14 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    if salts < 1:
+        # salts=0 would explode an empty array: every small-side row
+        # dropped, silently empty/all-NULL join output
+        raise ValueError(f"salts must be >= 1, got {salts}")
     keys = [on] if isinstance(on, str) else list(on)
+    clash = {_SALT} & (set(big.columns) | set(small.columns))
+    if clash:
+        raise ValueError(f"inputs may not contain reserved column {_SALT!r}")
     bigs = big.withColumn(
         _SALT, F.floor(F.rand(seed) * F.lit(salts)).cast("int")
     )
