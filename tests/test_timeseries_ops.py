@@ -156,3 +156,55 @@ def test_wide_long_roundtrip(spark):
     orig = {(r.obs_date, r.a, r.b) for r in rows}
     got = {(r.obs_date, r.a, r.b) for r in back.collect()}
     assert got == orig
+
+
+def test_reconstruct_levels_mid_series_gap_propagates(spark):
+    """The leading na.pad NULL means zero growth; a NULL later in the
+    series is a missing observation — levels from the gap onward are
+    NULL, not silently imputed as 0% growth."""
+    import math
+
+    from var_elasticnet_bigdata_spark.operators.timeseries import (
+        reconstruct_levels,
+    )
+
+    rows = [
+        ("s", "2020-01-01", None),   # leading na.pad NULL → growth 0
+        ("s", "2020-04-01", 0.1),
+        ("s", "2020-07-01", None),   # GAP
+        ("s", "2020-10-01", 0.2),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_id string, obs_date string, value double"
+    ).withColumn("obs_date", F.col("obs_date").cast("date"))
+    out = {
+        str(r.obs_date): r.level
+        for r in reconstruct_levels(df, 100.0).collect()
+    }
+    assert out["2020-01-01"] == pytest.approx(100.0)
+    assert out["2020-04-01"] == pytest.approx(100.0 * math.exp(0.1))
+    assert out["2020-07-01"] is None
+    assert out["2020-10-01"] is None
+
+
+def test_resample_first_last_are_chronological(spark):
+    """first/last pick the chronologically first/last observation
+    regardless of partition layout (min_by/max_by on the date)."""
+    from var_elasticnet_bigdata_spark.operators.timeseries import resample
+
+    rows = [
+        ("s", "2020-03-28", 328.0),
+        ("s", "2020-01-15", 115.0),
+        ("s", "2020-02-02", 202.0),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "series_id string, obs_date string, value double"
+        )
+        .withColumn("obs_date", F.col("obs_date").cast("date"))
+        .repartition(4)
+    )
+    first = resample(df, "quarter", how="first").collect()[0].value
+    last = resample(df, "quarter", how="last").collect()[0].value
+    assert first == 115.0
+    assert last == 328.0

@@ -152,6 +152,13 @@ def pacf_from_acf(acf_values: np.ndarray) -> np.ndarray:
     """Durbin–Levinson: partial autocorrelations φ_kk from the ACF
     vector r_1..r_L. Driver-side — the ACF matrix is K×L ≲ 146×10."""
     r = np.asarray(acf_values, dtype=float)
+    if np.isnan(r).any():
+        # NULL ACF values (constant series, or fewer observations
+        # than max_lag) would silently cascade into an all-NaN PACF
+        raise ValueError(
+            "ACF input contains NULL/NaN (constant or too-short "
+            "series) — PACF is undefined; filter such series first"
+        )
     L = len(r)
     phi = np.zeros((L + 1, L + 1))
     pacf = np.zeros(L)

@@ -58,27 +58,6 @@ def content_key(col: str = "text") -> Column:
     return F.md5(normalized_text(col))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams:
-    ``transform(sequence(1, len-n+1), i -> words[i..i+n-1])``."""
-    words = F.split(col, " ")
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(split({_sql(col)}, ' ')) - {n} + 1, 1)),"
-            f" i -> concat_ws(' ', slice(split({_sql(col)}, ' '), i, {n})))"
-        )
-    )
-
-
-def _sql(col: Column) -> str:
-    # Column's underlying expression as SQL text for expr() composition
-    from pyspark.sql.classic.column import Column as CC
-
-    if isinstance(col, CC):
-        return col._jc.toString()
-    return str(col)
-
-
 def shingle_hashes(text_sql: str, n: int = 3) -> str:
     """SQL expression (usable in Spark `expr` — DuckDB twin differs
     only in hex-cast syntax) producing the distinct shingle hash
@@ -92,12 +71,14 @@ def shingle_hashes(text_sql: str, n: int = 3) -> str:
     )
 
 
-def with_shingle_hashes(df: DataFrame, n: int = 3, out_col: str = "__sh") -> DataFrame:
+def with_shingle_hashes(
+    df: DataFrame, n: int = 3, out_col: str = "__sh", text_col: str = "text"
+) -> DataFrame:
     """Stage the shingle pipeline so each expensive step runs ONCE
     per row (normalize → split → n-gram → md5): inline composition
     re-evaluates the normalization per reference, which doubles scan
     CPU — measured 2× on the sf0.1 bench."""
-    words = F.split(normalized_text(), " ")
+    words = F.split(normalized_text(text_col), " ")
     df = df.withColumn("__words", words)
     return df.withColumn(
         out_col, F.expr(shingle_hashes_from_words("__words", n))
@@ -205,11 +186,16 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — narrow, shuffle-free."""
+    if not 1 <= num_hashes <= len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes must be in [1, {len(MINHASH_A)}] (fixed seeded "
+            f"permutation coefficients), got {num_hashes}"
+        )
     sig_terms = ", ".join(
         f"array_min(transform(__sh, h -> (({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MINHASH_P}L)))"
         for i in range(num_hashes)
     )
-    return with_shingle_hashes(df, n).select(
+    return with_shingle_hashes(df, n, text_col=text_col).select(
         F.col(id_col), F.expr(f"array({sig_terms})").alias("sig")
     )
 
@@ -219,10 +205,23 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """Band the signature, bucket-join within (band_idx, band_hash):
     the candidate generation step of MinHash-LSH. Returns distinct
-    (id_a, id_b) with id_a < id_b."""
+    (id_a, id_b) with id_a < id_b.
+
+    ``num_hashes`` must state the signature length: a band layout
+    that overruns it makes ``slice`` return an EMPTY array for the
+    overflow bands, so every document shares band_hash md5('') and
+    the bucket join degenerates into an all-pairs cross product with
+    100% false candidates."""
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} overruns the "
+            f"{num_hashes}-hash signature: overflow bands would hash an "
+            "empty slice and bucket the whole corpus together"
+        )
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -260,7 +259,9 @@ def jaccard_pairs(
     ``candidates`` (from LSH) only those pairs are verified — the
     scale path; without, brute-force all pairs (oracle path, small sf
     only)."""
-    sh = with_shingle_hashes(df, n).select(F.col(id_col), F.col("__sh").alias("sh"))
+    sh = with_shingle_hashes(df, n, text_col=text_col).select(
+        F.col(id_col), F.col("__sh").alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if candidates is not None:
@@ -297,7 +298,7 @@ def simhash(
         f"(v, b) -> CASE WHEN v >= 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END), "
         f"cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    return with_shingle_hashes(df, n).select(
+    return with_shingle_hashes(df, n, text_col=text_col).select(
         F.col(id_col), F.expr(assemble).alias("simhash")
     )
 

@@ -97,7 +97,6 @@ def var_z(
         for i in range(1, p + 1)
         for s in series
     ]
-    out = df.select(*cols, *lag_exprs)
     if drop_incomplete:
         # row_number over the same window: first p rows per group have
         # out-of-sample lags by construction.
@@ -107,6 +106,8 @@ def var_z(
             .filter(F.col("__rn") > p)
             .drop("__rn")
         )
+    else:
+        out = df.select(*cols, *lag_exprs)
     if intercept:
         out = out.withColumn("intercept", F.lit(1.0))
     return VarZ(df=out, series=series, p=p, intercept=intercept, date_col=date_col)

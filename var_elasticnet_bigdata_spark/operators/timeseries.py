@@ -102,11 +102,14 @@ def resample(
     NULL in the bucket → NULL result (SQL aggregates skip NULLs;
     zoo's don't — this matters for ragged series starts feeding
     ``na.omit``)."""
+    # first/last as min_by/max_by on the date: F.first/F.last in an
+    # unordered groupBy return an arbitrary partition-order-dependent
+    # row, not the chronologically first/last observation
     agg = {
         "sum": F.sum,
         "mean": F.avg,
-        "first": F.first,
-        "last": F.last,
+        "first": lambda c: F.min_by(c, date_col),
+        "last": lambda c: F.max_by(c, date_col),
         "min": F.min,
         "max": F.max,
     }[how]
@@ -134,12 +137,26 @@ def reconstruct_levels(
     The reference's ``Reduce(x*exp(y), accumulate=T)`` is exactly a
     running product ≡ exp of a running sum — expressed as an unbounded
     -preceding window sum so it stays in whole-stage codegen.
+
+    Only the LEADING NULL each series' diff carries (na.pad) is
+    treated as zero growth; a NULL later in the series is a missing
+    observation and must make every level from that point NULL (an
+    unconditional coalesce would silently impute 0% growth; and a
+    plain window sum would SKIP the NULL — SQL sum semantics — so the
+    gap needs an explicit cumulative guard).
     """
     w = _w(series_col, date_col).rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(_w(series_col, date_col))
+    ld = F.when(
+        (rn == 1) & F.col(logdiff_col).isNull(), F.lit(0.0)
+    ).otherwise(F.col(logdiff_col))
+    gap_seen = F.sum(ld.isNull().cast("int")).over(w) > 0
     return df.withColumn(
         out_col,
-        F.lit(init_level)
-        * F.exp(F.sum(F.coalesce(F.col(logdiff_col), F.lit(0.0))).over(w)),
+        F.when(
+            ~gap_seen,
+            F.lit(init_level) * F.exp(F.sum(F.coalesce(ld, F.lit(0.0))).over(w)),
+        ),
     )
 
 

@@ -47,10 +47,14 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_exact_dedup(docs: DataFrame, horizon: str = "1 hour") -> DataFrame:
-    """Exact dedup over a document stream: min-state survivor per
-    content key within the watermark horizon. State is evicted past
-    the horizon — bounded by the duplicate-arrival window, not the
-    corpus size."""
+    """Exact dedup over a document stream: FIRST-PROCESSED survivor
+    per content key within the watermark horizon (that is what
+    ``dropDuplicatesWithinWatermark`` keeps — unlike the batch
+    ``exact_dedup`` min-id rule, the surviving row among duplicates
+    that land in the same micro-batch is arrival-order dependent; the
+    CONTENT-KEY set is identical, which is what the stream==batch
+    test asserts). State is evicted past the horizon — bounded by the
+    duplicate-arrival window, not the corpus size."""
     keyed = docs.withColumn("content_key", content_key())
     return keyed.withWatermark("ingest_ts", horizon).dropDuplicatesWithinWatermark(
         ["content_key"]
