@@ -206,3 +206,32 @@ def test_adf_batch_and_q1_fix(spark):
     # Q1 fixed: names come from the data itself
     assert "walk1" in non_stat and "walk2" in non_stat
     assert "stat1" not in non_stat
+
+
+def test_nw_q12_qn1_loop_quirk():
+    """Q12: R's ``for (j in 1:(qn-1))`` with qn=1 iterates 1:0 =
+    c(1, 0) — j=1 gets Bartlett weight 0, but j=0 adds
+    2*dy'dy/(T-1) on top of gamma0 (enetVAR.R:801-803)."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.functions.stats import nw
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=50)
+    dy = y - y.mean()
+    g0 = float(dy @ dy) / 50
+    assert nw(y, 1) == pytest.approx(g0 + 2.0 * float(dy @ dy) / 49)
+    # qn>=2 keeps the plain Bartlett form
+    gam1 = float(dy[1:] @ dy[:-1]) / 49
+    assert nw(y, 2) == pytest.approx(g0 + 2.0 * gam1 * 0.5)
+
+
+def test_dm_test_constant_differential_is_nan():
+    import math
+
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.functions.stats import dm_test
+
+    out = dm_test(np.zeros(30), 2)
+    assert math.isnan(out["DMStat"]) and math.isnan(out["p_value"])

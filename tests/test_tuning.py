@@ -37,17 +37,18 @@ def test_cell_rmse_matches_manual_loop():
     y = X @ np.array([1.0, 0.0, -0.5]) + rng.normal(scale=0.2, size=T)
     lams = np.array([1.0, 0.1, 0.01])
     got = _cell_rmse(X, y, alpha=0.5, lambdas=lams, init_window=40, horizon=2)
-    # manual replication
+    # manual replication of caret's aggregation: per-origin RMSE,
+    # then the mean across origins
     names = [f"x{i}" for i in range(k)] + ["y"]
-    sse = np.zeros(3)
-    cnt = 0
+    rmses = np.zeros(3)
+    n_o = 0
     for t in range(40, T - 2 + 1):
         m = moments_from_numpy(np.column_stack([X[:t], y[:t]]), names)
         fit = enet_path(m, names[:-1], "y", alpha=0.5, lambdas=lams)
         pred = X[t : t + 2] @ fit.coefs + fit.intercepts
-        sse += ((pred - y[t : t + 2, None]) ** 2).sum(axis=0)
-        cnt += 2
-    assert got == pytest.approx(np.sqrt(sse / cnt), rel=1e-10)
+        rmses += np.sqrt(((pred - y[t : t + 2, None]) ** 2).mean(axis=0))
+        n_o += 1
+    assert got == pytest.approx(rmses / n_o, rel=1e-10)
 
 
 def test_rolling_origin_tune_finds_structure(spark):
@@ -156,3 +157,42 @@ def test_ezlasso_selects_signal_and_q6(spark):
         rank_abs=True,
     )
     assert set(fixed[1:]) == {"xp", "xn"}
+
+
+def test_ezlasso_q13_intercept_occupies_rank_slot(spark):
+    """Quirk Q13 (enetVAR.R:634-637): the reference ranks coef()
+    INCLUDING the '(Intercept)' row (0 under intercept=FALSE) and
+    drops it only after the top-maxnrvar slice — so with fewer
+    strictly-positive coefficients than maxnrvar, the intercept
+    occupies a slot and one fewer predictor survives. rank_abs
+    fix-mode ranks predictors only."""
+    import numpy as np
+    import pandas as pd
+
+    from var_elasticnet_bigdata_spark.ml.tuning import ezlasso
+
+    rng = np.random.default_rng(5)
+    n = 220
+    xp = rng.normal(size=n)
+    xn = rng.normal(size=n)
+    y = 1.0 * xp - 1.0 * xn + 0.1 * rng.normal(size=n)
+    pdf = pd.DataFrame(
+        {
+            "obs_date": pd.date_range("1960-01-01", periods=n, freq="QS"),
+            "y": y,
+            "xp": xp,
+            "xn": xn,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    faithful = ezlasso(
+        spark, df, "y", ["xp", "xn"], alpha=0.0, maxnrvar=2,
+        init_window=180, horizon=1,
+    )
+    # top-2 of [intercept=0, xp>0, xn<0] = [xp, intercept] → xn dropped
+    assert faithful == ["y", "xp"]
+    fixed = ezlasso(
+        spark, df, "y", ["xp", "xn"], alpha=0.0, maxnrvar=2,
+        init_window=180, horizon=1, rank_abs=True,
+    )
+    assert set(fixed) == {"y", "xp", "xn"}

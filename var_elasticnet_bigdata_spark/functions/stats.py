@@ -40,11 +40,17 @@ from .dist import chi2_sf, norm_sf, t_sf
 def nw(y: np.ndarray, qn: int) -> float:
     """Newey–West HAC variance of a 1-D series (enetVAR.R:794-806).
     Faithful to the reference's mixed denominators (T for Γ₀,
-    T−1 for the lagged terms)."""
+    T−1 for the lagged terms) AND to its qn=1 loop quirk (Q12):
+    R's ``for (j in 1:(qn-1))`` with qn=1 iterates ``1:0 = c(1, 0)``
+    — j=1 carries Bartlett weight 0, but the j=0 pass adds
+    ``2·dy'dy/(T−1)`` on top of Γ₀. Every horizon-1 CW test in the
+    reference runs through this branch, so it is replicated here."""
     y = np.asarray(y, dtype=float)
     t = len(y)
     dy = y - y.mean()
     g0 = float(dy @ dy) / t
+    if qn == 1:
+        return g0 + 2.0 * float(dy @ dy) / (t - 1)
     for j in range(1, qn):
         gamma = float(dy[j:] @ dy[:-j]) / (t - 1)
         g0 += 2.0 * gamma * (1.0 - abs(j / qn))
@@ -82,6 +88,10 @@ def dm_test(d: np.ndarray, l: int) -> dict[str, float]:
         gamma = float(e[a:] @ e[: t - a]) / t
         s += gamma * (1.0 - a / (l + 1))
     s2 = s / t
+    if s2 <= 0:
+        # constant loss differential (e.g. a model against itself):
+        # the statistic is undefined — NaN, not ZeroDivisionError
+        return {"DMStat": float("nan"), "p_value": float("nan")}
     stat = m / math.sqrt(s2)
     return {"DMStat": stat, "p_value": norm_sf(abs(stat))}
 

@@ -207,6 +207,12 @@ def _rw_cells(
     windows (quirks Q2/Q3/Q4); target_idx −1 encodes the scalar-0
     seed column."""
     n_orig = len(origin_rows)
+    # the literal transliteration of enetVAR.R:466-469 (1-based →
+    # 0-based): h1.ind=h:n, h2.ind=(h-1):(n-1), h4.ind=(h-3):(n-3),
+    # h8.ind=1:(n-h+1). NOTE the reference's own h8 formula breaks
+    # the (h-hh, n-hh) pattern whenever h != 8 — the reference only
+    # ever runs h=8, where they coincide; we keep its literal form
+    # (horizons outside {1,2,4,8} use the generic pattern)
     sel = {1: (h - 1, n_orig - 1), 2: (h - 2, n_orig - 2),
            4: (h - 4, n_orig - 4), 8: (0, n_orig - h)}
     cells = []
@@ -304,6 +310,12 @@ def modeltrain(
 ) -> ModeltrainResult:
     """The OOS experiment (E1). ``method``: 'enet' (LocalEnetVAR) or
     'ar1'. ``rw_mode``: 'fixed' | 'faithful' (quirk Q3).
+    ``step`` > 1 is an engine extension (the reference always steps
+    by one origin): the MSFE numerator runs over the aligned target
+    window while the RW/Theil denominators keep the reference's
+    contiguous h*.ind column windows, which assume step=1 — Theil's U
+    is exact for step=1 and approximate otherwise.
+
     ``distribute``: 'broadcast' (origin fan-out over a broadcast
     matrix, one task per origin) | 'join' (range-join path for
     estimation frames too large to broadcast)."""
@@ -354,8 +366,18 @@ def modeltrain(
         # build the (tiny) truth table from it instead of
         # re-evaluating the upstream wide-frame plan per consumer
         dtype = "timestamp" if hasattr(dates[0], "hour") else "date"
+        # NaN → None: a missing target must surface as SQL NULL like
+        # the join-mode truth table, not a Double NaN that poisons
+        # sum() while still being counted
         truth = spark.createDataFrame(
-            [(int(i), dates[i], float(y[i, 0])) for i in range(n)],
+            [
+                (
+                    int(i),
+                    dates[i],
+                    None if math.isnan(float(y[i, 0])) else float(y[i, 0]),
+                )
+                for i in range(n)
+            ],
             schema=f"target_idx int, target_date {dtype}, y_true double",
         )
     else:
@@ -401,10 +423,13 @@ def modeltrain(
     # ---- AR(1) benchmark + Theil's U vs AR(1) (M9, M23) ----
     tu_ar1 = None
     if with_ar1 and method != "ar1":
+        # propagate distribute: a 'join'-mode run (frames too big to
+        # broadcast) must not silently collect the full matrix for
+        # the nested benchmark
         ar1 = modeltrain(
             spark, wide_df, ser, start_pred, step=step, h=h, method="ar1",
             alpha=alpha, lag=lag, const=False, date_col=date_col,
-            with_ar1=False, rw_mode=rw_mode,
+            with_ar1=False, rw_mode=rw_mode, distribute=distribute,
         )
         tu_ar1 = {
             hh: math.sqrt(msfe[hh]) / math.sqrt(ar1.msfe[hh])

@@ -125,9 +125,14 @@ def _greedy_diverse(
         if faithful_q11:
             # replicate the reduced-vector index confusion: order the
             # REDUCED score vector ascending, record those indices as
-            # if they were global
+            # if they were global. The reference reduces by
+            # ``-select.ind.total`` which accumulates the PICKS and
+            # the previously RECORDED (already-confused) indices
+            # alike (enetVAR.R:681-694) — both must leave the vector
             mask = np.ones(K, bool)
             mask[selected_idx] = False
+            if removed:
+                mask[list(removed)] = False
             reduced = dist[mask]
             low = np.argsort(reduced, kind="stable")[:drop_n]
             removed.update(int(i) for i in low)

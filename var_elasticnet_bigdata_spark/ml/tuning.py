@@ -63,8 +63,21 @@ def _cell_rmse(
     x_cols, y_col = names[:-1], "y"
     lambdas = np.asarray(sorted(lambdas, reverse=True), dtype=float)
     origins = range(init_window, n - horizon + 1)
-    sse = np.zeros(len(lambdas))
-    cnt = 0
+    if len(origins) == 0:
+        # all-NaN RMSEs would make the caller's argmin silently pick
+        # the first grid lambda — an untuned model with no visible
+        # error anywhere downstream
+        raise ValueError(
+            f"no rolling origins: sample of {n} rows cannot hold "
+            f"init_window={init_window} + horizon={horizon}"
+        )
+    # caret aggregation: RMSE per RESAMPLE (origin), then the mean
+    # across resamples — NOT a pooled sqrt(sum_sse/sum_cnt). At
+    # horizon=1 the per-origin RMSE is |e|, so pooling would rank the
+    # lambda grid by RMSE where caret ranks by MAE and bestTune can
+    # differ (heteroskedastic errors / outlier origins)
+    rmse_sum = np.zeros(len(lambdas))
+    n_origins = 0
     for t in origins:
         m = moments_from_numpy(
             np.column_stack([X[:t], y[:t]]), names
@@ -75,9 +88,9 @@ def _cell_rmse(
         Xt = X[t : t + horizon]
         yt = y[t : t + horizon]
         pred = Xt @ fit.coefs + fit.intercepts  # (horizon, nlambda)
-        sse += ((pred - yt[:, None]) ** 2).sum(axis=0)
-        cnt += horizon
-    return np.sqrt(sse / cnt) if cnt else np.full(len(lambdas), np.nan)
+        rmse_sum += np.sqrt(((pred - yt[:, None]) ** 2).mean(axis=0))
+        n_origins += 1
+    return rmse_sum / n_origins
 
 
 def rolling_origin_tune(
@@ -234,10 +247,22 @@ def ezlasso(
         lambdas=np.linspace(2 * best_lam, best_lam / 2, 10), intercept=False,
     )
     co, _ = fit.coef_at(best_lam)
-    key = np.abs(co) if rank_abs else co
-    # descending, deterministic tiebreak on predictor order (Q8 fix)
-    idx = np.lexsort((np.arange(len(co)), -key))[:maxnrvar]
-    chosen = [predictors[i] for i in idx]
+    if rank_abs:
+        # fix-mode: rank predictors by |coef| (no intercept row)
+        idx = np.lexsort((np.arange(len(co)), -np.abs(co)))[:maxnrvar]
+        chosen = [predictors[i] for i in idx]
+    else:
+        # faithful: glmnet's coef() matrix carries the '(Intercept)'
+        # row FIRST (0 under intercept=FALSE) and the reference ranks
+        # it WITH the predictors, dropping it only after the
+        # top-maxnrvar slice (enetVAR.R:634-637) — so whenever fewer
+        # than maxnrvar coefficients are strictly positive, the
+        # intercept's 0 occupies a slot (beating every negative, and
+        # winning ties at 0 by its first position under R's stable
+        # order()) and only maxnrvar-1 predictors survive (quirk Q13)
+        co_full = np.concatenate(([0.0], co))
+        idx = np.lexsort((np.arange(len(co_full)), -co_full))[:maxnrvar]
+        chosen = [predictors[i - 1] for i in idx if i != 0]
     sel = [target, *[c for c in chosen if c != target]]
     if return_details:
         # expose the tuned λ and refit coefficients so the driver

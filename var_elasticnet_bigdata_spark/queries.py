@@ -2565,23 +2565,26 @@ def _register_tune_ridge_oracle() -> None:
     for e, eq in (("r", "revenue"), ("q", "quantity")):
         eq_cases.append(f"""
  sse_{e} AS (
-   SELECT g.gi, g.lam,
+   -- caret semantics: RMSE per resample (origin), then mean
+   SELECT g.gi, g.lam, o.rn AS orn,
           SUM(POW(t.x1 * (((1+g.lam)*(o.c1{e}/o.rn/o.s1) - o.rho*(o.c2{e}/o.rn/o.s2))
                           / ((1+g.lam)*(1+g.lam) - o.rho*o.rho)) / o.s1
                 + t.x2 * (((1+g.lam)*(o.c2{e}/o.rn/o.s2) - o.rho*(o.c1{e}/o.rn/o.s1))
                           / ((1+g.lam)*(1+g.lam) - o.rho*o.rho)) / o.s2
-                - t.y_{e}, 2)) AS sse,
-          COUNT(*) AS cnt
+                - t.y_{e}, 2)) / COUNT(*) AS mse_o
    FROM origins o
    CROSS JOIN par
    CROSS JOIN grid g
    JOIN emb t ON t.rn > o.rn AND t.rn <= o.rn + par.horizon
-   GROUP BY g.gi, g.lam),
+   GROUP BY g.gi, g.lam, o.rn),
+ rmse_{e} AS (
+   SELECT gi, lam, AVG(SQRT(mse_o)) AS rmse_m
+   FROM sse_{e} GROUP BY gi, lam),
  best_{e} AS (
    SELECT '{eq}' AS equation, ROUND(lam, 6) AS lambda,
-          ROUND(SQRT(sse / cnt), 6) AS rmse,
-          ROW_NUMBER() OVER (ORDER BY SQRT(sse / cnt) ASC, lam ASC) AS pick
-   FROM sse_{e})""")
+          ROUND(rmse_m, 6) AS rmse,
+          ROW_NUMBER() OVER (ORDER BY rmse_m ASC, lam ASC) AS pick
+   FROM rmse_{e})""")
     ORACLE["ml_tune_ridge"] = f"""
         WITH q AS ({_QPAIR_SQL}),
         base AS (SELECT obs_date,
@@ -2727,21 +2730,21 @@ def _register_ezlasso_oracle() -> None:
       WHERE c.rn >= par.iw AND c.rn <= par.n_emb - par.horizon),
     grid AS (SELECT CAST(lam AS DOUBLE) AS lam FROM (VALUES {lam_rows}) g(lam)),
     sse AS (
-      SELECT g.lam,
+      -- caret semantics: RMSE per resample (origin), then mean
+      SELECT g.lam, o.rn AS orn,
              SUM(POW(t.x1 * (((1+g.lam)*(o.c1y/o.rn/o.s1) - o.rho*(o.c2y/o.rn/o.s2))
                              / ((1+g.lam)*(1+g.lam) - o.rho*o.rho)) / o.s1
                    + t.x2 * (((1+g.lam)*(o.c2y/o.rn/o.s2) - o.rho*(o.c1y/o.rn/o.s1))
                              / ((1+g.lam)*(1+g.lam) - o.rho*o.rho)) / o.s2
-                   - t.y, 2)) AS sse,
-             COUNT(*) AS cnt
+                   - t.y, 2)) / COUNT(*) AS mse_o
       FROM origins o CROSS JOIN grid g CROSS JOIN par
       JOIN emb t ON t.rn > o.rn AND t.rn <= o.rn + par.horizon
-      GROUP BY g.lam),
+      GROUP BY g.lam, o.rn),
     best AS (
       SELECT lam FROM (
-        SELECT lam, ROW_NUMBER() OVER (ORDER BY SQRT(sse/cnt) ASC, lam ASC)
+        SELECT lam, ROW_NUMBER() OVER (ORDER BY AVG(SQRT(mse_o)) ASC, lam ASC)
                  AS pick
-        FROM sse) WHERE pick = 1),
+        FROM sse GROUP BY lam) WHERE pick = 1),
     fm AS (
       SELECT * , SQRT(c11/n) AS s1, SQRT(c22/n) AS s2,
              c12/SQRT(c11*c22) AS rho
