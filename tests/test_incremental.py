@@ -116,3 +116,23 @@ def test_delta_only_touches_its_keys(spark):
     assert after["a"] == before["a"]
     assert after["c"] == before["c"]
     assert after["b"] == (3, 109.5, 0.5, 99.0)
+
+
+def test_merge_rollup_accepts_reordered_key_columns(spark):
+    """A delta with the same key SET in a different column order
+    merges fine (unionByName is order-insensitive) — ADVICE r2."""
+    from var_elasticnet_bigdata_spark.operators.incremental import (
+        merge_rollup,
+        partial_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 2.0)], "k1 string, k2 int, value double"
+    )
+    state = partial_rollup(df, ["k1", "k2"], "value")
+    delta = partial_rollup(
+        df.select("k2", "k1", "value"), ["k2", "k1"], "value"
+    )
+    merged = merge_rollup(state, delta)
+    row = merged.filter("k1 = 'a'").collect()[0]
+    assert row.cnt == 2 and row.total == 2.0

@@ -51,11 +51,12 @@ def merge_rollup(state: DataFrame, delta_partial: DataFrame) -> DataFrame:
     counts/sums add, min/max reduce. Columns must be
     ``keys... + PARTIAL_COLS`` on both sides."""
     keys = [c for c in state.columns if c not in PARTIAL_COLS]
-    if [c for c in delta_partial.columns if c not in PARTIAL_COLS] != keys:
-        raise ValueError(
-            f"state keys {keys} != delta keys "
-            f"{[c for c in delta_partial.columns if c not in PARTIAL_COLS]}"
-        )
+    delta_keys = [c for c in delta_partial.columns if c not in PARTIAL_COLS]
+    # compare as SETS: unionByName/groupBy below are column-order
+    # insensitive, so a delta with the same keys in a different order
+    # is valid (ADVICE r2)
+    if sorted(delta_keys) != sorted(keys):
+        raise ValueError(f"state keys {keys} != delta keys {delta_keys}")
     return (
         state.select(state.columns)
         .unionByName(delta_partial.select(state.columns))

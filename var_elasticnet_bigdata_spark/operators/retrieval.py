@@ -110,7 +110,9 @@ def duck_bm25_sql(
     and tie-break."""
     from .dedup import NORM_SQL_DUCK
 
-    terms = ", ".join(f"'{t}'" for t in query_terms)
+    # escape quotes the same way the Spark twin does (bm25_topk):
+    # an apostrophe in a term must not produce malformed oracle SQL
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     return f"""
         WITH w AS (
           SELECT {id_col},

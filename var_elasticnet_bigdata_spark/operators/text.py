@@ -417,19 +417,24 @@ def regex_token_stats(
     # don't), so the pattern's \s must be doubled HERE only
     pat = BPE_ISH_PATTERN.replace("\\", "\\\\")
     toks = f"regexp_extract_all(lower({text_col}), '{pat}', 0)"
-    return df.select(
+    # Stage the token array ONCE: CollapseProject would otherwise
+    # inline the regex extraction into all five consumers and run the
+    # tokenizer ~5x per row at scan time (same staging doctrine as
+    # repetition_score / exploded_shingle_hashes).
+    staged = df.withColumn("__t", F.expr(toks))
+    return staged.select(
         F.col(id_col),
-        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr("size(__t)").alias("n_tokens"),
         F.expr(
-            f"size(filter({toks}, t -> t rlike '^[a-z]+$'))"
+            "size(filter(__t, t -> t rlike '^[a-z]+$'))"
         ).alias("n_alpha"),
         F.expr(
-            f"size(filter({toks}, t -> t rlike '^[0-9]+$'))"
+            "size(filter(__t, t -> t rlike '^[0-9]+$'))"
         ).alias("n_num"),
         F.expr(
-            f"size(filter({toks}, t -> t rlike '^[^a-z0-9\\\\s]$'))"
+            "size(filter(__t, t -> t rlike '^[^a-z0-9\\\\s]$'))"
         ).alias("n_punct"),
-        F.expr(f"md5(concat_ws(' ', {toks}))").alias("tok_key"),
+        F.expr("md5(concat_ws(' ', __t))").alias("tok_key"),
     )
 
 

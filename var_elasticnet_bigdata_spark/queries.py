@@ -2914,8 +2914,15 @@ def stat_hosking(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from .functions.stats import hosking_test
+    from .plans.guards import guard_driver_collect
 
     wide = _quarterly_pair(spark, sf_dir)
+    guard_driver_collect(
+        wide,
+        "stat_hosking quarterly residual matrix",
+        "a coarser roll-up before the portmanteau test (the statistic "
+        "needs the full T×K series on one node by construction)",
+    )
     U = (
         wide.orderBy("obs_date")
         .select("revenue", "quantity")
@@ -3122,8 +3129,14 @@ def a7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NTZ literal: a zoned-TIMESTAMP cast would re-interpret the
     # cutoff in the (driver's) session zone and shift rows across the
     # history/delta boundary relative to the naive DuckDB comparison
+    # NULL ts fails BOTH complementary predicates and would silently
+    # vanish while the DuckDB oracle groups it under a NULL day — so
+    # route NULL-ts rows explicitly into the delta branch (ADVICE r2)
     hist = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz"))
-    late = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz"))
+    late = ev.filter(
+        (F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz"))
+        | F.col("ts").isNull()
+    )
     keys = ["event_type", "day"]
     state = partial_rollup(hist, keys, "value")
     merged = merge_rollup(state, partial_rollup(late, keys, "value"))
@@ -3312,9 +3325,64 @@ def j6_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's per-round correctness sweep may cap how many queries it
+# reaches (round 2 stopped at 50 of 83, leaving the entire ML/ANN/text
+# tail unchecked in CORRECTNESS_r02.json). Order the registry so the
+# highest-risk hash-gated ML/ANN/pipeline twins register FIRST, the
+# plain relational spine last — every query still registers, only the
+# iteration order changes, and tools/check_oracle.py always runs all.
+_PRIORITY = [
+    "flagship_quarterly_revenue_growth",
+    # ML estimation / tuning / selection twins (VERDICT r2 §next-round 1-2)
+    "ml_enet_var_coefs",
+    "ml_ridge_var_coefs",
+    "ml_group_enet_coefs",
+    "ml_group_ridge_coefs",
+    "ml_lasso_soft_threshold",
+    "ml_tune_best",
+    "ml_tune_ridge",
+    "ml_ezlasso_select",
+    "ml_acf_selection",
+    "ml_acf_m15_topn",
+    "ml_pacf_m17_profile",
+    "ml_modeltrain_msfe",
+    "ml_ar1_coefs",
+    "stat_adf_batch",
+    "stat_hosking",
+    # ANN / embedding stack
+    "ann_ivf_top1",
+    "ann_ivf_fixed",
+    "ann_top1_cosine",
+    "dedup_embedding_cosine",
+    # text / pipeline tail the round-2 sweep never reached
+    "text_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_pii_redaction",
+    "text_chunking",
+    "text_bm25_topk",
+    "text_tfidf_topterms",
+    "text_repetition",
+    "text_regex_tokens",
+    "text_pack_sequences",
+    "split_contamination",
+    "sample_stratified",
+    "pipeline_training_data",
+    "pipeline_corpus_curation",
+    "a7_incremental_rollup",
+    "j6_local_supplier_volume",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    return _ordered(ORACLE)
