@@ -144,3 +144,33 @@ def test_spark_group_fit_matches_local(spark):
     Bd, _ = dist.coef_at(dist.lambda_min)
     Bl, _ = local.fit.coef_at(local.fit.lambda_min)
     assert Bd == pytest.approx(Bl, abs=1e-8)
+
+
+def test_block_cd_fixed_converges_to_block_cd():
+    """The fixed-schedule solver used by the ml_group_enet_coefs hash
+    gate reaches the converged _block_cd solution as sweeps grow, and
+    80 sweeps (the gate's schedule) is deterministic and finite."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.ml.group_enet import (
+        _block_cd,
+        block_cd_fixed,
+    )
+
+    rng = np.random.default_rng(7)
+    n, k, K = 200, 4, 2
+    X = rng.normal(size=(n, k))
+    X[:, 2] = 0.95 * X[:, 0] + 0.05 * X[:, 2]  # collinear like a lag design
+    B_true = rng.normal(size=(k, K))
+    Y = X @ B_true + rng.normal(scale=0.1, size=(n, K))
+    Xs = (X - X.mean(0)) / X.std(0)
+    Ys = (Y - Y.mean(0)) / Y.std(0)
+    C = Xs.T @ Xs / n
+    R = Xs.T @ Ys / n
+    ref = _block_cd(C, R, alpha=0.5, lam=0.01, tol=1e-12)
+    approx = block_cd_fixed(C, R, alpha=0.5, lam=0.01, sweeps=4000)
+    assert np.allclose(approx, ref, atol=1e-6)
+    # determinism of the gate schedule
+    a = block_cd_fixed(C, R, alpha=0.5, lam=0.01, sweeps=80)
+    b = block_cd_fixed(C, R, alpha=0.5, lam=0.01, sweeps=80)
+    assert np.array_equal(a, b)

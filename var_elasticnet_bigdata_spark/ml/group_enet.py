@@ -318,3 +318,73 @@ def fit_group_enet_var(
     frame = blocked_fold_column(vz.df.filter(cond), date_col, cv_block)
     fm = compute_moments(frame, z_cols + series, fold_col="__fold")
     return cv_group_enet(fm, z_cols, series, alpha=alpha, intercept=intercept)
+
+
+def block_cd_fixed(
+    xtx_n: np.ndarray,
+    xty_n: np.ndarray,
+    alpha: float,
+    lam: float,
+    sweeps: int,
+) -> np.ndarray:
+    """Fixed-schedule block CD: exactly ``sweeps`` sequential
+    Gauss–Seidel full sweeps from B = 0, no active-set shortcut, no
+    tolerance exit. Deterministic by construction, which makes the
+    schedule REPLAYABLE step-for-step in the DuckDB oracle
+    (queries.py:_group_enet_oracle_sql) — the hash gate for the α>0
+    mgaussian solver that plain convergence-based CD cannot provide
+    (VERDICT r2 next-round item 1). Same update formula as
+    ``_block_cd``; converges to the same unique minimizer as
+    ``sweeps`` grows (pinned in tests/test_group_enet.py)."""
+    k, K = xty_n.shape
+    B = np.zeros((k, K))
+    diag = xtx_n.diagonal()
+    den = diag + lam * (1.0 - alpha)
+    g = lam * alpha
+    for _ in range(sweeps):
+        for j in range(k):
+            r = xty_n[j] - xtx_n[j] @ B + diag[j] * B[j]
+            nr = float(np.sqrt(r @ r))
+            if nr <= g or den[j] <= 0:
+                B[j] = 0.0
+            else:
+                B[j] = r * ((1.0 - g / nr) / den[j])
+    return B
+
+
+def fit_group_enet_var_fixed(
+    wide_df,
+    series: list[str],
+    p: int,
+    alpha: float,
+    lam: float,
+    sweeps: int = 80,
+    intercept: bool = True,
+    date_col: str = "obs_date",
+):
+    """Spark entry for the fixed-λ, fixed-schedule mgaussian fit:
+    the SAME distributed lag-embed → one-pass Gram → glmnet
+    standardization chain as ``fit_group_enet_var``, with
+    ``block_cd_fixed`` as the solver. Returns ``(x_cols, y_cols,
+    B_orig, a0)`` on the original data scale. The CV λ.min flavor
+    stays pinned in tests/test_group_enet.py (reference
+    enetVAR.R:344-366)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.lag_embed import lag_col_name, var_z
+    from .gram import compute_moments
+
+    vz = var_z(wide_df.select(date_col, *series), series, p, date_col=date_col)
+    z_cols = [lag_col_name(s, i) for i in range(1, p + 1) for s in series]
+    cond = None
+    for c in [*z_cols, *series]:
+        pred = F.col(f"`{c}`").isNotNull()
+        cond = pred if cond is None else (cond & pred)
+    fm = compute_moments(vz.df.filter(cond), z_cols + series)
+    xtx_n, xty_n, mx, my, xscale, yscale = _standardize_group(
+        fm, z_cols, series, intercept, True, True
+    )
+    B = block_cd_fixed(xtx_n, xty_n, alpha, lam, sweeps)
+    Borig = B * yscale[None, :] / xscale[:, None]
+    a0 = my - Borig.T @ mx if intercept else np.zeros(len(series))
+    return z_cols, list(series), Borig, a0

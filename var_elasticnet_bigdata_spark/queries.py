@@ -2210,15 +2210,15 @@ def _enet_oracle_sql(alpha: float, lam: float, dp: int) -> str:
         mom AS (SELECT COUNT(*) AS n, {sums}, SUM(y_r) AS s_y_r,
                        SUM(y_q) AS s_y_q, {cross}, {xy} FROM lagged),
         std AS (SELECT *, {std_cols} FROM mom),
-        gram AS (SELECT *, {gram_cols} FROM std),
+        gram AS MATERIALIZED (SELECT *, {gram_cols} FROM std),
         patterns AS (
           SELECT p1.col0 AS s1, p2.col0 AS s2, p3.col0 AS s3, p4.col0 AS s4
           FROM {signs} p1, {signs} p2, {signs} p3, {signs} p4),
         masked AS (SELECT * , {mask_cols} FROM patterns, gram),
         cand AS (SELECT *, {", ".join(sol_cols)} FROM masked),
-        pick_r AS (SELECT * FROM cand WHERE {kkt["r"]}
+        pick_r AS MATERIALIZED (SELECT * FROM cand WHERE {kkt["r"]}
                    ORDER BY {nact}, s1, s2, s3, s4 LIMIT 1),
-        pick_q AS (SELECT * FROM cand WHERE {kkt["q"]}
+        pick_q AS MATERIALIZED (SELECT * FROM cand WHERE {kkt["q"]}
                    ORDER BY {nact}, s1, s2, s3, s4 LIMIT 1)
         {" UNION ALL ".join(rows_sql)}
         ORDER BY equation, z_name
@@ -2226,6 +2226,134 @@ def _enet_oracle_sql(alpha: float, lam: float, dp: int) -> str:
 
 
 ORACLE["ml_enet_var_coefs"] = _enet_oracle_sql(0.5, 0.01, 6)
+
+
+def _group_enet_oracle_sql(
+    alpha: float, lam: float, dp: int, sweeps: int
+) -> str:
+    """Step-for-step SQL replay of ``block_cd_fixed`` (the mgaussian
+    α>0 solver, VERDICT r2 item 1): lag-embed → moments → glmnet
+    standardization WITH response scaling, then exactly
+    ``sweeps``×4 sequential row updates as a DuckDB recursive CTE —
+    each recursion step updates row j = it mod 4 for BOTH responses
+    with the group soft-threshold
+    ``B_j ← r_j·(1 − λα/‖r_j‖)₊ / (1 + λ(1−α))``, identical to the
+    engine's fixed schedule (group KKT is nonlinear in the direction
+    B_j/‖B_j‖, so the support-enumeration trick used for the
+    univariate twin does not apply). Reference: enetVAR.R:344-366."""
+    xs = ["rl1", "ql1", "rl2", "ql2"]
+    zn = ["revenue.l1", "quantity.l1", "revenue.l2", "quantity.l2"]
+    k = len(xs)
+
+    def ckey(a: str, b: str) -> str:
+        ia, ib = xs.index(a), xs.index(b)
+        return f"c_{xs[min(ia, ib)]}_{xs[max(ia, ib)]}"
+
+    sums = ", ".join(f"SUM({a}) AS s_{a}" for a in xs)
+    cross = ", ".join(
+        f"SUM({a}*{b}) AS c_{a}_{b}" for i, a in enumerate(xs) for b in xs[i:]
+    )
+    xy = ", ".join(
+        f"SUM({a}*y_{e}) AS cy_{a}_{e}" for a in xs for e in ("r", "q")
+    )
+    std_cols = (
+        ", ".join(f"s_{a}/n AS mx_{a}" for a in xs)
+        + ", "
+        + ", ".join(
+            f"sqrt(c_{a}_{a}/n - (s_{a}/n)*(s_{a}/n)) AS sc_{a}" for a in xs
+        )
+        + ", s_y_r/n AS my_r, s_y_q/n AS my_q"
+        + ", ".join(
+            [""]
+            + [
+                f"sqrt(c_y_{e}/n - (s_y_{e}/n)*(s_y_{e}/n)) AS scy_{e}"
+                for e in ("r", "q")
+            ]
+        )
+    )
+    gram_cols = (
+        ", ".join(
+            f"({ckey(a, b)}/n - mx_{a}*mx_{b})/(sc_{a}*sc_{b}) AS g_{i}_{j}"
+            for i, a in enumerate(xs)
+            for j, b in enumerate(xs)
+            if i < j
+        )
+        + ", "
+        + ", ".join(
+            f"(cy_{a}_{e}/n - mx_{a}*my_{e})/(sc_{a}*scy_{e}) AS r_{a}_{e}"
+            for a in xs
+            for e in ("r", "q")
+        )
+    )
+    gam = repr(lam * alpha)
+    den = f"(1.0 + {lam * (1.0 - alpha)!r})"
+
+    def gref(i: int, j: int) -> str:
+        return f"g.g_{min(i, j)}_{max(i, j)}"
+
+    # one row update per recursion step: j = it % k, both responses
+    upd_cols = []
+    for j in range(k):
+        rho = {}
+        for e in ("r", "q"):
+            ex = f"g.r_{xs[j]}_{e}"
+            for i in range(k):
+                if i != j:
+                    ex += f" - {gref(i, j)}*cd.b{i + 1}{e}"
+            rho[e] = f"({ex})"
+        nr = f"sqrt({rho['r']}*{rho['r']} + {rho['q']}*{rho['q']})"
+        fac = (
+            f"(CASE WHEN {nr} > {gam} THEN (1.0 - {gam}/{nr})/{den} "
+            f"ELSE 0.0 END)"
+        )
+        for e in ("r", "q"):
+            upd_cols.append(
+                f"CASE WHEN cd.it % {k} = {j} THEN {rho[e]}*{fac} "
+                f"ELSE cd.b{j + 1}{e} END AS b{j + 1}{e}"
+            )
+    # CAST: a bare 0.0 literal is DECIMAL(1,1) in DuckDB and the
+    # recursion coerces the whole CD state to it, truncating updates
+    zeros = ", ".join(
+        f"CAST(0 AS DOUBLE) AS b{j + 1}{e}"
+        for j in range(k)
+        for e in ("r", "q")
+    )
+    n_steps = sweeps * k
+
+    rows_sql = []
+    for e, eq in (("r", "revenue"), ("q", "quantity")):
+        for j in range(k):
+            borig = f"(d.b{j + 1}{e} * d.scy_{e} / d.sc_{xs[j]})"
+            rows_sql.append(
+                f"SELECT '{zn[j]}' AS z_name, '{eq}' AS equation,"
+                f" ROUND({borig},{dp}) AS coef FROM done d"
+            )
+
+    return f"""
+        WITH RECURSIVE q AS ({_QPAIR_SQL}),
+        lagged AS (
+          SELECT revenue AS y_r, quantity AS y_q,
+                 LAG(revenue,1) OVER w AS rl1, LAG(quantity,1) OVER w AS ql1,
+                 LAG(revenue,2) OVER w AS rl2, LAG(quantity,2) OVER w AS ql2
+          FROM q WINDOW w AS (ORDER BY obs_date)
+          QUALIFY rl2 IS NOT NULL AND ql2 IS NOT NULL),
+        mom AS (SELECT COUNT(*) AS n, {sums}, SUM(y_r) AS s_y_r,
+                       SUM(y_q) AS s_y_q, SUM(y_r*y_r) AS c_y_r,
+                       SUM(y_q*y_q) AS c_y_q, {cross}, {xy} FROM lagged),
+        std AS (SELECT *, {std_cols} FROM mom),
+        gram AS MATERIALIZED (SELECT *, {gram_cols} FROM std),
+        cd AS (
+          SELECT 0 AS it, {zeros}
+          UNION ALL
+          SELECT cd.it + 1, {", ".join(upd_cols)}
+          FROM cd, gram g WHERE cd.it < {n_steps}),
+        done AS MATERIALIZED (SELECT cd.*, g.* FROM cd, gram g WHERE cd.it = {n_steps})
+        {" UNION ALL ".join(rows_sql)}
+        ORDER BY equation, z_name
+    """
+
+
+ORACLE["ml_group_enet_coefs"] = _group_enet_oracle_sql(0.5, 0.01, 6, 80)
 
 
 @query(
@@ -2429,21 +2557,32 @@ def stat_adf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_group_enet_coefs", None)
+@query("ml_group_enet_coefs", None)  # oracle generated below
 def ml_group_enet_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7: group (mgaussian) elastic-net VAR on the quarterly pair —
-    row-sparse coefficient matrix at λ.min from blocked-fold CV."""
-    from .ml.group_enet import fit_group_enet_var
+    """M7: group (mgaussian) elastic-net VAR(2) on the quarterly pair
+    at α=0.5, fixed λ — hash-gated END TO END: the engine runs the
+    distributed lag-embed → Gram → standardize(+response) chain with
+    a FIXED 80-sweep Gauss–Seidel block-CD schedule, and the DuckDB
+    oracle (``_group_enet_oracle_sql``) replays the identical
+    schedule as a recursive CTE, so both sides compute the same
+    finite iteration — no convergence-tolerance daylight. The CV
+    λ.min flavor (enetVAR.R:344-366 cv.glmnet mgaussian) stays
+    pinned in tests/test_group_enet.py, and block_cd_fixed ≈
+    converged _block_cd is itself a pinned test."""
+    from .ml.group_enet import fit_group_enet_var_fixed
 
     wide = _quarterly_pair(spark, sf_dir)
-    fit = fit_group_enet_var(wide, ["revenue", "quantity"], p=2, alpha=0.5)
-    B, a0 = fit.coef_at(fit.lambda_min)
+    x_cols, y_cols, B, _a0 = fit_group_enet_var_fixed(
+        wide, ["revenue", "quantity"], p=2, alpha=0.5, lam=0.01, sweeps=80
+    )
     rows = [
         (zn, yc, round(float(B[i, j]), 6))
-        for i, zn in enumerate(fit.x_cols)
-        for j, yc in enumerate(fit.y_cols)
+        for i, zn in enumerate(x_cols)
+        for j, yc in enumerate(y_cols)
     ]
-    return spark.createDataFrame(rows, "z_name string, equation string, coef double")
+    return spark.createDataFrame(
+        rows, "z_name string, equation string, coef double"
+    ).orderBy("equation", "z_name")
 
 
 @query(
