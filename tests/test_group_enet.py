@@ -168,8 +168,24 @@ def test_block_cd_fixed_converges_to_block_cd():
     C = Xs.T @ Xs / n
     R = Xs.T @ Ys / n
     ref = _block_cd(C, R, alpha=0.5, lam=0.01, tol=1e-12)
-    approx = block_cd_fixed(C, R, alpha=0.5, lam=0.01, sweeps=4000)
-    assert np.allclose(approx, ref, atol=1e-6)
+    approx = block_cd_fixed(C, R, alpha=0.5, lam=0.01, sweeps=60000)
+    # fixed schedule lands ON the unique minimizer (KKT residual ~1e-16
+    # measured; _block_cd's energy-criterion exit stops ~7e-5 short on
+    # this collinear design, so compare both to optimality, not to
+    # each other at tight tolerance)
+    g, ridge = 0.005, 0.005
+    def kkt_residual(B):
+        Rres = R - C @ B
+        worst = 0.0
+        for j in range(4):
+            if np.any(B[j] != 0):
+                u = B[j] / np.linalg.norm(B[j])
+                worst = max(worst, np.abs(Rres[j] - ridge * B[j] - g * u).max())
+            else:
+                worst = max(worst, max(0.0, np.linalg.norm(Rres[j]) - g))
+        return worst
+    assert kkt_residual(approx) < 1e-10
+    assert np.allclose(approx, ref, atol=1e-3)
     # determinism of the gate schedule
     a = block_cd_fixed(C, R, alpha=0.5, lam=0.01, sweeps=80)
     b = block_cd_fixed(C, R, alpha=0.5, lam=0.01, sweeps=80)
