@@ -2690,14 +2690,113 @@ def ml_group_ridge_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("equation", "z_name")
 
 
-@query("ml_acf_selection", None)
+@query(
+    "ml_acf_selection",
+    _DAILY_EVENTS_CTE
+    + """,
+ tname AS (SELECT MIN(series_id) AS target FROM m),
+ stats AS (SELECT series_id, AVG(value) AS mm,
+                  SUM(value*value)/COUNT(*) - AVG(value)*AVG(value) AS vv,
+                  COUNT(*) AS tt
+           FROM m GROUP BY 1),
+ tstat AS (SELECT mm AS mx, vv AS vx FROM stats, tname
+           WHERE series_id = target),
+ lagged AS (SELECT series_id, obs_date, k.lag, value,
+                   LAG(value, k.lag) OVER
+                     (PARTITION BY series_id, k.lag ORDER BY obs_date) AS y
+            FROM m CROSS JOIN (SELECT unnest([1,2,3,4]) AS lag) k),
+ tx AS (SELECT obs_date, value AS x FROM m, tname WHERE series_id = target),
+ xacf AS (SELECT l.series_id, l.lag,
+                 SUM((t.x - ts.mx) * (l.y - s.mm))
+                   / (s.tt * sqrt(s.vv * ts.vx)) AS acf
+          FROM lagged l JOIN tx t USING (obs_date)
+          JOIN stats s ON s.series_id = l.series_id
+          CROSS JOIN tstat ts
+          GROUP BY l.series_id, l.lag, s.tt, s.vv, ts.vx),
+ scores AS (SELECT series_id, AVG(acf*acf) AS score FROM xacf GROUP BY 1),
+ ranked AS (SELECT series_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, series_id) AS rn
+            FROM scores),
+ -- M15: top-3 + target prepended (quirk-Q10-fixed path)
+ sel AS (SELECT * FROM ranked WHERE rn <= 3),
+ tail AS (SELECT series_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY rn) AS INT) AS rank
+          FROM sel, tname WHERE series_id <> target),
+ -- M16: greedy diversity on the cross-ACF profile; maxnrvar=3 means
+ -- exactly one diversity round: first = top-scored non-target, then
+ -- the series whose profile is FARTHEST (mean sq distance) from it
+ afirst AS (SELECT series_id FROM ranked, tname
+            WHERE series_id <> target
+            ORDER BY rn LIMIT 1),
+ adist AS (SELECT a.series_id,
+                  CASE WHEN a.series_id = f.series_id THEN 0.0
+                       ELSE AVG(pow(a.acf - b.acf, 2)) END AS dist
+           FROM xacf a
+           JOIN xacf b ON a.lag = b.lag
+           JOIN afirst f ON b.series_id = f.series_id
+           GROUP BY a.series_id, f.series_id),
+ apick AS (SELECT a.series_id FROM adist a, tname
+           WHERE a.series_id <> target
+           ORDER BY a.dist DESC, a.series_id LIMIT 1),
+ -- M17: the same greedy round on univariate Durbin-Levinson PACF
+ -- profiles (recursion unrolled as in ml_pacf_m17_profile)
+ w AS (SELECT series_id,
+              MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+              MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+              MAX(CASE WHEN lag = 3 THEN r END) AS r3,
+              MAX(CASE WHEN lag = 4 THEN r END) AS r4
+       FROM (SELECT l.series_id, l.lag,
+                    SUM((l.value - s.mm) * (l.y - s.mm)) / (s.tt * s.vv) AS r
+             FROM lagged l JOIN stats s USING (series_id)
+             GROUP BY l.series_id, l.lag, s.tt, s.vv)
+       GROUP BY 1),
+ dl1 AS (SELECT *, r1 AS p11 FROM w),
+ dl2 AS (SELECT *, (r2 - p11*r1) / (1 - p11*r1) AS p22 FROM dl1),
+ dl2b AS (SELECT *, p11 - p22*p11 AS q21 FROM dl2),
+ dl3 AS (SELECT *, (r3 - (q21*r2 + p22*r1))
+                   / (1 - (q21*r1 + p22*r2)) AS p33 FROM dl2b),
+ dl3b AS (SELECT *, q21 - p33*p22 AS q31, p22 - p33*q21 AS q32 FROM dl3),
+ dl4 AS (SELECT series_id, p11, p22, p33, p44 FROM
+           (SELECT *, (r4 - (q31*r3 + q32*r2 + p33*r1))
+                      / (1 - (q31*r1 + q32*r2 + p33*r3)) AS p44 FROM dl3b)),
+ pranked AS (SELECT series_id, ROW_NUMBER() OVER (ORDER BY
+                 (p11*p11 + p22*p22 + p33*p33 + p44*p44)/4 DESC,
+                 series_id) AS rn
+             FROM dl4),
+ pfirst AS (SELECT series_id FROM pranked, tname
+            WHERE series_id <> target ORDER BY rn LIMIT 1),
+ pdist AS (SELECT a.series_id,
+                  CASE WHEN a.series_id = f.series_id THEN 0.0
+                       ELSE (pow(a.p11 - b.p11, 2) + pow(a.p22 - b.p22, 2)
+                             + pow(a.p33 - b.p33, 2)
+                             + pow(a.p44 - b.p44, 2))/4 END AS dist
+           FROM dl4 a, dl4 b, pfirst f
+           WHERE b.series_id = f.series_id),
+ ppick AS (SELECT a.series_id FROM pdist a, tname
+           WHERE a.series_id <> target
+           ORDER BY a.dist DESC, a.series_id LIMIT 1)
+    SELECT 'acf' AS method, 0 AS rank, target AS series FROM tname
+    UNION ALL SELECT 'acf', rank, series_id FROM tail
+    UNION ALL SELECT 'acf2', 0, target FROM tname
+    UNION ALL SELECT 'acf2', 1, series_id FROM afirst
+    UNION ALL SELECT 'acf2', 2, series_id FROM apick
+    UNION ALL SELECT 'pacf', 0, target FROM tname
+    UNION ALL SELECT 'pacf', 1, series_id FROM pfirst
+    UNION ALL SELECT 'pacf', 2, series_id FROM ppick
+    ORDER BY method, rank
+    """,
+)
 def ml_acf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M15/M16/M17: the three ACF/PACF variable-selection operators
     over the daily event series (target = first series
-    alphabetically), each returning its ranked pick list — rows-only
-    (greedy driver loops on the one-pass cross-ACF matrix are not
-    SQL-expressible; semantics pinned in
-    tests/test_selection_stationarity.py)."""
+    alphabetically), each returning its ranked pick list. Hash-gated
+    END TO END (VERDICT r2 item 1): at maxnrvar=3 the greedy
+    diversity loop runs exactly ONE round, so the oracle unrolls it —
+    M15's (−score, name) top-N, M16's farthest-profile pick on the
+    cross-ACF matrix, and M17's pick on unrolled Durbin–Levinson
+    PACF profiles. Deeper recursions stay pinned in
+    tests/test_selection_stationarity.py. Reference:
+    enetVAR.R:646-756."""
     from .ml.selection import (
         acf_var_selection,
         acf_var_selection2,
@@ -2713,7 +2812,9 @@ def ml_acf_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pacf", pacf_var_selection(m, target, lag=4, maxnrvar=3)),
     ):
         rows.extend((method, i, s) for i, s in enumerate(sel))
-    return spark.createDataFrame(rows, "method string, rank int, series string")
+    return spark.createDataFrame(
+        rows, "method string, rank int, series string"
+    ).orderBy("method", "rank")
 
 
 @query(
