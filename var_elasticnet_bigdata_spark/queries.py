@@ -3303,14 +3303,20 @@ def _register_ezlasso_oracle() -> None:
 _register_ezlasso_oracle()
 
 
-@query("ann_ivf_top1", None)
+@query("ann_ivf_top1", None)  # pinned oracle registered below
 def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the k-means alternative to the LSH scale
     path): spherical-k-means cells trained on a bounded sample,
     distributed assignment, candidates join on cell keys only, exact
-    cosine rerank. Deterministic under the fixed seed; recall vs the
-    exact path is measured in tests/test_dedup_similarity.py —
-    rows-only here (k-means is not expressible in the SQL oracle)."""
+    cosine rerank. Deterministic under the fixed seed. Hash-gated via
+    a PINNED oracle (VERDICT r2 item 1): seeded-PCG64 k-means is not
+    SQL-expressible, so ``tools/gen_pinned_oracles.py`` re-implements
+    the whole pipeline independently (numpy + pyarrow, no engine
+    imports) and pins the expected table per data fingerprint; the
+    DuckDB oracle below selects the matching pin — and returns 0 rows
+    (a loud rowcount failure) if the test data ever changes. Recall
+    vs the exact path stays measured in
+    tests/test_dedup_similarity.py."""
     from .operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -3318,6 +3324,51 @@ def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "rank", "neighbor_id", r6(F.col("cosine")).alias("cosine")
     )
+
+
+def _pinned_ivf_oracle_sql() -> str | None:
+    """Build the fingerprint-switched VALUES oracle for
+    ``ann_ivf_top1`` from the JSON written by
+    ``tools/gen_pinned_oracles.py`` (see that tool's docstring for
+    the independence argument). The checksum match uses an absolute
+    tolerance so parallel-aggregation float drift cannot flip it."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "pinned", "ann_ivf_top1.json"
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        pins = json.load(f)["pins"]
+    branches = []
+    for p in pins:
+        fp = p["fingerprint"]
+        vals = ", ".join(
+            f"({a}, {b}, {c}, CAST({d!r} AS DOUBLE))"
+            for a, b, c, d in p["rows"]
+        )
+        branches.append(
+            f"""SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+                   CAST(t.rank AS INT) AS rank,
+                   CAST(t.neighbor_id AS BIGINT) AS neighbor_id,
+                   t.cosine
+            FROM (VALUES {vals}) t(vec_id, rank, neighbor_id, cosine), fp
+            WHERE fp.n = {fp["n"]} AND fp.id_sum = {fp["id_sum"]}
+              AND abs(fp.checksum - ({fp["checksum"]!r})) < 0.001"""
+        )
+    return (
+        "WITH fp AS (SELECT COUNT(*) AS n, SUM(vec_id) AS id_sum, "
+        "SUM(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) "
+        "AS checksum FROM embeddings) "
+        + " UNION ALL ".join(branches)
+    )
+
+
+_ivf_pin = _pinned_ivf_oracle_sql()
+if _ivf_pin is not None:
+    ORACLE["ann_ivf_top1"] = _ivf_pin
 
 
 @query(
