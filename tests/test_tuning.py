@@ -196,3 +196,44 @@ def test_ezlasso_q13_intercept_occupies_rank_slot(spark):
         init_window=180, horizon=1, rank_abs=True,
     )
     assert set(fixed) == {"y", "xp", "xn"}
+
+
+def test_tune_distribute_join_equals_broadcast(spark, monkeypatch):
+    """VERDICT r2 item 4: the scale path the guard advertises exists —
+    distribute='join' computes per-origin prefix moments and executor-
+    side path fits, never collecting the estimation frame, and agrees
+    with the broadcast path exactly. It also runs fine UNDER a guard
+    ceiling that trips the broadcast path."""
+    from var_elasticnet_bigdata_spark.plans.guards import (
+        DriverMaterializationError,
+    )
+
+    rng = np.random.default_rng(11)
+    T = 70
+    a = np.cumsum(rng.normal(size=T)) * 0.1
+    b = 0.5 * np.roll(a, 1) + rng.normal(size=T) * 0.3
+    wide = make_wide(spark, {"a": a, "b": b})
+    kw = dict(
+        lag=1, init_window=50, horizon=3,
+        alpha_grid=np.array([0.3, 0.7]),
+        lambda_grid=10 ** np.linspace(0, -3, 8),
+    )
+    base = rolling_origin_tune(spark, wide, ["a", "b"], **kw)
+    dist = rolling_origin_tune(
+        spark, wide, ["a", "b"], distribute="join", **kw
+    )
+    bs = base.sort_values("equation").reset_index(drop=True)
+    ds = dist.sort_values("equation").reset_index(drop=True)
+    assert list(bs.equation) == list(ds.equation)
+    assert np.allclose(bs[["alpha", "lambda"]], ds[["alpha", "lambda"]])
+    assert np.allclose(bs.rmse, ds.rmse, rtol=1e-9)
+    # under a tiny ceiling: broadcast trips, join path still works
+    monkeypatch.setenv("SPARK_GRAFT_MAX_DRIVER_ROWS", "10")
+    with pytest.raises(DriverMaterializationError):
+        rolling_origin_tune(spark, wide, ["a", "b"], **kw)
+    dist2 = rolling_origin_tune(
+        spark, wide, ["a", "b"], distribute="join", **kw
+    )
+    assert np.allclose(
+        dist2.sort_values("equation").rmse.to_numpy(), ds.rmse.to_numpy()
+    )
