@@ -231,18 +231,29 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # pairs via ONE bucket groupBy, not a banded⋈banded self-join:
+    # the self-join evaluates the signature pipeline TWICE (Spark
+    # can't share an uncached subtree across join sides — measured
+    # 5.6 s vs 1.6 s on the sf0.1 documents table), and shuffles a
+    # band row per side; this shape shuffles each (band, id) once
+    # and expands sorted in-bucket combinations with id_a < id_b —
+    # the same candidate set, bucket-bounded exactly as before.
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -262,6 +273,12 @@ def jaccard_pairs(
     sh = with_shingle_hashes(df, n, text_col=text_col).select(
         F.col(id_col), F.col("__sh").alias("sh")
     )
+    if candidates is not None:
+        # both join sides read the shingle frame — persist it so the
+        # normalize→shingle→md5 pipeline runs ONCE per doc, not once
+        # per side (linear cache, single reuse; bench/tests clear
+        # cache between queries)
+        sh = sh.persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if candidates is not None:
@@ -308,61 +325,156 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    local_finish_rows: int | None = None,
 ) -> DataFrame:
-    """Duplicate-cluster connected components by min-label
-    propagation: every node starts labeled with its own id; each
-    round pushes the smaller label across every edge (both
-    directions) until a fixpoint. Returns ``(id_col, component)``
-    with component = the smallest node id in the cluster (the usual
-    survivor representative).
+    """Duplicate-cluster connected components, two-regime
+    (VERDICT r2 item 5). Returns ``(id_col, component)`` with
+    component = the smallest node id in the cluster (the usual
+    survivor representative) — hash-checked against the
+    recursive-CTE SQL oracle.
 
-    Scale shape: each round is one shuffle (edge join + min
-    aggregate); rounds needed = cluster diameter, and near-dup
-    clusters are shallow (pairs come from LSH verification — chains,
-    not paths across the corpus). Lineage is truncated per round
-    with persist/unpersist so the plan doesn't grow with iterations.
+    Regime 1 — LOCAL FINISH: near-dup edge sets are usually tiny
+    relative to the corpus (LSH-verified pairs). When the exact edge
+    count (already known from the convergence signature) is at or
+    under ``local_finish_rows`` (default: the
+    ``guard_driver_collect`` ceiling), the edges are collected and
+    resolved by driver-side union-find — one job instead of
+    per-round shuffle cascades. This is the same bounded-frontier
+    rule every other guarded collect in the engine follows.
 
-    Convergence check: labels only ever DECREASE under min
-    propagation, so the label multiset is unchanged iff its exact sum
-    is unchanged — one aggregate on the already-persisted frame
-    instead of a labels⋈labels join per round (decimal(38,0) keeps
-    the sum exact at any id scale; measured −1 shuffle/round).
+    Regime 2 — LARGE-STAR / SMALL-STAR alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14 — public
+    algorithm) for edge sets above the ceiling: each large-star
+    hangs a node's larger neighbors off its minimum neighbor, each
+    small-star re-roots the smaller neighbors; the edge set
+    contracts to per-component stars centered on the minimum id in
+    O(log n) rounds, vs diameter rounds for plain min-label
+    propagation (round count asserted in
+    tests/test_dedup_similarity.py). As soon as a round contracts
+    the edge set below the ceiling, the local finish takes over.
+
+    Scale shape: each star round is two grouped shuffles over the
+    shrinking edge set. A round's edge frame references its parent
+    TWICE (join + union), so the logical plan doubles per round —
+    localCheckpoint (eager) truncates lineage each round, which
+    persist alone does not (the unbounded explain string OOMed the
+    driver before any task ran). Convergence: per-round signature
+    (edge count, exact decimal sums of endpoints) — stars are the
+    unique fixpoint of the alternation.
     """
-    labels = nodes.select(F.col(id_col).alias("id")).withColumn(
-        "comp", F.col("id")
-    ).persist()
-    sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .persist()
+    from ..plans.guards import max_driver_rows
+
+    threshold = (
+        local_finish_rows if local_finish_rows is not None else max_driver_rows()
     )
+    Eraw = edges.select(
+        F.greatest("id_a", "id_b").alias("src"),
+        F.least("id_a", "id_b").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
 
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    def _local_finish(rows) -> DataFrame:
+        # union-find with min-id roots (duplicate edges are harmless,
+        # so the bounded collect skips the distinct shuffle)
+        parent: dict[int, int] = {}
 
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
-        msgs = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "comp")
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = find(row["src"]), find(row["dst"])
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        pairs = [(int(x), int(find(x))) for x in parent]
+        spark = nodes.sparkSession
+        labels = spark.createDataFrame(pairs or [], "id long, comp long")
+        return F.broadcast(labels)
+
+    # ONE probe job for the common case: near-dup edge sets are tiny
+    # relative to the corpus, so try the bounded collect first —
+    # limit(threshold+1) never scans past the ceiling
+    head = Eraw.limit(threshold + 1).collect()
+    if len(head) <= threshold:
+        connected_components.last_rounds = 0
+        connected_components.last_local_finish = True
+        labels = _local_finish(head)
+        return (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(labels, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("comp", F.col("id")).alias("component"),
+            )
         )
-        new_labels = (
-            labels.select("id", "comp").union(msgs)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .persist()
+
+    E = Eraw.distinct().localCheckpoint(eager=True)
+
+    def _sig(frame: DataFrame):
+        r = frame.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("src").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.col("dst").cast("decimal(38,0)")).alias("sd"),
+        ).collect()[0]
+        return (r["c"] or 0, r["ss"], r["sd"])
+
+    sig = _sig(E)
+    prev = sig
+    rounds = 0
+    while sig[0] > threshold and rounds < max_iter:
+        rounds += 1
+        sym = E.union(
+            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_sum = _label_sum(new_labels)
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
+        # large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m)
+        # for the STRICTLY LARGER neighbors v > u
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        e1 = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: edges now all point src > dst; for each u,
+        # m = min of its smaller neighbors; re-root them and u on m
+        mins2 = e1.groupBy("src").agg(F.min("dst").alias("m"))
+        e2 = (
+            e1.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins2.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _sig(e2)
+        E = e2
+        if sig == prev:
             break
-        prev_sum = new_sum
-    sym.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+        prev = sig
+    connected_components.last_rounds = rounds  # introspection for tests
+    connected_components.last_local_finish = sig[0] <= threshold
+    if sig[0] <= threshold:
+        # a star round contracted the frontier under the ceiling
+        labels = _local_finish(E.collect())
+    else:
+        labels = E.groupBy("src").agg(F.min("dst").alias("comp")).withColumnRenamed(
+            "src", "id"
+        )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comp", F.col("id")).alias("component"),
+        )
+    )
 
 
 def keep_latest(
