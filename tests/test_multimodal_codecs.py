@@ -11,6 +11,8 @@ from var_elasticnet_bigdata_spark.operators.multimodal import (
     audio_features,
     decode_bmp,
     decode_media,
+    decode_png,
+    encode_png,
     decode_wav,
     encode_bmp,
     encode_wav,
@@ -89,8 +91,14 @@ def test_decode_media_dispatch():
     assert kind == "image" and dec.shape == (4, 4, 3)
     kind, (rate, y) = decode_media(encode_wav(_sine(100), 8000))
     assert kind == "audio" and rate == 8000
-    with pytest.raises(NotImplementedError):
+    # PNG now decodes for real (r3); corrupt PNG bodies are a
+    # ValueError (status-row degrade), JPEG stays the codec seam
+    kind, dec = decode_media(encode_png(_gradient_rgb(4, 4)))
+    assert kind == "image" and dec.shape == (4, 4, 3)
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff" + b"\x00" * 32)
     with pytest.raises(ValueError):
         decode_media(b"plain text, not media")
 
@@ -144,7 +152,7 @@ def _media_df(spark):
         (1, bytearray(encode_wav(_sine(4000), 8000))),
         (2, bytearray(encode_bmp(_gradient_rgb()))),
         (3, bytearray(b"garbage payload")),
-        (4, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)),
+        (4, bytearray(b"\xff\xd8\xff" + b"\x00" * 40)),  # JPEG: codec seam
     ]
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
@@ -189,3 +197,47 @@ def test_wav_zero_rate_header_is_undecodable(spark):
     )
     r = extract_media_features(df).collect()[0]
     assert r.status.startswith("undecodable")
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + unfiltering; VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_png_round_trip_all_filters_and_channels():
+    rng = np.random.default_rng(5)
+    for shape in [(7, 5, 3), (4, 9, 4), (8, 3, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ftype in range(5):  # None/Sub/Up/Average/Paeth
+            enc = encode_png(img, filter_type=ftype)
+            dec = decode_png(enc)
+            assert dec.shape == shape
+            assert np.array_equal(dec, img), (shape, ftype)
+
+
+def test_png_gradient_paeth_prediction():
+    # smooth gradients make Paeth's predictor path non-trivial
+    g = (
+        np.tile(np.arange(100, dtype=np.uint8), (20, 1))[:, :, None]
+        .repeat(3, axis=2)
+    )
+    assert np.array_equal(decode_png(encode_png(g, filter_type=4)), g)
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    enc = encode_png(img)
+    with pytest.raises(ValueError):
+        decode_png(enc[:30])  # truncated chunk
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # no IHDR/IDAT
+    # 16-bit depth advertised in IHDR -> unsupported, loud
+    import struct, zlib
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="depth=16"):
+        decode_png(bad)

@@ -155,11 +155,11 @@ def test_multimodal_frame_sampling(spark):
 
 
 def test_real_decoder_seam_raises():
-    # compressed formats remain the codec seam; the 8-byte PNG magic
-    # must reach the dispatch (decode_media rejects shorter payloads
-    # as undecodable, not unimplemented)
+    # JPEG remains the codec seam (PNG decodes for real since r3);
+    # the JPEG magic must reach the dispatch (decode_media rejects
+    # shorter payloads as undecodable, not unimplemented)
     with pytest.raises(NotImplementedError, match="pillow"):
-        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+        decode_media(b"\xff\xd8\xff" + b"\x00" * 16)
 
 
 def test_stream_exact_dedup_matches_batch(spark):
