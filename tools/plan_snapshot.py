@@ -35,15 +35,14 @@ SNAPSHOT_PATH = os.path.join(
     "plan_snapshots.json",
 )
 
-# plan construction for these runs the actual estimation / experiment
-# driver-side — too heavy for a lock-file check, and their plans end
-# in LocalTableScan anyway
-EXCLUDE_PREFIXES = ("ml_", "stat_adf", "stat_hosking")
-EXCLUDE = {
-    "w5_rolling_origin_errors",
-    "a3_msfe_by_horizon",
-    "ann_ivf_top1",  # k-means training at plan-build time
-}
+# Full-registry coverage (VERDICT r2 item 8): every query is locked,
+# including the ML/experiment ones whose plan CONSTRUCTION runs the
+# driver-side fit (their final plan is a LocalTableScan of the fitted
+# result — the lock still pins that the estimation stayed driver-side
+# and no stray distributed stage appeared, and new queries always
+# land locked). The build cost is one fit per query at sf0.01.
+EXCLUDE_PREFIXES = ()
+EXCLUDE: set[str] = set()
 
 # structural operators worth locking; everything else is cosmetic
 KEEP = re.compile(
