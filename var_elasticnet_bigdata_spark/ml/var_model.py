@@ -199,14 +199,15 @@ def fit_enet_var(
     for c in [*z_cols, *series]:  # na.omit; backticks for dotted lag names
         pred = F.col(f"`{c}`").isNotNull()
         cond = pred if cond is None else (cond & pred)
-    frame = blocked_fold_column(vz.df.filter(cond), date_col, cv_block)
-
     cols = z_cols + series
     if lams is None:
+        frame = blocked_fold_column(vz.df.filter(cond), date_col, cv_block)
         fold_moments = compute_moments(frame, cols, fold_col="__fold")
         total = moments_total(fold_moments)
     else:
-        total = compute_moments(frame, cols)
+        # fixed-λ path needs no CV folds — skip the fold-assignment
+        # window pass entirely
+        total = compute_moments(vz.df.filter(cond), cols)
         fold_moments = None
 
     fits: dict[str, EnetFit] = {}
