@@ -105,15 +105,27 @@ def curate_corpus(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # candidates via ONE bucket groupBy + sorted in-bucket pair
+    # expansion (same shape as dedup.lsh_candidate_pairs r3): a
+    # banded⋈banded self-join shuffles every band row twice and, on
+    # an unpersisted lineage, would evaluate the signature pipeline
+    # once per side
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     sh = surv.select("doc_id", F.col("__sh").alias("sh"))
