@@ -295,3 +295,41 @@ def test_training_pipeline_drops_planted_contamination(spark):
         for r in training_pipeline(docs.unionByName(planted)).collect()
     }
     assert int(train_id) + 1_000_000 not in out_ids
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """τ<1 up-weights small sources toward the target mixture; τ=1 is
+    proportional (uniform rate); samples NEST across targets; and the
+    whole rule is a pure function of the id (deterministic)."""
+    from pyspark.sql import functions as F
+
+    from var_elasticnet_bigdata_spark.operators.split import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, "source", "doc_id", 400, temperature=0.5)
+    by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # proportional sampling would give small ≈ 40 of 400; τ=0.5 gives
+    # weight 30/(30+10) vs 900/1000 → small ≈ 100. Assert direction
+    # with slack for bucket quantization noise.
+    assert by["small"] > 60, by
+    assert by["big"] > by["small"]  # still majority-big
+    # τ=1 ⇒ every source keeps the same rate
+    k1 = temperature_sample(df, "source", "doc_id", 400, temperature=1.0)
+    c1 = {r["source"]: r["n"] for r in k1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(c1["big"] / 900 - c1["small"] / 100) < 0.1
+    # nesting: the 200-target sample is a subset of the 400-target one
+    k200 = set(r.doc_id for r in temperature_sample(
+        df, "source", "doc_id", 200, temperature=0.5).select("doc_id").collect())
+    k400 = set(r.doc_id for r in kept.select("doc_id").collect())
+    assert k200 <= k400
+    # determinism
+    again = set(r.doc_id for r in temperature_sample(
+        df, "source", "doc_id", 400, temperature=0.5).select("doc_id").collect())
+    assert again == k400
+    # target above corpus size keeps everything (rate caps at 1)
+    assert temperature_sample(df, "source", "doc_id", 10_000).count() == 1000

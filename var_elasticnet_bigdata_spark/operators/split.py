@@ -239,3 +239,93 @@ def duck_stratified_sample_sql(
             f"ELSE {sql} END"
         )
     return f"{b} < {sql}"
+
+
+def _bucket16_expr(id_col: str, salt: str) -> Column:
+    """Numeric 65536-bucket sampling key (salted md5, first 4 hex
+    digits as an int) — the numeric form of ``sample_bucket_expr``
+    for rates computed IN the plan (a data-derived rate has no
+    compile-time hex literal to compare against)."""
+    key = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int")
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_rows: int,
+    temperature: float = 0.7,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened source-mixture sampling — the standard
+    training-data recipe (multinomial source weights ∝ n_s^τ, τ<1
+    up-weights small sources; the GPT-3/PaLM data-mixture rule):
+    source s gets an expected ``target_rows · n_s^τ / Σ n^τ`` rows,
+    capped at keeping every row (rate ≤ 1).
+
+    Fully distributed AND deterministic: per-source counts are one
+    partial-aggregated shuffle, the per-source keep-rate joins back
+    as a broadcast, and row inclusion is the salted-md5 bucket rule
+    (pure function of the id — stable across runs/engines/backfills,
+    and nested: a higher target's sample contains a lower target's).
+    Rates quantize to 1/65536 like ``stratified_sample``. No driver
+    collect anywhere.
+    """
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(temperature)))).alias(
+            "__z"
+        )
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.pow(F.col("__n").cast("double"), F.lit(float(temperature)))
+                / F.col("__z")
+                / F.col("__n").cast("double"),
+            ).alias("__rate"),
+        )
+    )
+    kept = (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            _bucket16_expr(id_col, salt)
+            < F.round(F.col("__rate") * 65536).cast("int")
+        )
+        .drop("__rate")
+    )
+    return kept
+
+
+def duck_temperature_sample_sql(
+    source_col: str,
+    id_col: str,
+    target_rows: int,
+    temperature: float = 0.7,
+    salt: str = "temp",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``temperature_sample`` (identical counts →
+    weights → quantized-rate → salted-bucket predicate)."""
+    return f"""
+        WITH c AS (SELECT {source_col}, COUNT(*) AS n FROM {table} GROUP BY 1),
+        z AS (SELECT SUM(pow(CAST(n AS DOUBLE), {temperature!r})) AS z FROM c),
+        r AS (SELECT {source_col},
+                     LEAST(1.0, {float(target_rows)!r}
+                           * pow(CAST(n AS DOUBLE), {temperature!r})
+                           / z.z / CAST(n AS DOUBLE)) AS rate
+              FROM c, z)
+        SELECT t.{id_col}, t.{source_col}
+        FROM {table} t JOIN r USING ({source_col})
+        WHERE CAST(('0x' || substr(md5('{salt}:' || CAST(t.{id_col} AS VARCHAR)), 1, 4)) AS INT)
+              < CAST(round(r.rate * 65536) AS INT)
+    """

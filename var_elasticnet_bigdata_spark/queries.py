@@ -3679,6 +3679,36 @@ def _register_sample_oracle() -> None:
 _register_sample_oracle()
 
 
+@query("sample_temperature", None)  # oracle registered below
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source-mixture sampling
+    (`operators/split.temperature_sample`, the n_s^τ multinomial
+    data-mixture rule of large-scale pretraining recipes): per-source
+    keep-rates derived from one count aggregate (τ=0.5 up-weights
+    small sources), broadcast back, membership decided by the salted
+    md5 bucket of the id. Fully distributed — counts shuffle once,
+    rates ride a broadcast, no driver collect. The hash gate pins
+    EXACT per-doc membership (counts → weights → quantized rate →
+    bucket predicate all replayed in DuckDB)."""
+    from .operators.split import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "source", "doc_id", target_rows=200, temperature=0.5
+    ).select("doc_id", "source")
+
+
+def _register_temperature_oracle() -> None:
+    from .operators.split import duck_temperature_sample_sql
+
+    ORACLE["sample_temperature"] = duck_temperature_sample_sql(
+        "source", "doc_id", target_rows=200, temperature=0.5
+    )
+
+
+_register_temperature_oracle()
+
+
 @query(
     "a7_incremental_rollup",
     """
@@ -3952,6 +3982,7 @@ _PRIORITY = [
     "text_pack_sequences",
     "split_contamination",
     "sample_stratified",
+    "sample_temperature",
     "pipeline_training_data",
     "pipeline_corpus_curation",
     "a7_incremental_rollup",
