@@ -3303,6 +3303,156 @@ def _register_ezlasso_oracle() -> None:
 _register_ezlasso_oracle()
 
 
+@query("ml_ezlasso_enet", None)  # oracle registered below
+def ml_ezlasso_enet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 ezlasso at α=0.5 — closes the last pytest-only corner of
+    the tuner family (the α=0 flavor is ``ml_ezlasso_select``): the
+    caret timeSlice λ tuner over the reference's 100-point grid, the
+    full-sample refit at λ.best, and the ``rank_abs`` |coef| ranking
+    (the fix-mode flag, so BOTH ranking branches are now query-gated
+    — Q6 signed ranking is gated by ``ml_ezlasso_select``). The
+    DuckDB twin replays every (origin, λ) cell and the refit with
+    the exact 3² KKT sign-pattern enumeration; engine and oracle
+    both land on the unique strictly-convex minimizer, so no
+    iteration appears on either side. Reference: enetVAR.R:617-641."""
+    from .ml.tuning import ezlasso
+
+    daily = _daily_events(spark, sf_dir)
+    wide = (
+        daily.groupBy("obs_date")
+        .pivot("series_id", ["click", "purchase", "view"])
+        .agg(F.first("value"))
+    )
+    n = wide.dropna().count()
+    sel, best_lam, coefs = ezlasso(
+        spark, wide, "click", ["purchase", "view"],
+        alpha=0.5, maxnrvar=2, init_window=max(n // 2, 8), horizon=1,
+        rank_abs=True, return_details=True,
+    )
+    rows = [(0, "click", 0.0, round(best_lam, 6))]
+    for i, s in enumerate(sel[1:], start=1):
+        rows.append((i, s, round(coefs[s], 6), round(best_lam, 6)))
+    return spark.createDataFrame(
+        rows, "rank int, series string, coef double, best_lambda double"
+    ).orderBy("rank")
+
+
+def _register_ezlasso_enet_oracle(alpha: float = 0.5) -> None:
+    import numpy as np
+
+    grid = sorted(float(l) for l in 10 ** np.linspace(2, -2, 100))
+    lam_rows = ", ".join(f"(CAST({float(l)!r} AS DOUBLE))" for l in grid)
+    signs = "(VALUES (-1),(0),(1))"
+    # per-cell exact solve: masked 2x2 ridge system + KKT filter
+    # (same construction as _tune_oracle_sql, shared doc there)
+    solve_cols = f"""
+            CASE WHEN s1 <> 0 THEN 1.0 + ridge ELSE 1.0 END AS m11,
+            CASE WHEN s2 <> 0 THEN 1.0 + ridge ELSE 1.0 END AS m22,
+            CASE WHEN s1 <> 0 AND s2 <> 0 THEN rho ELSE 0.0 END AS m12,
+            CASE WHEN s1 <> 0 THEN r1 - gam*s1 ELSE 0.0 END AS rh1,
+            CASE WHEN s2 <> 0 THEN r2 - gam*s2 ELSE 0.0 END AS rh2"""
+    bexpr = """
+            (rh1*m22 - m12*rh2)/(m11*m22 - m12*m12) AS b1s,
+            (m11*rh2 - m12*rh1)/(m11*m22 - m12*m12) AS b2s"""
+    kkt = """
+          (CASE WHEN s1 <> 0 THEN b1s*s1 > 0
+                ELSE abs(r1 - b1s - rho*b2s) <= gam + 1e-12 END)
+      AND (CASE WHEN s2 <> 0 THEN b2s*s2 > 0
+                ELSE abs(r2 - rho*b1s - b2s) <= gam + 1e-12 END)"""
+    ORACLE["ml_ezlasso_enet"] = (
+        _DAILY_EVENTS_CTE
+        + f""",
+    wide AS (
+      SELECT obs_date,
+             MAX(CASE WHEN series_id = 'click' THEN value END) AS y,
+             MAX(CASE WHEN series_id = 'purchase' THEN value END) AS x1,
+             MAX(CASE WHEN series_id = 'view' THEN value END) AS x2
+      FROM m GROUP BY 1),
+    emb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY obs_date) AS rn, y, x1, x2
+      FROM wide
+      WHERE y IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
+    par AS (SELECT GREATEST(CAST(FLOOR(COUNT(*)/2) AS INT), 8) AS iw,
+                   1 AS horizon, COUNT(*) AS n_emb FROM emb),
+    cum AS (
+      SELECT rn, x1, x2, y,
+             SUM(x1*x1) OVER w AS c11, SUM(x1*x2) OVER w AS c12,
+             SUM(x2*x2) OVER w AS c22,
+             SUM(x1*y) OVER w AS c1y, SUM(x2*y) OVER w AS c2y
+      FROM emb
+      WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    origins AS MATERIALIZED (
+      SELECT c.rn, SQRT(c.c11/c.rn) AS sc1, SQRT(c.c22/c.rn) AS sc2,
+             c.c12/SQRT(c.c11*c.c22) AS rho,
+             c.c1y/c.rn/SQRT(c.c11/c.rn) AS r1,
+             c.c2y/c.rn/SQRT(c.c22/c.rn) AS r2
+      FROM cum c, par
+      WHERE c.rn >= par.iw AND c.rn <= par.n_emb - par.horizon),
+    grid AS (SELECT lam FROM (VALUES {lam_rows}) g(lam)),
+    patterns AS (SELECT p1.col0 AS s1, p2.col0 AS s2
+                 FROM {signs} p1, {signs} p2),
+    cand AS (
+      SELECT o.*, g.lam, p.s1, p.s2,
+             g.lam*{alpha!r} AS gam, g.lam*{1.0 - alpha!r} AS ridge
+      FROM origins o, grid g, patterns p),
+    solved AS (SELECT *, {solve_cols} FROM cand),
+    bstd AS (SELECT *, {bexpr} FROM solved),
+    kkt AS MATERIALIZED (
+      SELECT rn, lam, b1s/sc1 AS b1, b2s/sc2 AS b2
+      FROM bstd WHERE {kkt}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY rn, lam
+        ORDER BY abs(s1) + abs(s2), s1, s2) = 1),
+    rmse_o AS (
+      -- caret semantics: RMSE per resample (origin), then mean
+      SELECT k.lam, k.rn,
+             SQRT(SUM(POW(t.x1*k.b1 + t.x2*k.b2 - t.y, 2)) / COUNT(*))
+               AS rmse
+      FROM kkt k, par
+      JOIN emb t ON t.rn > k.rn AND t.rn <= k.rn + par.horizon
+      GROUP BY k.lam, k.rn),
+    best AS MATERIALIZED (
+      SELECT lam FROM (
+        SELECT lam, ROW_NUMBER() OVER (ORDER BY AVG(rmse) ASC, lam ASC)
+                 AS pick
+        FROM rmse_o GROUP BY lam) WHERE pick = 1),
+    fm AS (
+      SELECT SQRT(c11/n) AS sc1, SQRT(c22/n) AS sc2,
+             c12/SQRT(c11*c22) AS rho,
+             c1y/n/SQRT(c11/n) AS r1, c2y/n/SQRT(c22/n) AS r2
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x1*x1) AS c11, SUM(x1*x2) AS c12, SUM(x2*x2) AS c22,
+                   SUM(x1*y) AS c1y, SUM(x2*y) AS c2y
+            FROM emb)),
+    rcand AS (
+      SELECT fm.*, b.lam, p.s1, p.s2,
+             b.lam*{alpha!r} AS gam, b.lam*{1.0 - alpha!r} AS ridge
+      FROM fm, best b, patterns p),
+    rsolved AS (SELECT *, {solve_cols} FROM rcand),
+    rbstd AS (SELECT *, {bexpr} FROM rsolved),
+    refit AS MATERIALIZED (
+      SELECT b1s/sc1 AS b1, b2s/sc2 AS b2
+      FROM rbstd WHERE {kkt}
+      QUALIFY ROW_NUMBER() OVER (ORDER BY abs(s1) + abs(s2), s1, s2) = 1),
+    coefs AS (
+      SELECT 'purchase' AS series, 1 AS ord, b1 AS coef FROM refit
+      UNION ALL
+      SELECT 'view', 2, b2 FROM refit)
+    SELECT CAST(0 AS INT) AS rank, 'click' AS series,
+           CAST(0.0 AS DOUBLE) AS coef,
+           ROUND((SELECT lam FROM best), 6) AS best_lambda
+    UNION ALL
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY abs(coef) DESC, ord ASC) AS INT),
+           series, ROUND(coef, 6), ROUND((SELECT lam FROM best), 6)
+    FROM coefs
+    ORDER BY rank
+    """
+    )
+
+
+_register_ezlasso_enet_oracle()
+
+
 @query("ann_ivf_top1", None)  # pinned oracle registered below
 def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the k-means alternative to the LSH scale
@@ -3956,6 +4106,7 @@ _PRIORITY = [
     "ml_tune_best",
     "ml_tune_ridge",
     "ml_ezlasso_select",
+    "ml_ezlasso_enet",
     "ml_acf_selection",
     "ml_acf_m15_topn",
     "ml_pacf_m17_profile",
