@@ -3453,6 +3453,205 @@ def _register_ezlasso_enet_oracle(alpha: float = 0.5) -> None:
 _register_ezlasso_enet_oracle()
 
 
+@query("ml_cv_lambda_min", None)  # oracle generated below
+def ml_cv_lambda_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 + cv.glmnet λ.min, hash-gated END TO END — the last
+    pytest-only ML area (VERDICT r2 item 1 follow-through): blocked
+    contiguous time folds (enetVAR.R:27-35), the data-derived glmnet
+    λ path (λmax = max|x̃'ỹ|/n·max(α,1e-3), 100 log-spaced points to
+    λmax·1e-4), per-fold train = total − fold moments, the α=0.5
+    fits on every (fold, λ) cell, the grouped fold-size-weighted CV
+    mean, λ.min first-minimum selection, and the full-sample
+    coefficients at λ.min. Engine: ONE distributed per-fold Gram
+    pass (compute_moments fold_col) → driver cv_enet per equation;
+    oracle: every stage replayed in SQL with exact 3² KKT
+    sign-pattern solves per cell."""
+    from pyspark.sql import functions as _F
+
+    from .ml.elastic_net import cv_enet
+    from .ml.gram import blocked_fold_column, compute_moments
+    from .operators.lag_embed import lag_col_name, var_z
+
+    wide = _quarterly_pair(spark, sf_dir)
+    series = ["revenue", "quantity"]
+    vz = var_z(wide.select("obs_date", *series), series, 1,
+               date_col="obs_date")
+    z_cols = [lag_col_name(s, 1) for s in series]
+    cond = None
+    for c in [*z_cols, *series]:
+        pred = _F.col(f"`{c}`").isNotNull()
+        cond = pred if cond is None else (cond & pred)
+    frame = blocked_fold_column(vz.df.filter(cond), "obs_date", 10)
+    fm = compute_moments(frame, z_cols + series, fold_col="__fold")
+    rows = []
+    for s in series:
+        fit = cv_enet(fm, z_cols, s, alpha=0.5, intercept=True)
+        b, a0 = fit.coef_at(fit.lambda_min)
+        lam6 = round(float(fit.lambda_min), 6)
+        rows.append((s, "intercept", round(float(a0), 6), lam6))
+        rows.extend(
+            (s, zn, round(float(b[i]), 6), lam6)
+            for i, zn in enumerate(z_cols)
+        )
+    return spark.createDataFrame(
+        rows, "equation string, z_name string, coef double, lambda_min double"
+    ).orderBy("equation", "z_name")
+
+
+def _cv_lambda_min_oracle_sql(
+    alpha: float = 0.5, nlambda: int = 100, block: int = 10, dp: int = 6
+) -> str:
+    """Full SQL replay of ``ml_cv_lambda_min`` (see the query
+    docstring): contiguous ``(rank−1)//block`` folds, the λ path
+    from the TOTAL centered-standardized problem, per-(equation,
+    fold, λ) exact KKT solves on train = total − fold moments,
+    glmnet's grouped (fold-size-weighted) CV mean, λ.min = the
+    first minimum in path order (λ descending), and the full-sample
+    refit at λ.min."""
+    signs = "(VALUES (-1),(0),(1))"
+    # standardized-problem columns from raw moment sums, centered
+    # (intercept=True): given prefix n_, s1_, s2_, sy_, c11_... emit
+    # mx/sc/r for an equation-specific y
+    def std(prefix: str) -> str:
+        p = prefix
+        return f"""
+             {p}s1/{p}n AS {p}mx1, {p}s2/{p}n AS {p}mx2,
+             {p}sy/{p}n AS {p}my,
+             sqrt({p}c11/{p}n - ({p}s1/{p}n)*({p}s1/{p}n)) AS {p}sc1,
+             sqrt({p}c22/{p}n - ({p}s2/{p}n)*({p}s2/{p}n)) AS {p}sc2,
+             ({p}c12/{p}n - ({p}s1/{p}n)*({p}s2/{p}n))
+               / (sqrt({p}c11/{p}n - ({p}s1/{p}n)*({p}s1/{p}n))
+                  * sqrt({p}c22/{p}n - ({p}s2/{p}n)*({p}s2/{p}n))) AS {p}rho,
+             ({p}c1y/{p}n - ({p}s1/{p}n)*({p}sy/{p}n))
+               / sqrt({p}c11/{p}n - ({p}s1/{p}n)*({p}s1/{p}n)) AS {p}r1,
+             ({p}c2y/{p}n - ({p}s2/{p}n)*({p}sy/{p}n))
+               / sqrt({p}c22/{p}n - ({p}s2/{p}n)*({p}s2/{p}n)) AS {p}r2"""
+
+    solve = f"""
+            CASE WHEN s1 <> 0 THEN 1.0 + ridge ELSE 1.0 END AS m11,
+            CASE WHEN s2 <> 0 THEN 1.0 + ridge ELSE 1.0 END AS m22,
+            CASE WHEN s1 <> 0 AND s2 <> 0 THEN t_rho ELSE 0.0 END AS m12,
+            CASE WHEN s1 <> 0 THEN t_r1 - gam*s1 ELSE 0.0 END AS rh1,
+            CASE WHEN s2 <> 0 THEN t_r2 - gam*s2 ELSE 0.0 END AS rh2"""
+    bexpr = """
+            (rh1*m22 - m12*rh2)/(m11*m22 - m12*m12) AS b1s,
+            (m11*rh2 - m12*rh1)/(m11*m22 - m12*m12) AS b2s"""
+    kkt = """
+          (CASE WHEN s1 <> 0 THEN b1s*s1 > 0
+                ELSE abs(t_r1 - b1s - t_rho*b2s) <= gam + 1e-12 END)
+      AND (CASE WHEN s2 <> 0 THEN b2s*s2 > 0
+                ELSE abs(t_r2 - t_rho*b1s - b2s) <= gam + 1e-12 END)"""
+    a = repr(alpha)
+    amax = repr(max(alpha, 1e-3))
+    return f"""
+        WITH q AS ({_QPAIR_SQL}),
+        lagged AS (
+          SELECT obs_date, revenue AS y_r, quantity AS y_q,
+                 LAG(revenue,1) OVER w AS x1, LAG(quantity,1) OVER w AS x2
+          FROM q WINDOW w AS (ORDER BY obs_date)
+          QUALIFY x1 IS NOT NULL AND x2 IS NOT NULL),
+        fr AS (
+          SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY obs_date) - 1)
+                               / {block}) AS INT) AS fold
+          FROM lagged),
+        eqs AS (SELECT * FROM (VALUES ('r'), ('q')) e(eq)),
+        fm AS MATERIALIZED (
+          SELECT e.eq, f.fold, CAST(COUNT(*) AS DOUBLE) AS f_n,
+                 SUM(x1) AS f_s1, SUM(x2) AS f_s2,
+                 SUM(CASE WHEN e.eq = 'r' THEN y_r ELSE y_q END) AS f_sy,
+                 SUM(x1*x1) AS f_c11, SUM(x1*x2) AS f_c12,
+                 SUM(x2*x2) AS f_c22,
+                 SUM(x1*(CASE WHEN e.eq = 'r' THEN y_r ELSE y_q END)) AS f_c1y,
+                 SUM(x2*(CASE WHEN e.eq = 'r' THEN y_r ELSE y_q END)) AS f_c2y,
+                 SUM(POW(CASE WHEN e.eq = 'r' THEN y_r ELSE y_q END, 2)) AS f_cyy
+          FROM fr f, eqs e GROUP BY 1, 2),
+        tot AS MATERIALIZED (
+          SELECT eq, SUM(f_n) AS t_n, SUM(f_s1) AS t_s1, SUM(f_s2) AS t_s2,
+                 SUM(f_sy) AS t_sy, SUM(f_c11) AS t_c11,
+                 SUM(f_c12) AS t_c12, SUM(f_c22) AS t_c22,
+                 SUM(f_c1y) AS t_c1y, SUM(f_c2y) AS t_c2y
+          FROM fm GROUP BY 1),
+        tstd AS (SELECT eq, t_n, {std("t_")} FROM tot),
+        -- glmnet λ path from the TOTAL standardized problem
+        path AS MATERIALIZED (
+          SELECT t.eq, i.range AS li,
+                 exp(ln(GREATEST(abs(t.t_r1), abs(t.t_r2)) / {amax})
+                     + i.range * ln(1e-4) / ({nlambda} - 1)) AS lam
+          FROM tstd t, range(0, {nlambda}) i),
+        -- train = total − fold, standardized per (eq, fold)
+        train AS (
+          SELECT f.eq, f.fold,
+                 t.t_n - f.f_n AS t_n, t.t_s1 - f.f_s1 AS t_s1,
+                 t.t_s2 - f.f_s2 AS t_s2, t.t_sy - f.f_sy AS t_sy,
+                 t.t_c11 - f.f_c11 AS t_c11, t.t_c12 - f.f_c12 AS t_c12,
+                 t.t_c22 - f.f_c22 AS t_c22, t.t_c1y - f.f_c1y AS t_c1y,
+                 t.t_c2y - f.f_c2y AS t_c2y
+          FROM fm f JOIN tot t USING (eq)),
+        tr_std AS (SELECT eq, fold, t_n, {std("t_")} FROM train),
+        patterns AS (SELECT p1.col0 AS s1, p2.col0 AS s2
+                     FROM {signs} p1, {signs} p2),
+        cells AS (
+          SELECT s.*, p.li, p.lam, pt.s1, pt.s2,
+                 p.lam*{a} AS gam, p.lam*(1.0-{a}) AS ridge
+          FROM tr_std s JOIN path p USING (eq), patterns pt),
+        solved AS (SELECT *, {solve} FROM cells),
+        bstd AS (SELECT *, {bexpr} FROM solved),
+        fit AS MATERIALIZED (
+          SELECT eq, fold, li, lam,
+                 b1s/t_sc1 AS b1, b2s/t_sc2 AS b2,
+                 t_my - (b1s/t_sc1)*t_mx1 - (b2s/t_sc2)*t_mx2 AS a0
+          FROM bstd WHERE {kkt}
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY eq, fold, li
+            ORDER BY abs(s1) + abs(s2), s1, s2) = 1),
+        -- held-out MSE from the fold's own moments
+        errs AS (
+          SELECT ft.eq, ft.li, ft.lam, f.f_n,
+                 (f.f_cyy - 2*(ft.b1*f.f_c1y + ft.b2*f.f_c2y)
+                  + (ft.b1*ft.b1*f.f_c11 + 2*ft.b1*ft.b2*f.f_c12
+                     + ft.b2*ft.b2*f.f_c22)
+                  + f.f_n*ft.a0*ft.a0
+                  + 2*ft.a0*(ft.b1*f.f_s1 + ft.b2*f.f_s2 - f.f_sy))
+                 / f.f_n AS mse
+          FROM fit ft JOIN fm f ON f.eq = ft.eq AND f.fold = ft.fold),
+        cvm AS (
+          SELECT eq, li, lam,
+                 SUM(f_n * mse) / SUM(f_n) AS cvm
+          FROM errs GROUP BY 1, 2, 3),
+        best AS MATERIALIZED (
+          SELECT eq, li AS bli, lam AS blam FROM cvm
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY eq
+            ORDER BY cvm ASC, li ASC) = 1),
+        -- full-sample refit at λ.min
+        rcells AS (
+          SELECT s.*, b.blam AS lam, pt.s1, pt.s2,
+                 b.blam*{a} AS gam, b.blam*(1.0-{a}) AS ridge
+          FROM tstd s JOIN best b USING (eq), patterns pt),
+        rsolved AS (SELECT *, {solve} FROM rcells),
+        rbstd AS (SELECT *, {bexpr} FROM rsolved),
+        refit AS MATERIALIZED (
+          SELECT eq, lam, b1s/t_sc1 AS b1, b2s/t_sc2 AS b2,
+                 t_my - (b1s/t_sc1)*t_mx1 - (b2s/t_sc2)*t_mx2 AS a0
+          FROM rbstd WHERE {kkt}
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY eq
+            ORDER BY abs(s1) + abs(s2), s1, s2) = 1)
+        SELECT CASE WHEN eq = 'r' THEN 'revenue' ELSE 'quantity' END
+                 AS equation,
+               'intercept' AS z_name, ROUND(a0, {dp}) AS coef,
+               ROUND(lam, {dp}) AS lambda_min
+        FROM refit
+        UNION ALL
+        SELECT CASE WHEN eq = 'r' THEN 'revenue' ELSE 'quantity' END,
+               'revenue.l1', ROUND(b1, {dp}), ROUND(lam, {dp}) FROM refit
+        UNION ALL
+        SELECT CASE WHEN eq = 'r' THEN 'revenue' ELSE 'quantity' END,
+               'quantity.l1', ROUND(b2, {dp}), ROUND(lam, {dp}) FROM refit
+        ORDER BY equation, z_name
+    """
+
+
+ORACLE["ml_cv_lambda_min"] = _cv_lambda_min_oracle_sql()
+
+
 @query("ann_ivf_top1", None)  # pinned oracle registered below
 def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the k-means alternative to the LSH scale
@@ -4107,6 +4306,7 @@ _PRIORITY = [
     "ml_tune_ridge",
     "ml_ezlasso_select",
     "ml_ezlasso_enet",
+    "ml_cv_lambda_min",
     "ml_acf_selection",
     "ml_acf_m15_topn",
     "ml_pacf_m17_profile",
