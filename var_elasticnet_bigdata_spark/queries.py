@@ -3652,6 +3652,376 @@ def _cv_lambda_min_oracle_sql(
 ORACLE["ml_cv_lambda_min"] = _cv_lambda_min_oracle_sql()
 
 
+@query("ml_sigma_ic", None)  # oracle generated below
+def ml_sigma_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + M6 + M10 hash-gated: residual covariance Σ̂ from the
+    moment matrix alone, det Σ̂, the elastic-net degrees of freedom
+    (trace of the ridge hat matrix over each equation's active set,
+    enetVAR.R:177-202 incl. its λ/2 ridge term), and FPE/AIC/HQ/SC —
+    for the ridge VAR(1) fit on the quarterly pair. The DuckDB twin
+    replays the fit (Cramer), the full Σ̂ = (Y−ZB)'(Y−ZB)/T algebra
+    over Z = [1, lags], and the 3×3 hat-trace via cofactor
+    determinants."""
+    import numpy as np
+
+    from .ml.var_model import fit_enet_var
+
+    wide = _quarterly_pair(spark, sf_dir)
+    m = fit_enet_var(
+        wide, ["revenue", "quantity"], p=1, alpha=0.0, lam=0.05,
+        intercept=True,
+    )
+    B = m.coef_matrix()
+    S = m._sigma_hat(B)
+    ic = m.inf_crit()
+    rows = [
+        ("AIC", round(float(ic["AIC"]), 6)),
+        ("FPE", round(float(ic["FPE"]), 6)),
+        ("HQ", round(float(ic["HQ"]), 6)),
+        ("SC", round(float(ic["SC"]), 6)),
+        ("det", round(float(np.linalg.det(S)), 6)),
+        ("dof", round(float(ic["dof"]), 6)),
+        ("sigma_qq", round(float(S[1, 1]), 6)),
+        ("sigma_rq", round(float(S[0, 1]), 6)),
+        ("sigma_rr", round(float(S[0, 0]), 6)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double").orderBy(
+        "metric"
+    )
+
+
+def _sigma_ic_oracle_sql(lam: float = 0.05, dp: int = 6) -> str:
+    """SQL replay of ``ml_sigma_ic``: centered-standardized ridge
+    solve (Cramer) → original-scale (a0, b1, b2) per equation →
+    Σ̂ = (Syy − B'Szy − Szy'B + B'SzzB)/T over raw Z = [1, x1, x2] →
+    det/log-det → dof = Σ_eq trace((Szz + r·I)⁻¹·Szz) with
+    r = λ·(1−α)/2 (the reference's ridge term) via 3×3 cofactor
+    determinants → FPE/AIC/HQ/SC."""
+    r = repr(lam * 0.5)  # α = 0 ⇒ λ·(1−α)/2 = λ/2
+    # raw 3×3 Szz entries by name
+    Z = [["n", "s1", "s2"], ["s1", "c11", "c12"], ["s2", "c12", "c22"]]
+    Zr = [
+        [f"({Z[i][j]} + {r})" if i == j else Z[i][j] for j in range(3)]
+        for i in range(3)
+    ]
+    det_zr = _det_sql(Zr)
+
+    def minor(mat, i, j):
+        return [
+            [mat[a][b] for b in range(3) if b != j]
+            for a in range(3)
+            if a != i
+        ]
+
+    tr_inv = " + ".join(f"({_det_sql(minor(Zr, i, i))})" for i in range(3))
+    # per-equation original-scale coefs from the centered 2×2 ridge
+    # solve (same construction as _ridge_oracle_sql at p=1)
+    coef_cols = []
+    for e in ("r", "q"):
+        det2 = "((1.0+lam)*(1.0+lam) - rho*rho)"
+        b1s = f"(((1.0+lam)*r1_{e} - rho*r2_{e})/{det2})"
+        b2s = f"(((1.0+lam)*r2_{e} - rho*r1_{e})/{det2})"
+        coef_cols += [
+            f"{b1s}/sc1 AS b1_{e}",
+            f"{b2s}/sc2 AS b2_{e}",
+            f"my_{e} - ({b1s}/sc1)*mx1 - ({b2s}/sc2)*mx2 AS a0_{e}",
+        ]
+
+    def u(e):  # coefficient 3-vector over Z = [1, x1, x2]
+        return [f"a0_{e}", f"b1_{e}", f"b2_{e}"]
+
+    def zy(e):  # Szy column for equation e
+        return [f"sy_{e}", f"c1y_{e}", f"c2y_{e}"]
+
+    def dot(a, b):
+        return " + ".join(f"({x})*({y})" for x, y in zip(a, b))
+
+    def quad(a, b):  # a' Szz b
+        return " + ".join(
+            f"({a[i]})*({Z[i][j]})*({b[j]})" for i in range(3) for j in range(3)
+        )
+
+    syy = {("r", "r"): "cyy_r", ("q", "q"): "cyy_q",
+           ("r", "q"): "cyy_rq", ("q", "r"): "cyy_rq"}
+    sig = {}
+    for e1, e2 in (("r", "r"), ("r", "q"), ("q", "q")):
+        sig[e1 + e2] = (
+            f"(({syy[(e1, e2)]} - ({dot(u(e1), zy(e2))})"
+            f" - ({dot(u(e2), zy(e1))}) + ({quad(u(e1), u(e2))})) / n)"
+        )
+
+    return f"""
+        WITH q AS ({_QPAIR_SQL}),
+        lagged AS (
+          SELECT revenue AS y_r, quantity AS y_q,
+                 LAG(revenue,1) OVER w AS x1, LAG(quantity,1) OVER w AS x2
+          FROM q WINDOW w AS (ORDER BY obs_date)
+          QUALIFY x1 IS NOT NULL AND x2 IS NOT NULL),
+        mom AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(x1) AS s1, SUM(x2) AS s2,
+                 SUM(y_r) AS sy_r, SUM(y_q) AS sy_q,
+                 SUM(x1*x1) AS c11, SUM(x1*x2) AS c12, SUM(x2*x2) AS c22,
+                 SUM(x1*y_r) AS c1y_r, SUM(x2*y_r) AS c2y_r,
+                 SUM(x1*y_q) AS c1y_q, SUM(x2*y_q) AS c2y_q,
+                 SUM(y_r*y_r) AS cyy_r, SUM(y_q*y_q) AS cyy_q,
+                 SUM(y_r*y_q) AS cyy_rq
+          FROM lagged),
+        std AS (
+          SELECT *, CAST({lam!r} AS DOUBLE) AS lam,
+                 s1/n AS mx1, s2/n AS mx2, sy_r/n AS my_r, sy_q/n AS my_q,
+                 sqrt(c11/n - (s1/n)*(s1/n)) AS sc1,
+                 sqrt(c22/n - (s2/n)*(s2/n)) AS sc2,
+                 (c12/n - (s1/n)*(s2/n))
+                   / (sqrt(c11/n - (s1/n)*(s1/n))
+                      * sqrt(c22/n - (s2/n)*(s2/n))) AS rho,
+                 (c1y_r/n - (s1/n)*(sy_r/n))
+                   / sqrt(c11/n - (s1/n)*(s1/n)) AS r1_r,
+                 (c2y_r/n - (s2/n)*(sy_r/n))
+                   / sqrt(c22/n - (s2/n)*(s2/n)) AS r2_r,
+                 (c1y_q/n - (s1/n)*(sy_q/n))
+                   / sqrt(c11/n - (s1/n)*(s1/n)) AS r1_q,
+                 (c2y_q/n - (s2/n)*(sy_q/n))
+                   / sqrt(c22/n - (s2/n)*(s2/n)) AS r2_q
+          FROM mom),
+        coefs AS (SELECT *, {", ".join(coef_cols)} FROM std),
+        sig AS (SELECT *,
+                 {sig["rr"]} AS sig_rr, {sig["rq"]} AS sig_rq,
+                 {sig["qq"]} AS sig_qq FROM coefs),
+        ic AS (
+          SELECT *,
+                 sig_rr*sig_qq - sig_rq*sig_rq AS det2,
+                 -- dof: both equations share the all-active 3×3 hat
+                 -- trace = 3 − r·trace((Szz + rI)⁻¹)
+                 2.0*(3.0 - {r}*(({tr_inv})/({det_zr}))) AS dof
+          FROM sig)
+        SELECT 'AIC' AS metric,
+               ROUND(ln(det2) + 2.0/n*dof, {dp}) AS value FROM ic
+        UNION ALL SELECT 'FPE',
+               ROUND((1.0 + dof/n)/(1.0 - dof/n)*det2, {dp}) FROM ic
+        UNION ALL SELECT 'HQ',
+               ROUND(ln(det2) + 2.0*ln(ln(n))/n*dof, {dp}) FROM ic
+        UNION ALL SELECT 'SC',
+               ROUND(ln(det2) + ln(n)/n*dof, {dp}) FROM ic
+        UNION ALL SELECT 'det', ROUND(det2, {dp}) FROM ic
+        UNION ALL SELECT 'dof', ROUND(dof, {dp}) FROM ic
+        UNION ALL SELECT 'sigma_qq', ROUND(sig_qq, {dp}) FROM ic
+        UNION ALL SELECT 'sigma_rq', ROUND(sig_rq, {dp}) FROM ic
+        UNION ALL SELECT 'sigma_rr', ROUND(sig_rr, {dp}) FROM ic
+        ORDER BY metric
+    """
+
+
+ORACLE["ml_sigma_ic"] = _sigma_ic_oracle_sql()
+
+
+@query("ml_recursive_forecast", None)  # oracle generated below
+def ml_recursive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 hash-gated: the recursive h-step VAR forecast
+    (enetVAR.R:128-154 — each step's prediction is appended to the
+    lag window and fed to the next) for the ridge VAR(1) on the
+    quarterly pair, horizons 1..4. The DuckDB twin solves the same
+    fit by Cramer and unrolls the recursion as chained CTEs from the
+    last observed row."""
+    from .ml.var_model import fit_enet_var
+
+    wide = _quarterly_pair(spark, sf_dir)
+    m = fit_enet_var(
+        wide, ["revenue", "quantity"], p=1, alpha=0.0, lam=0.05,
+        intercept=True,
+    )
+    P = m.predict(n_ahead=4)
+    rows = [
+        (h + 1, s, round(float(P[h, j]), 6))
+        for h in range(4)
+        for j, s in enumerate(m.series)
+    ]
+    return spark.createDataFrame(
+        rows, "h int, series string, forecast double"
+    ).orderBy("h", "series")
+
+
+def _recursive_forecast_oracle_sql(lam: float = 0.05, dp: int = 6) -> str:
+    """SQL replay of ``ml_recursive_forecast``: the ridge VAR(1)
+    solve (shared construction with ``_sigma_ic_oracle_sql``) +
+    4 chained one-row CTEs for the recursion."""
+    coef_cols = []
+    for e in ("r", "q"):
+        det2 = "((1.0+lam)*(1.0+lam) - rho*rho)"
+        b1s = f"(((1.0+lam)*r1_{e} - rho*r2_{e})/{det2})"
+        b2s = f"(((1.0+lam)*r2_{e} - rho*r1_{e})/{det2})"
+        coef_cols += [
+            f"{b1s}/sc1 AS b1_{e}",
+            f"{b2s}/sc2 AS b2_{e}",
+            f"my_{e} - ({b1s}/sc1)*mx1 - ({b2s}/sc2)*mx2 AS a0_{e}",
+        ]
+    steps = []
+    prev_r, prev_q = "l.yr", "l.yq"
+    for h in range(1, 5):
+        src = "coefs c, last l" if h == 1 else f"f{h - 1}"
+        pfx = "c." if h == 1 else ""
+        steps.append(
+            f"f{h} AS (SELECT *, "
+            f"{pfx}a0_r + {pfx}b1_r*{prev_r} + {pfx}b2_r*{prev_q} AS fr{h}, "
+            f"{pfx}a0_q + {pfx}b1_q*{prev_r} + {pfx}b2_q*{prev_q} AS fq{h} "
+            f"FROM {src})"
+        )
+        prev_r, prev_q = f"fr{h}", f"fq{h}"
+    out_rows = " UNION ALL ".join(
+        f"SELECT {h} AS h, '{name}' AS series, ROUND(f{c}{h}, {dp})"
+        f" AS forecast FROM f4"
+        for h in range(1, 5)
+        for c, name in (("r", "revenue"), ("q", "quantity"))
+    )
+    return f"""
+        WITH q AS ({_QPAIR_SQL}),
+        lagged AS (
+          SELECT revenue AS y_r, quantity AS y_q,
+                 LAG(revenue,1) OVER w AS x1, LAG(quantity,1) OVER w AS x2
+          FROM q WINDOW w AS (ORDER BY obs_date)
+          QUALIFY x1 IS NOT NULL AND x2 IS NOT NULL),
+        mom AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(x1) AS s1, SUM(x2) AS s2,
+                 SUM(y_r) AS sy_r, SUM(y_q) AS sy_q,
+                 SUM(x1*x1) AS c11, SUM(x1*x2) AS c12, SUM(x2*x2) AS c22,
+                 SUM(x1*y_r) AS c1y_r, SUM(x2*y_r) AS c2y_r,
+                 SUM(x1*y_q) AS c1y_q, SUM(x2*y_q) AS c2y_q
+          FROM lagged),
+        std AS (
+          SELECT *, CAST({lam!r} AS DOUBLE) AS lam,
+                 s1/n AS mx1, s2/n AS mx2, sy_r/n AS my_r, sy_q/n AS my_q,
+                 sqrt(c11/n - (s1/n)*(s1/n)) AS sc1,
+                 sqrt(c22/n - (s2/n)*(s2/n)) AS sc2,
+                 (c12/n - (s1/n)*(s2/n))
+                   / (sqrt(c11/n - (s1/n)*(s1/n))
+                      * sqrt(c22/n - (s2/n)*(s2/n))) AS rho,
+                 (c1y_r/n - (s1/n)*(sy_r/n))
+                   / sqrt(c11/n - (s1/n)*(s1/n)) AS r1_r,
+                 (c2y_r/n - (s2/n)*(sy_r/n))
+                   / sqrt(c22/n - (s2/n)*(s2/n)) AS r2_r,
+                 (c1y_q/n - (s1/n)*(sy_q/n))
+                   / sqrt(c11/n - (s1/n)*(s1/n)) AS r1_q,
+                 (c2y_q/n - (s2/n)*(sy_q/n))
+                   / sqrt(c22/n - (s2/n)*(s2/n)) AS r2_q
+          FROM mom),
+        coefs AS (SELECT *, {", ".join(coef_cols)} FROM std),
+        last AS (SELECT revenue AS yr, quantity AS yq FROM q
+                 ORDER BY obs_date DESC LIMIT 1),
+        {", ".join(steps)}
+        {out_rows}
+        ORDER BY h, series
+    """
+
+
+ORACLE["ml_recursive_forecast"] = _recursive_forecast_oracle_sql()
+
+
+@query(
+    "stat_cw_dm",
+    f"""
+    WITH q AS ({{_QPAIR}}),
+    srs AS (
+      SELECT obs_date, revenue AS y,
+             LAG(revenue) OVER (ORDER BY obs_date) AS yl
+      FROM q QUALIFY yl IS NOT NULL),
+    phi AS (SELECT SUM(yl*y)/SUM(yl*yl) AS phi FROM srs),
+    err AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY obs_date) AS rn,
+             y - yl AS e1, y - p.phi*yl AS e2,
+             POW(y - yl, 2)
+               - (POW(y - p.phi*yl, 2) - POW(yl - p.phi*yl, 2)) AS f,
+             POW(y - yl, 2) - POW(y - p.phi*yl, 2) AS d
+      FROM srs, phi p),
+    mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS P, AVG(f) AS mf, AVG(d) AS md
+           FROM err),
+    -- nw(froll, qn=2): Γ0 with denominator P, lag-1 term with P−1,
+    -- Bartlett weight (1 − 1/2) → var = Γ0 + γ1
+    nwv AS (
+      SELECT SUM(POW(a.f - mm.mf, 2))/mm.P
+             + SUM(CASE WHEN b.rn IS NOT NULL
+                        THEN (a.f - mm.mf)*(b.f - mm.mf) ELSE 0 END)
+               / (mm.P - 1) AS var
+      FROM err a LEFT JOIN err b ON b.rn = a.rn - 1, mm
+      GROUP BY mm.P),
+    cw AS (SELECT sqrt(mm.P)*mm.mf/sqrt(n.var) AS stat FROM mm, nwv n),
+    -- dm_test(d, l=2): all γ_j with denominator P, weights 1−|j|/3
+    dmg AS (
+      SELECT j.j AS j,
+             SUM(CASE WHEN b.rn IS NOT NULL
+                      THEN (a.d - mm.md)*(b.d - mm.md) ELSE 0 END)/mm.P
+               AS gamma
+      FROM err a
+      CROSS JOIN range(0, 3) j(j)
+      CROSS JOIN mm
+      LEFT JOIN err b ON b.rn = a.rn - j.j
+      GROUP BY j.j, mm.P),
+    dms AS (
+      SELECT (SELECT gamma FROM dmg WHERE j = 0)
+             + 2*((SELECT gamma FROM dmg WHERE j = 1)*(1.0 - 1.0/3)
+                  + (SELECT gamma FROM dmg WHERE j = 2)*(1.0 - 2.0/3))
+               AS s),
+    dm AS (SELECT mm.md / sqrt(d.s/mm.P) AS stat FROM mm, dms d),
+    -- normal upper tail via the erf Taylor series (DuckDB has no
+    -- erf): P(Z>x) = 0.5·(1 − erf(x/√2)), 60 terms ≡ erfc to ~1e-11
+    dmp AS (
+      SELECT GREATEST(0.0, 0.5*(1.0 - (2.0/sqrt(pi())) * (
+        SELECT SUM(POW(-1.0, n.range)
+                   * POW(abs(dm.stat)/sqrt(2.0), 2*n.range + 1)
+                   / (gamma(n.range + 1.0) * (2*n.range + 1)))
+        FROM range(0, 60) n))) AS p
+      FROM dm)
+    SELECT 'cw_stat' AS metric, ROUND(stat, 6) AS value FROM cw
+    UNION ALL
+    -- t upper tail at df = nwlag = 2 has the closed form
+    -- (1 − x/√(2+x²))/2
+    SELECT 'cw_p', ROUND(0.5*(1.0 - abs(stat)/sqrt(2.0 + stat*stat)), 6)
+    FROM cw
+    UNION ALL SELECT 'dm_stat', ROUND(stat, 6) FROM dm
+    UNION ALL SELECT 'dm_p', ROUND(p, 6) FROM dmp
+    ORDER BY metric
+    """.replace("{_QPAIR}", _QPAIR_SQL),
+)
+def stat_cw_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M20/M21/M22 hash-gated END TO END: Clark–West (with the
+    reference's mixed-denominator Newey–West variance at qn=2 —
+    quirk-faithful weights) and Diebold–Mariano (own-variance, lag 2)
+    comparing the naive random walk against a full-sample CSS AR(1)
+    on quarterly revenue. The DuckDB twin replays the error series,
+    both HAC variances, both statistics, the df=2 t tail in closed
+    form, and the normal tail via a 60-term erf series. Reference:
+    enetVAR.R:775-843."""
+    import numpy as np
+
+    from .functions.stats import cw_test, dm_test
+    from .plans.guards import guard_driver_collect
+
+    wide = _quarterly_pair(spark, sf_dir)
+    guard_driver_collect(
+        wide,
+        "stat_cw_dm quarterly series",
+        "per-horizon relational forms (harness.ar1_rolling_relational)",
+    )
+    y = np.array(
+        [r["revenue"] for r in wide.orderBy("obs_date").select("revenue").collect()],
+        dtype=float,
+    )
+    phi = float((y[:-1] @ y[1:]) / (y[:-1] @ y[:-1]))
+    yf1, yf2 = y[:-1], phi * y[:-1]
+    e1, e2 = y[1:] - yf1, y[1:] - yf2
+    cw = cw_test(e1, e2, yf1, yf2, nwlag=2)
+    dm = dm_test(e1**2 - e2**2, l=2)
+    rows = [
+        ("cw_stat", round(float(cw["CWStat"]), 6)),
+        ("cw_p", round(float(cw["p_value"]), 6)),
+        ("dm_stat", round(float(dm["DMStat"]), 6)),
+        ("dm_p", round(float(dm["p_value"]), 6)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double").orderBy(
+        "metric"
+    )
+
+
 @query("ann_ivf_top1", None)  # pinned oracle registered below
 def ann_ivf_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the k-means alternative to the LSH scale
@@ -4307,6 +4677,9 @@ _PRIORITY = [
     "ml_ezlasso_select",
     "ml_ezlasso_enet",
     "ml_cv_lambda_min",
+    "ml_sigma_ic",
+    "ml_recursive_forecast",
+    "stat_cw_dm",
     "ml_acf_selection",
     "ml_acf_m15_topn",
     "ml_pacf_m17_profile",
