@@ -346,12 +346,18 @@ def enet_var_preselect(
     lag: int = 1,
     alpha: float = 0.25,
     date_col: str = "obs_date",
+    lam: float | None = None,
 ) -> list[str]:
     """Greedy forward variable selection by SC (enetVAR.R:235-254):
     start {target}; repeatedly add the candidate minimizing the SC of
     the joint enetVAR. Candidate scoring is embarrassingly parallel —
     each round's candidates could run as concurrent Spark jobs; at
-    reference scale the sequential loop is already moment-cheap."""
+    reference scale the sequential loop is already moment-cheap.
+
+    ``lam`` (optional) fixes λ for every candidate fit instead of
+    the reference's per-candidate CV — the flavor the
+    ``ml_preselect`` driver-gate query replays in SQL (CV stays the
+    default, and its λ.min chain is gated by ``ml_cv_lambda_min``)."""
     target = all_series[0]
     selected = [target]
     remaining = list(all_series[1:])
@@ -359,7 +365,8 @@ def enet_var_preselect(
         scores = []
         for cand in remaining:
             m = fit_enet_var(
-                wide_df, [*selected, cand], p=lag, alpha=alpha, date_col=date_col
+                wide_df, [*selected, cand], p=lag, alpha=alpha,
+                date_col=date_col, lam=lam,
             )
             scores.append(m.inf_crit()["SC"])
         best = int(np.argmin(scores))  # first min — deterministic (Q8 fix)

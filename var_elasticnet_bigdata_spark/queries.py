@@ -3917,6 +3917,172 @@ def _recursive_forecast_oracle_sql(lam: float = 0.05, dp: int = 6) -> str:
 ORACLE["ml_recursive_forecast"] = _recursive_forecast_oracle_sql()
 
 
+@query("ml_preselect", None)  # oracle generated below
+def ml_preselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 greedy SC preselection hash-gated (enetVAR.R:235-254):
+    one forward round on the daily event series — each candidate
+    scored by the SC of the joint α=0.25 VAR(1) fit with the target
+    (fixed λ flavor; the CV chain is gated by ``ml_cv_lambda_min``),
+    first-minimum argmin (Q8 fix). The oracle replays BOTH candidate
+    fits (9-pattern KKT solves, uncentered intercept=False
+    standardization), their Σ̂/dof/SC (active-set hat-trace on the
+    raw Gram), and the selection."""
+    from .ml.var_model import enet_var_preselect, fit_enet_var
+
+    daily = _daily_events(spark, sf_dir)
+    wide = (
+        daily.groupBy("obs_date")
+        .pivot("series_id", ["click", "purchase", "view"])
+        .agg(F.first("value"))
+    )
+    sel = enet_var_preselect(
+        wide, ["click", "purchase", "view"], maxnrvar=2, lag=1,
+        alpha=0.25, lam=0.01,
+    )
+    rows = []
+    for cand in ("purchase", "view"):
+        m = fit_enet_var(wide, ["click", cand], p=1, alpha=0.25, lam=0.01)
+        sc = m.inf_crit()["SC"]
+        rows.append((cand, round(float(sc), 6), 1 if sel[1] == cand else 0))
+    return spark.createDataFrame(
+        rows, "series string, sc double, chosen int"
+    ).orderBy("series")
+
+
+def _preselect_oracle_sql(
+    alpha: float = 0.25, lam: float = 0.01, dp: int = 6
+) -> str:
+    """SQL replay of ``ml_preselect`` — per candidate: lag embed with
+    the pair's own na.omit, uncentered standardization, exact 3²
+    KKT solves per equation, Σ̂ from raw moments, active-set dof
+    hat-trace (masked 2×2), SC; then the first-min argmin."""
+    gam = repr(lam * alpha)
+    ridge = repr(lam * (1.0 - alpha))
+    rr = repr(lam * 0.5 * (1.0 - alpha))  # inf_crit's ridge term
+    signs = "(VALUES (-1),(0),(1))"
+    blocks = []
+    for c, cand in (("p", "purchase"), ("v", "view")):
+        blocks.append(f"""
+        lag_{c} AS (
+          SELECT click AS ya, {cand} AS yb,
+                 LAG(click) OVER w AS x1, LAG({cand}) OVER w AS x2
+          FROM wide WINDOW w AS (ORDER BY obs_date)
+          QUALIFY x1 IS NOT NULL AND x2 IS NOT NULL
+                  AND ya IS NOT NULL AND yb IS NOT NULL),
+        mom_{c} AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(x1*x1) AS c11, SUM(x1*x2) AS c12, SUM(x2*x2) AS c22,
+                 SUM(x1*ya) AS c1a, SUM(x2*ya) AS c2a,
+                 SUM(x1*yb) AS c1b, SUM(x2*yb) AS c2b,
+                 SUM(ya*ya) AS caa, SUM(yb*yb) AS cbb, SUM(ya*yb) AS cab
+          FROM lag_{c}),
+        std_{c} AS (
+          SELECT *, sqrt(c11/n) AS sc1, sqrt(c22/n) AS sc2,
+                 c12/sqrt(c11*c22) AS rho,
+                 c1a/n/sqrt(c11/n) AS r1_a, c2a/n/sqrt(c22/n) AS r2_a,
+                 c1b/n/sqrt(c11/n) AS r1_b, c2b/n/sqrt(c22/n) AS r2_b
+          FROM mom_{c}),
+        cells_{c} AS (
+          SELECT s.*, e.eq, pt.s1, pt.s2,
+                 CASE WHEN e.eq = 'a' THEN s.r1_a ELSE s.r1_b END AS t_r1,
+                 CASE WHEN e.eq = 'a' THEN s.r2_a ELSE s.r2_b END AS t_r2
+          FROM std_{c} s, (VALUES ('a'), ('b')) e(eq), patterns pt),
+        solved_{c} AS (
+          SELECT *,
+            CASE WHEN s1 <> 0 THEN 1.0 + {ridge} ELSE 1.0 END AS m11,
+            CASE WHEN s2 <> 0 THEN 1.0 + {ridge} ELSE 1.0 END AS m22,
+            CASE WHEN s1 <> 0 AND s2 <> 0 THEN rho ELSE 0.0 END AS m12,
+            CASE WHEN s1 <> 0 THEN t_r1 - {gam}*s1 ELSE 0.0 END AS rh1,
+            CASE WHEN s2 <> 0 THEN t_r2 - {gam}*s2 ELSE 0.0 END AS rh2
+          FROM cells_{c}),
+        bstd_{c} AS (
+          SELECT *,
+            (rh1*m22 - m12*rh2)/(m11*m22 - m12*m12) AS b1s,
+            (m11*rh2 - m12*rh1)/(m11*m22 - m12*m12) AS b2s
+          FROM solved_{c}),
+        fit_{c} AS (
+          SELECT eq, s1, s2, b1s/sc1 AS b1, b2s/sc2 AS b2
+          FROM bstd_{c}
+          WHERE (CASE WHEN s1 <> 0 THEN b1s*s1 > 0
+                      ELSE abs(t_r1 - b1s - rho*b2s) <= {gam} + 1e-12 END)
+            AND (CASE WHEN s2 <> 0 THEN b2s*s2 > 0
+                      ELSE abs(t_r2 - rho*b1s - b2s) <= {gam} + 1e-12 END)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY eq
+            ORDER BY abs(s1) + abs(s2), s1, s2) = 1),
+        -- one row: both equations' coefs + active patterns
+        w_{c} AS (
+          SELECT m.*,
+            MAX(CASE WHEN f.eq = 'a' THEN f.b1 END) AS ba1,
+            MAX(CASE WHEN f.eq = 'a' THEN f.b2 END) AS ba2,
+            MAX(CASE WHEN f.eq = 'b' THEN f.b1 END) AS bb1,
+            MAX(CASE WHEN f.eq = 'b' THEN f.b2 END) AS bb2,
+            MAX(CASE WHEN f.eq = 'a' THEN abs(f.s1) END) AS aa1,
+            MAX(CASE WHEN f.eq = 'a' THEN abs(f.s2) END) AS aa2,
+            MAX(CASE WHEN f.eq = 'b' THEN abs(f.s1) END) AS ab1,
+            MAX(CASE WHEN f.eq = 'b' THEN abs(f.s2) END) AS ab2
+          FROM fit_{c} f, mom_{c} m
+          GROUP BY ALL),
+        sc_{c} AS (
+          SELECT
+            -- Σ̂ = (Syy − B'Szy − Szy'B + B'SzzB)/n, entrywise
+            ((caa - 2*(ba1*c1a + ba2*c2a)
+              + (ba1*ba1*c11 + 2*ba1*ba2*c12 + ba2*ba2*c22)) / n) AS sig_aa,
+            ((cbb - 2*(bb1*c1b + bb2*c2b)
+              + (bb1*bb1*c11 + 2*bb1*bb2*c12 + bb2*bb2*c22)) / n) AS sig_bb,
+            ((cab - (ba1*c1b + ba2*c2b) - (bb1*c1a + bb2*c2a)
+              + (ba1*bb1*c11 + (ba1*bb2 + ba2*bb1)*c12 + ba2*bb2*c22)) / n)
+              AS sig_ab,
+            -- dof per equation: active-set hat-trace on the RAW Gram
+            -- via the masked 2×2: n_act − r·(trace(M⁻¹) − n_inact)
+            (aa1 + aa2) - {rr}*(
+              ((CASE WHEN aa1 = 1 THEN c11 + {rr} ELSE 1.0 END)
+               + (CASE WHEN aa2 = 1 THEN c22 + {rr} ELSE 1.0 END))
+              / ((CASE WHEN aa1 = 1 THEN c11 + {rr} ELSE 1.0 END)
+                 * (CASE WHEN aa2 = 1 THEN c22 + {rr} ELSE 1.0 END)
+                 - (CASE WHEN aa1 = 1 AND aa2 = 1 THEN c12 ELSE 0.0 END)
+                   * (CASE WHEN aa1 = 1 AND aa2 = 1 THEN c12 ELSE 0.0 END))
+              - (2 - aa1 - aa2)) AS dof_a,
+            (ab1 + ab2) - {rr}*(
+              ((CASE WHEN ab1 = 1 THEN c11 + {rr} ELSE 1.0 END)
+               + (CASE WHEN ab2 = 1 THEN c22 + {rr} ELSE 1.0 END))
+              / ((CASE WHEN ab1 = 1 THEN c11 + {rr} ELSE 1.0 END)
+                 * (CASE WHEN ab2 = 1 THEN c22 + {rr} ELSE 1.0 END)
+                 - (CASE WHEN ab1 = 1 AND ab2 = 1 THEN c12 ELSE 0.0 END)
+                   * (CASE WHEN ab1 = 1 AND ab2 = 1 THEN c12 ELSE 0.0 END))
+              - (2 - ab1 - ab2)) AS dof_b,
+            n
+          FROM w_{c}),
+        scv_{c} AS (
+          SELECT ln(sig_aa*sig_bb - sig_ab*sig_ab)
+                 + ln(n)/n*(dof_a + dof_b) AS sc
+          FROM sc_{c})""")
+    return (
+        _DAILY_EVENTS_CTE
+        + f""",
+    wide AS (
+      SELECT obs_date,
+             MAX(CASE WHEN series_id = 'click' THEN value END) AS click,
+             MAX(CASE WHEN series_id = 'purchase' THEN value END) AS purchase,
+             MAX(CASE WHEN series_id = 'view' THEN value END) AS view
+      FROM m GROUP BY 1),
+    patterns AS (SELECT p1.col0 AS s1, p2.col0 AS s2
+                 FROM {signs} p1, {signs} p2),
+    {", ".join(blocks)}
+    SELECT 'purchase' AS series, ROUND(p.sc, {dp}) AS sc,
+           CASE WHEN p.sc <= v.sc THEN 1 ELSE 0 END AS chosen
+    FROM scv_p p, scv_v v
+    UNION ALL
+    SELECT 'view', ROUND(v.sc, {dp}),
+           CASE WHEN v.sc < p.sc THEN 1 ELSE 0 END
+    FROM scv_p p, scv_v v
+    ORDER BY series
+    """
+    )
+
+
+ORACLE["ml_preselect"] = _preselect_oracle_sql()
+
+
 @query(
     "stat_cw_dm",
     f"""
@@ -4680,6 +4846,7 @@ _PRIORITY = [
     "ml_sigma_ic",
     "ml_recursive_forecast",
     "stat_cw_dm",
+    "ml_preselect",
     "ml_acf_selection",
     "ml_acf_m15_topn",
     "ml_pacf_m17_profile",
