@@ -4083,6 +4083,282 @@ def _preselect_oracle_sql(
 ORACLE["ml_preselect"] = _preselect_oracle_sql()
 
 
+@query("ml_pacf_blocked", None)  # oracle generated below
+def ml_pacf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 multivariate + M17 ``faithful_blocked`` hash-gated: the
+    reference's 4-at-a-time multivariate pacf (enetVAR.R:710-724) on
+    the K=3 daily-event block (3 ≡ 3 mod 4, the valid blocked
+    composition) — Whittle's generalized Durbin–Levinson recursion
+    on sample cross-correlation matrices, the target-row partial
+    profile at lags 2..5, and the greedy diversity pick. The DuckDB
+    twin unrolls the ENTIRE matrix recursion (5 steps of 3×3
+    multiplies + adjugate inverses as chained named-column CTEs) —
+    previously the recursion was pytest-only."""
+    import numpy as np
+
+    from .ml.selection import pacf_var_selection
+    from .operators.acf import multivariate_pacf
+
+    daily = _daily_events(spark, sf_dir).filter(
+        F.col("series_id").isin("click", "purchase", "view")
+    )
+    sel = pacf_var_selection(
+        daily, "click", lag=4, maxnrvar=3, faithful_blocked=True
+    )
+    names = ["click", "purchase", "view"]
+    wide = (
+        daily.groupBy("obs_date")
+        .pivot("series_id", names)
+        .agg(F.first("value"))
+        .orderBy("obs_date")
+        .toPandas()
+    )
+    X = wide[names].dropna().to_numpy(dtype=float)
+    P = multivariate_pacf(X, 5)
+    rows = [
+        ("profile", k + 1, names[j], round(float(P[k, 0, j]), 6))
+        for k in range(1, 5)
+        for j in range(3)
+    ]
+    rows += [("sel", i, s, 0.0) for i, s in enumerate(sel)]
+    return spark.createDataFrame(
+        rows, "kind string, k int, series string, value double"
+    ).orderBy("kind", "k", "series")
+
+
+def _pacf_blocked_oracle_sql(lag_max: int = 5, dp: int = 6) -> str:
+    """Generated SQL unroll of Whittle's multivariate Durbin–Levinson
+    recursion (operators/acf.multivariate_pacf) for K=3, plus the
+    M17 greedy diversity round on the resulting profile. Matrices
+    live as named columns (a{j}s{k}_i_j etc.), one CTE generation per
+    recursion step, 3×3 inverses by adjugate/determinant — no
+    expression blowup because every step references the PREVIOUS
+    step's named columns, never re-inlines them."""
+    K = 3
+
+    def mat(prefix):
+        return [[f"{prefix}_{i}_{j}" for j in range(K)] for i in range(K)]
+
+    def mm(A, B):
+        return [
+            [
+                " + ".join(f"({A[i][l]})*({B[l][j]})" for l in range(K))
+                for j in range(K)
+            ]
+            for i in range(K)
+        ]
+
+    def msub(A, B):
+        return [
+            [f"({A[i][j]}) - ({B[i][j]})" for j in range(K)] for i in range(K)
+        ]
+
+    def mt(A):
+        return [[A[j][i] for j in range(K)] for i in range(K)]
+
+    def alias(exprs, prefix):
+        return ", ".join(
+            f"{exprs[i][j]} AS {prefix}_{i}_{j}"
+            for i in range(K)
+            for j in range(K)
+        )
+
+    def det3(M):
+        return (
+            f"(({M[0][0]})*(({M[1][1]})*({M[2][2]}) - ({M[1][2]})*({M[2][1]}))"
+            f" - ({M[0][1]})*(({M[1][0]})*({M[2][2]}) - ({M[1][2]})*({M[2][0]}))"
+            f" + ({M[0][2]})*(({M[1][0]})*({M[2][1]}) - ({M[1][1]})*({M[2][0]})))"
+        )
+
+    def inv_exprs(M, detname):
+        # inv[i][j] = cofactor[j][i] / det
+        out = [[None] * K for _ in range(K)]
+        for i in range(K):
+            for j in range(K):
+                r = [a for a in range(K) if a != j]
+                c = [b for b in range(K) if b != i]
+                minor = (
+                    f"(({M[r[0]][c[0]]})*({M[r[1]][c[1]]})"
+                    f" - ({M[r[0]][c[1]]})*({M[r[1]][c[0]]}))"
+                )
+                sgn = "" if (i + j) % 2 == 0 else "-"
+                out[i][j] = f"({sgn}{minor}/{detname})"
+        return out
+
+    # lagged z columns (staged: aggregates cannot contain window
+    # calls), then cross-correlation moment columns r{k}_i_j
+    lag_cols = [
+        f"LAG(z{j}, {k}) OVER w AS l{k}_{j}"
+        for k in range(1, lag_max + 1)
+        for j in range(K)
+    ]
+    mom_cols = []
+    for k in range(lag_max + 1):
+        for i in range(K):
+            for j in range(K):
+                zj = f"z{j}" if k == 0 else f"l{k}_{j}"
+                mom_cols.append(f"SUM(z{i} * {zj})/MAX(tt) AS r{k}_{i}_{j}")
+    R = [mat(f"r{k}") for k in range(lag_max + 1)]
+
+    ctes = []
+    A: list = []  # forward coef matrices as name-matrices
+    B: list = []
+    Vm = R[0]
+    Um = R[0]
+    prev = "mom"
+    for k in range(1, lag_max + 1):
+        # D_k = R_k − Σ_j A_j R_{k-1-j}
+        D = R[k]
+        for j in range(len(A)):
+            D = msub(D, mm(A[j], R[k - 1 - j]))
+        c1 = f"s{k}d"
+        ctes.append(
+            f"{c1} AS (SELECT *, {alias(D, f'd{k}')},"
+            f" {det3(Um)} AS detu{k}, {det3(Vm)} AS detv{k} FROM {prev})"
+        )
+        Dm = mat(f"d{k}")
+        iU = inv_exprs(Um, f"detu{k}")
+        iV = inv_exprs(Vm, f"detv{k}")
+        c2 = f"s{k}i"
+        ctes.append(
+            f"{c2} AS (SELECT *, {alias(iU, f'iu{k}')},"
+            f" {alias(iV, f'iv{k}')} FROM {c1})"
+        )
+        Akk = mm(Dm, mat(f"iu{k}"))
+        Bkk = mm(mt(Dm), mat(f"iv{k}"))
+        c3 = f"s{k}k"
+        ctes.append(
+            f"{c3} AS (SELECT *, {alias(Akk, f'akk{k}')},"
+            f" {alias(Bkk, f'bkk{k}')} FROM {c2})"
+        )
+        Am = mat(f"akk{k}")
+        Bm = mat(f"bkk{k}")
+        new_cols = []
+        A_new, B_new = [], []
+        for j in range(len(A)):
+            An = msub(A[j], mm(Am, B[k - 2 - j]))
+            Bn = msub(B[j], mm(Bm, A[k - 2 - j]))
+            new_cols.append(alias(An, f"a{j}s{k}"))
+            new_cols.append(alias(Bn, f"b{j}s{k}"))
+            A_new.append(mat(f"a{j}s{k}"))
+            B_new.append(mat(f"b{j}s{k}"))
+        A_new.append(Am)
+        B_new.append(Bm)
+        Vn = msub(Vm, mm(Am, mt(Dm)))
+        Un = msub(Um, mm(Bm, Dm))
+        new_cols.append(alias(Vn, f"v{k}"))
+        new_cols.append(alias(Un, f"u{k}"))
+        c4 = f"s{k}n"
+        ctes.append(f"{c4} AS (SELECT *, {', '.join(new_cols)} FROM {c3})")
+        A, B = A_new, B_new
+        Vm, Um = mat(f"v{k}"), mat(f"u{k}")
+        prev = c4
+
+    # profile: target-row partials at lags 2..lag_max
+    prof_rows = " UNION ALL ".join(
+        f"SELECT 'profile' AS kind, {k} AS k, '{name}' AS series,"
+        f" ROUND(akk{k}_0_{j}, {dp}) AS value FROM fin"
+        for k in range(2, lag_max + 1)
+        for j, name in enumerate(["click", "purchase", "view"])
+    )
+    # greedy diversity round on the profile (same unroll as
+    # ml_acf_selection): scores = mean over lags of partial², first =
+    # top non-target (stable tie by column order), pick = farthest
+    # mean-sq profile from first (selected zeroed)
+    score = {
+        j: "("
+        + " + ".join(
+            f"POW(akk{k}_0_{j}, 2)" for k in range(2, lag_max + 1)
+        )
+        + f")/{lag_max - 1}.0"
+        for j in range(K)
+    }
+    dist = {}
+    for j in range(K):
+        dist[j] = (
+            "("
+            + " + ".join(
+                f"POW(akk{k}_0_{j} - akk{k}_0_f, 2)"
+                for k in range(2, lag_max + 1)
+            )
+            + f")/{lag_max - 1}.0"
+        )
+    names = ["click", "purchase", "view"]
+    sel_sql = f"""
+    scored AS (
+      SELECT j, name, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, j ASC) AS rn
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS j, '{names[j]}' AS name, {score[j]} AS score FROM fin"
+            for j in range(K))})),
+    first AS (SELECT j, name FROM scored WHERE name <> 'click'
+              ORDER BY rn LIMIT 1),
+    prof_f AS (
+      SELECT fin.*, {", ".join(
+          "CASE f.j " + " ".join(
+              f"WHEN {jj} THEN akk{k}_0_{jj}" for jj in range(K))
+          + f" END AS akk{k}_0_f"
+          for k in range(2, lag_max + 1))}
+      FROM fin, first f),
+    dists AS (
+      SELECT d.j, d.name,
+             CASE WHEN d.j = f.j THEN 0.0 ELSE d.dist END AS dist
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT {j} AS j, '{names[j]}' AS name, {dist[j]} AS dist FROM prof_f"
+            for j in range(K))}) d, first f),
+    pick AS (SELECT j, name FROM dists WHERE name <> 'click'
+             ORDER BY dist DESC, j ASC LIMIT 1)"""
+    return f"""
+        WITH m AS (
+          SELECT event_type AS series_id,
+                 CAST(date_trunc('day', ts) AS DATE) AS obs_date,
+                 ROUND(SUM(value), 6) AS value
+          FROM events
+          WHERE event_type IN ('click', 'purchase', 'view')
+          GROUP BY 1, 2),
+        wide AS (
+          SELECT obs_date,
+                 MAX(CASE WHEN series_id = 'click' THEN value END) AS x0,
+                 MAX(CASE WHEN series_id = 'purchase' THEN value END) AS x1,
+                 MAX(CASE WHEN series_id = 'view' THEN value END) AS x2
+          FROM m GROUP BY 1),
+        cc AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY obs_date) AS rn, x0, x1, x2
+          FROM wide
+          WHERE x0 IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS tt,
+                 AVG(x0) AS m0, AVG(x1) AS m1, AVG(x2) AS m2,
+                 sqrt(SUM(x0*x0)/COUNT(*) - AVG(x0)*AVG(x0)) AS sd0,
+                 sqrt(SUM(x1*x1)/COUNT(*) - AVG(x1)*AVG(x1)) AS sd1,
+                 sqrt(SUM(x2*x2)/COUNT(*) - AVG(x2)*AVG(x2)) AS sd2
+          FROM cc),
+        z AS (
+          SELECT cc.rn, (cc.x0 - s.m0)/s.sd0 AS z0,
+                 (cc.x1 - s.m1)/s.sd1 AS z1,
+                 (cc.x2 - s.m2)/s.sd2 AS z2, s.tt
+          FROM cc, stats s),
+        zl AS (
+          SELECT z.*, {", ".join(lag_cols)}
+          FROM z WINDOW w AS (ORDER BY rn)),
+        mom AS MATERIALIZED (
+          SELECT {", ".join(mom_cols)} FROM zl),
+        {", ".join(ctes)},
+        fin AS MATERIALIZED (SELECT * FROM {prev}),
+        {sel_sql}
+        {prof_rows}
+        UNION ALL SELECT 'sel', 0, 'click', 0.0
+        UNION ALL SELECT 'sel', 1, name, 0.0 FROM first
+        UNION ALL SELECT 'sel', 2, name, 0.0 FROM pick
+        ORDER BY kind, k, series
+    """
+
+
+ORACLE["ml_pacf_blocked"] = _pacf_blocked_oracle_sql()
+
+
 @query(
     "stat_cw_dm",
     f"""
@@ -4847,6 +5123,7 @@ _PRIORITY = [
     "ml_recursive_forecast",
     "stat_cw_dm",
     "ml_preselect",
+    "ml_pacf_blocked",
     "ml_acf_selection",
     "ml_acf_m15_topn",
     "ml_pacf_m17_profile",
