@@ -347,7 +347,8 @@ def enet_var_preselect(
     alpha: float = 0.25,
     date_col: str = "obs_date",
     lam: float | None = None,
-) -> list[str]:
+    return_scores: bool = False,
+) -> list[str] | tuple[list[str], dict[str, float]]:
     """Greedy forward variable selection by SC (enetVAR.R:235-254):
     start {target}; repeatedly add the candidate minimizing the SC of
     the joint enetVAR. Candidate scoring is embarrassingly parallel —
@@ -361,6 +362,7 @@ def enet_var_preselect(
     target = all_series[0]
     selected = [target]
     remaining = list(all_series[1:])
+    last_scores: dict[str, float] = {}
     while len(selected) < maxnrvar and remaining:
         scores = []
         for cand in remaining:
@@ -369,6 +371,9 @@ def enet_var_preselect(
                 date_col=date_col, lam=lam,
             )
             scores.append(m.inf_crit()["SC"])
+        last_scores = dict(zip(remaining, scores))
         best = int(np.argmin(scores))  # first min — deterministic (Q8 fix)
         selected.append(remaining.pop(best))
+    if return_scores:
+        return selected, last_scores
     return selected

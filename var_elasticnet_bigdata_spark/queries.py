@@ -3927,7 +3927,7 @@ def ml_preselect(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits (9-pattern KKT solves, uncentered intercept=False
     standardization), their Σ̂/dof/SC (active-set hat-trace on the
     raw Gram), and the selection."""
-    from .ml.var_model import enet_var_preselect, fit_enet_var
+    from .ml.var_model import enet_var_preselect
 
     daily = _daily_events(spark, sf_dir)
     wide = (
@@ -3935,15 +3935,14 @@ def ml_preselect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("series_id", ["click", "purchase", "view"])
         .agg(F.first("value"))
     )
-    sel = enet_var_preselect(
+    sel, scores = enet_var_preselect(
         wide, ["click", "purchase", "view"], maxnrvar=2, lag=1,
-        alpha=0.25, lam=0.01,
+        alpha=0.25, lam=0.01, return_scores=True,
     )
-    rows = []
-    for cand in ("purchase", "view"):
-        m = fit_enet_var(wide, ["click", cand], p=1, alpha=0.25, lam=0.01)
-        sc = m.inf_crit()["SC"]
-        rows.append((cand, round(float(sc), 6), 1 if sel[1] == cand else 0))
+    rows = [
+        (cand, round(float(scores[cand]), 6), 1 if sel[1] == cand else 0)
+        for cand in ("purchase", "view")
+    ]
     return spark.createDataFrame(
         rows, "series string, sc double, chosen int"
     ).orderBy("series")
