@@ -271,6 +271,10 @@ def temperature_sample(
     and nested: a higher target's sample contains a lower target's).
     Rates quantize to 1/65536 like ``stratified_sample``. No driver
     collect anywhere.
+
+    NULL ``source_col`` rows are EXCLUDED (the rate join is inner;
+    NULL never equi-joins) — filter or coalesce a sentinel source
+    upstream if unsourced rows should participate.
     """
     if temperature < 0:
         raise ValueError(f"temperature must be >= 0, got {temperature}")

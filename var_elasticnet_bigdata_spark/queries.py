@@ -4430,7 +4430,10 @@ def stat_cw_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparing the naive random walk against a full-sample CSS AR(1)
     on quarterly revenue. The DuckDB twin replays the error series,
     both HAC variances, both statistics, the df=2 t tail in closed
-    form, and the normal tail via a 60-term erf series. Reference:
+    form, and the normal tail via a 60-term erf series. (Degenerate
+    constant-differential input yields NaN on the engine vs NULL in
+    DuckDB — both arrive as NaN through Arrow, and the quarterly
+    series is never degenerate at any sf.) Reference:
     enetVAR.R:775-843."""
     import numpy as np
 
