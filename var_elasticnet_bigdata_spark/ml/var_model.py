@@ -295,6 +295,7 @@ def enet_var_select(
     intercept: bool = False,
     date_col: str = "obs_date",
     faithful_q9: bool = False,
+    lam: float | None = None,
 ) -> dict:
     """Lag search p=1..max with the reference's early-stop rules
     (enetVAR.R:204-232): stop when ≥3 ICs are −Inf, or when all four
@@ -306,7 +307,8 @@ def enet_var_select(
     ics: list[dict[str, float]] = []
     for p in range(1, max_lag_order + 1):
         m = fit_enet_var(
-            wide_df, series, p=p, alpha=alpha, intercept=intercept, date_col=date_col
+            wide_df, series, p=p, alpha=alpha, intercept=intercept,
+            date_col=date_col, lam=lam,
         )
         ics.append(m.inf_crit())
         it = len(ics)

@@ -4082,6 +4082,184 @@ def _preselect_oracle_sql(
 ORACLE["ml_preselect"] = _preselect_oracle_sql()
 
 
+@query("ml_lag_select", None)  # oracle generated below
+def ml_lag_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 enetVARselect hash-gated (enetVAR.R:204-232): the IC-based
+    lag-order search at ridge/fixed-λ over p ∈ {1, 2} on the
+    quarterly pair — per-p fits, Σ̂/dof/FPE/AIC/HQ/SC, and each
+    criterion's first-minimum argmin. (The early-stop rules engage
+    only past iteration 3 and stay pytest-pinned; every quantity they
+    compare is inside this hash.) The oracle replays both lag orders:
+    p=2 via the 4-feature Cramer solve, 2×2 Σ̂ quadratic forms over
+    the 4×4 raw Gram, and the hat-trace via diagonal cofactors."""
+    from .ml.var_model import enet_var_select
+
+    wide = _quarterly_pair(spark, sf_dir)
+    out = enet_var_select(
+        wide, ["revenue", "quantity"], max_lag_order=2, alpha=0.0, lam=0.05
+    )
+    rows = []
+    for i, nm in enumerate(["FPE", "AIC", "HQ", "SC"]):
+        # FPE is det-scaled (arbitrary magnitude — ~800 at sf0.1);
+        # 6-dp rounding there demands 1e-9 RELATIVE agreement, which
+        # 4x4 Cramer-vs-LAPACK drift cannot guarantee. The log-scale
+        # criteria keep 6 dp; FPE rounds at 3.
+        dp = 3 if nm == "FPE" else 6
+        rows.append(
+            (
+                nm,
+                int(out["IC_lag"][nm]),
+                round(float(out["IC_value"][0][nm]), dp),
+                round(float(out["IC_value"][1][nm]), dp),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "criterion string, best_p int, ic_p1 double, ic_p2 double"
+    ).orderBy("criterion")
+
+
+def _lag_select_oracle_sql(lam: float = 0.05, dp: int = 6) -> str:
+    """SQL replay of ``ml_lag_select``: per lag order p ∈ {1, 2} the
+    full ridge VAR chain (uncentered intercept=False standardization,
+    Cramer solve — 4×4 cofactor expansion at p=2 — Σ̂ from raw
+    moments, all-active dof hat-trace via diagonal cofactors) and
+    per-criterion first-min argmin."""
+    rr = repr(lam * 0.5)
+    blocks = []
+    for p in (1, 2):
+        k = 2 * p
+        xs = [f"x{i}" for i in range(k)]
+        lag_cols = ", ".join(
+            f"LAG({src}, {i}) OVER w AS x{2 * (i - 1) + j}"
+            for i in range(1, p + 1)
+            for j, src in enumerate(("revenue", "quantity"))
+        )
+        qual = " AND ".join(f"x{i} IS NOT NULL" for i in range(k))
+        cross = ", ".join(
+            f"SUM({a}*{b}) AS c_{i}_{j}"
+            for i, a in enumerate(xs)
+            for j, b in enumerate(xs)
+            if i <= j
+        )
+        xy = ", ".join(
+            f"SUM({a}*y_{e}) AS cy_{i}_{e}"
+            for i, a in enumerate(xs)
+            for e in ("r", "q")
+        )
+        std = ", ".join(
+            f"sqrt(c_{i}_{i}/n) AS sc_{i}" for i in range(k)
+        )
+
+        def ckey(i, j):
+            return f"c_{min(i, j)}_{max(i, j)}"
+
+        # standardized (uncentered) correlation + ridge on diagonal
+        M = [
+            [
+                f"({ckey(i, j)}/n/(sc_{i}*sc_{j})"
+                + (f" + {lam!r})" if i == j else ")")
+                for j in range(k)
+            ]
+            for i in range(k)
+        ]
+        det_m = _det_sql(M)
+        coef_cols = []
+        for e in ("r", "q"):
+            rhs = [f"(cy_{i}_{e}/n/sc_{i})" for i in range(k)]
+            for j in range(k):
+                Mj = [
+                    [(rhs[i] if jj == j else M[i][jj]) for jj in range(k)]
+                    for i in range(k)
+                ]
+                coef_cols.append(
+                    f"(({_det_sql(Mj)})/({det_m}))/sc_{j} AS b{j}_{e}"
+                )
+
+        def dot_zy(e1, e2):  # b_{e1}' X'y_{e2}
+            return " + ".join(
+                f"b{i}_{e1}*cy_{i}_{e2}" for i in range(k)
+            )
+
+        def quad(e1, e2):  # b_{e1}' X'X b_{e2}
+            return " + ".join(
+                f"b{i}_{e1}*{ckey(i, j)}*b{j}_{e2}"
+                for i in range(k)
+                for j in range(k)
+            )
+
+        sig = {}
+        for e1, e2, nm in (("r", "r", "rr"), ("r", "q", "rq"), ("q", "q", "qq")):
+            sig[nm] = (
+                f"((cyy_{nm} - ({dot_zy(e1, e2)}) - ({dot_zy(e2, e1)})"
+                f" + ({quad(e1, e2)})) / n)"
+            )
+        # dof: all-active (ridge) hat trace on the RAW Gram:
+        # k − r·trace((Szz + r·I)⁻¹), per equation — ×2
+        Zr = [
+            [
+                f"({ckey(i, j)}" + (f" + {rr})" if i == j else ")")
+                for j in range(k)
+            ]
+            for i in range(k)
+        ]
+        det_zr = _det_sql(Zr)
+
+        def minor(mat, i, j):
+            return [
+                [mat[a][b] for b in range(k) if b != j]
+                for a in range(k)
+                if a != i
+            ]
+
+        tr_inv = " + ".join(
+            f"({_det_sql(minor(Zr, i, i))})" for i in range(k)
+        )
+        blocks.append(f"""
+        lag{p} AS (
+          SELECT revenue AS y_r, quantity AS y_q, {lag_cols}
+          FROM q WINDOW w AS (ORDER BY obs_date)
+          QUALIFY {qual}),
+        mom{p} AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n, {cross}, {xy},
+                 SUM(y_r*y_r) AS cyy_rr, SUM(y_q*y_q) AS cyy_qq,
+                 SUM(y_r*y_q) AS cyy_rq
+          FROM lag{p}),
+        std{p} AS (SELECT *, {std} FROM mom{p}),
+        coef{p} AS (SELECT *, {", ".join(coef_cols)} FROM std{p}),
+        ic{p} AS (
+          SELECT n,
+                 {sig["rr"]} AS s_rr, {sig["rq"]} AS s_rq,
+                 {sig["qq"]} AS s_qq,
+                 2.0*({k}.0 - {rr}*(({tr_inv})/({det_zr}))) AS dof
+          FROM coef{p}),
+        icv{p} AS (
+          SELECT ln(s_rr*s_qq - s_rq*s_rq) + 2.0/n*dof AS aic,
+                 ln(s_rr*s_qq - s_rq*s_rq) + 2.0*ln(ln(n))/n*dof AS hq,
+                 ln(s_rr*s_qq - s_rq*s_rq) + ln(n)/n*dof AS sc,
+                 (1.0 + dof/n)/(1.0 - dof/n)*(s_rr*s_qq - s_rq*s_rq)
+                   AS fpe
+          FROM ic{p})""")
+    rows_sql = " UNION ALL ".join(
+        f"""SELECT '{nm}' AS criterion,
+               CASE WHEN a.{col} <= b.{col} THEN 1 ELSE 2 END AS best_p,
+               ROUND(a.{col}, {3 if nm == "FPE" else dp}) AS ic_p1,
+               ROUND(b.{col}, {3 if nm == "FPE" else dp}) AS ic_p2
+        FROM icv1 a, icv2 b"""
+        for nm, col in (
+            ("AIC", "aic"), ("FPE", "fpe"), ("HQ", "hq"), ("SC", "sc")
+        )
+    )
+    return f"""
+        WITH q AS ({_QPAIR_SQL}),
+        {", ".join(blocks)}
+        {rows_sql}
+        ORDER BY criterion
+    """
+
+
+ORACLE["ml_lag_select"] = _lag_select_oracle_sql()
+
+
 @query("ml_pacf_blocked", None)  # oracle generated below
 def ml_pacf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 multivariate + M17 ``faithful_blocked`` hash-gated: the
@@ -5125,6 +5303,7 @@ _PRIORITY = [
     "ml_recursive_forecast",
     "stat_cw_dm",
     "ml_preselect",
+    "ml_lag_select",
     "ml_pacf_blocked",
     "ml_acf_selection",
     "ml_acf_m15_topn",
