@@ -175,3 +175,68 @@ def test_spark_moments_dropna(spark):
     m = compute_moments(sdf, ["x0", "y"])
     assert m.n == 2  # na.omit semantics: rows 0 and 3 survive
     assert m.sums(["x0"])[0] == pytest.approx(5.0)
+
+
+def test_kkt_support_enumeration_matches_solver():
+    """The SQL oracles for ml_enet_var_coefs / ml_tune_best /
+    ml_ezlasso_enet / ml_cv_lambda_min / ml_preselect solve the
+    strictly convex elastic net by enumerating sign patterns and
+    Cramer-solving the masked ridge system. Pin that construction (in
+    numpy form) against enet_path on random problems: for every
+    (alpha<1, lambda) the unique KKT-passing pattern's solution equals
+    the converged solver."""
+    import itertools
+
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.ml.elastic_net import enet_path
+    from var_elasticnet_bigdata_spark.ml.local import moments_from_numpy
+
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        n, k = 60, rng.integers(2, 5)
+        X = rng.normal(size=(n, k))
+        if trial % 3 == 0:  # collinear like a lag design
+            X[:, -1] = 0.9 * X[:, 0] + 0.1 * X[:, -1]
+        y = X @ rng.normal(size=k) * rng.uniform(0.1, 2) + rng.normal(size=n)
+        alpha = float(rng.uniform(0.1, 0.9))
+        lam = float(10 ** rng.uniform(-3, 0))
+        names = [f"x{i}" for i in range(k)] + ["y"]
+        m = moments_from_numpy(np.column_stack([X, y]), names)
+        fit = enet_path(
+            m, names[:-1], "y", alpha=alpha, lambdas=np.array([lam]),
+            intercept=False,
+        )
+        b_solver = fit.coefs[:, 0]
+        # enumeration on the standardized problem (uncentered scale,
+        # matching intercept=False)
+        sc = np.sqrt((X * X).sum(0) / n)
+        Xs = X / sc
+        C = Xs.T @ Xs / n
+        r = Xs.T @ y / n
+        gam, ridge = lam * alpha, lam * (1 - alpha)
+        found = None
+        for signs in itertools.product((-1, 0, 1), repeat=k):
+            s = np.array(signs)
+            M = np.zeros((k, k))
+            for i in range(k):
+                for j in range(k):
+                    if i == j:
+                        M[i, j] = C[i, i] + ridge if s[i] != 0 else 1.0
+                    elif s[i] != 0 and s[j] != 0:
+                        M[i, j] = C[i, j]
+            rh = np.where(s != 0, r - gam * s, 0.0)
+            b = np.linalg.solve(M, rh)
+            ok = True
+            for i in range(k):
+                if s[i] != 0:
+                    ok &= b[i] * s[i] > 0
+                else:
+                    ok &= abs(r[i] - C[i] @ b) <= gam + 1e-12
+            if ok:
+                found = b / sc
+                break
+        assert found is not None, (trial, alpha, lam)
+        assert np.allclose(found, b_solver, atol=1e-7), (
+            trial, alpha, lam, found, b_solver,
+        )
