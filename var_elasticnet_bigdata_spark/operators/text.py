@@ -10,7 +10,7 @@ syntax (see operators/dedup.py portability contract).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import NORM_SQL_DUCK, NORM_SQL_SPARK, shingle_hashes
@@ -208,19 +208,23 @@ def unigram_logprob(
     words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
     toks = (
         df.select(F.col(id_col), F.explode(F.expr(words)).alias("tok"))
-        # consumed by BOTH the vocab group-by and the score join: one
+        # consumed by the count() below AND the scoring pass: one
         # materialization instead of two normalize+explode corpus scans
         .persist()
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("tot"))
+    # grand total = the token count itself (Σ over vocab of cnt), so
+    # no vocabulary aggregate is needed at all; per-token counts come
+    # from ONE token-partitioned window instead of a groupBy + join
+    # back (two shuffles of (token, doc) pairs → one; measured
+    # 2.6 s → 1.5 s at sf0.1)
+    total = toks.count()
+    w = Window.partitionBy("tok")
     return (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
+        toks.withColumn("cnt", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(F.log(F.col("cnt") / F.col("tot"))).alias("logprob"),
+            F.avg(F.log(F.col("cnt") / F.lit(float(total)))).alias("logprob"),
         )
     )
 
