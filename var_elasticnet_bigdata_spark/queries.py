@@ -1856,8 +1856,11 @@ _register_pii_oracle()
 
 
 # --------------------------------------------------------------------------
-# ML / statistical operators through the driver contract (rows-only
-# checks — not SQL-expressible; the numerical oracles live in pytest)
+# ML / statistical operators through the driver contract. Since round
+# 3 EVERY query here is hash-gated — exact KKT support enumeration,
+# fixed-schedule replays, unrolled recursions, or pinned independent
+# twins (no rows-only checks remain); pytest keeps the numerical
+# oracles as a second line.
 # --------------------------------------------------------------------------
 
 
@@ -2857,8 +2860,8 @@ def ml_pacf_m17_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M17's PACF profile hash-gated: per-series univariate
     Durbin–Levinson partials at lags 1..4 from the one-pass R-normal
     ACF table — the DuckDB twin unrolls the DL recursion in closed
-    form, so the gate covers the ACF pipeline AND the recursion; only
-    the greedy diversity pick (`ml_acf_selection`) stays rows-only."""
+    form, so the gate covers the ACF pipeline AND the recursion; the
+    greedy diversity pick is hash-gated too (`ml_acf_selection`)."""
     import numpy as np
 
     from .operators.acf import acf_table, pacf_from_acf
@@ -2917,8 +2920,8 @@ def ml_acf_m15_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     to end: mean-square cross-ACF score (R normalization — full-series
     population moments, denominator T) → deterministic (−score, name)
     ranking → top-N with target prepended. The DuckDB twin replays
-    the whole selection; the greedy M16/M17 variants stay rows-only
-    in ``ml_acf_selection`` (driver loops on the score matrix)."""
+    the whole selection; the greedy M16/M17 variants are hash-gated
+    in ``ml_acf_selection`` (unrolled greedy round)."""
     from .ml.selection import acf_var_selection
 
     m = _daily_events(spark, sf_dir)
@@ -2937,7 +2940,8 @@ def ml_tune_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire grid search (expanding-window moments → per-origin
     standardization → 2×2 ridge solve → horizon forecasts → mean
     RMSE per λ → caret first-min tie-break) in SQL. The α>0 grid is
-    ``ml_tune_best`` (rows-only; sequential-replication pytest)."""
+    ``ml_tune_best`` (hash-gated since r3 via per-cell KKT
+    enumeration; sequential-replication pytest as well)."""
     import numpy as np
 
     from .ml.tuning import rolling_origin_tune
@@ -4772,8 +4776,8 @@ def ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed IVF machinery (assignment matmul, nprobe probing,
     per-cell cogroup rerank, global tie-broken top-1) inside the
     driver hash gate. `ann_ivf_top1` keeps the real k-means training
-    (rows-only, recall-tested); this query proves the pipeline around
-    it is exact. Output id-only so the hash is float-jitter-proof."""
+    (pinned-oracle-gated since r3, recall-tested); this query proves
+    the pipeline around it is exact. Output id-only so the hash is float-jitter-proof."""
     from .operators.similarity import ivf_topk, seed_centroids
 
     e = load_table(spark, sf_dir, "embeddings")
