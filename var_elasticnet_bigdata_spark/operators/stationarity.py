@@ -41,23 +41,30 @@ class StationarityResult:
     still_non_stationary: list[str] = field(default_factory=list)
 
 
-def make_quarterly_diffs(monthly_long: DataFrame) -> DataFrame:
+def make_quarterly_diffs(
+    monthly_long: DataFrame, freq: str = "quarter"
+) -> DataFrame:
     """Initial transform (Main.R:43): quarterly SUM of monthly first
     diffs, first quarter dropped (the reference's ``[-1,]``).
     strict_na: zoo's sum propagates NA (partial quarters at ragged
-    series starts stay NA, as in R)."""
+    series starts stay NA, as in R). ``freq`` generalizes the bucket
+    (the reference's monthly→quarterly shape at other input
+    granularities, e.g. daily→week for the driver testdata's 30-day
+    event span)."""
     d = ts.diff(monthly_long, out_col="value")
-    q = ts.resample(d, freq="quarter", how="sum", strict_na=True)
+    q = ts.resample(d, freq=freq, how="sum", strict_na=True)
     first_q = q.agg(F.min("obs_date")).collect()[0][0]
     return q.filter(F.col("obs_date") > F.lit(first_q))
 
 
-def _quarterly_logdiffs(monthly_long: DataFrame, series: list[str]) -> DataFrame:
+def _quarterly_logdiffs(
+    monthly_long: DataFrame, series: list[str], freq: str = "quarter"
+) -> DataFrame:
     """Log-diff branch (Main.R:86-87): quarterly sum of monthly
     log-diffs for the given series, first quarter dropped."""
     sub = monthly_long.filter(F.col("series_id").isin(series))
     ld = ts.log_diff(sub, out_col="value")
-    q = ts.resample(ld, freq="quarter", how="sum", strict_na=True)
+    q = ts.resample(ld, freq=freq, how="sum", strict_na=True)
     first_q = q.agg(F.min("obs_date")).collect()[0][0]
     return q.filter(F.col("obs_date") > F.lit(first_q))
 
@@ -71,6 +78,7 @@ def stationarity_pipeline(
     flag_ge: bool = False,
     consume_currency: bool = True,
     currency_fallback_diff: bool = True,
+    resample_freq: str = "quarter",
 ) -> StationarityResult:
     """Run the fixpoint loop on a long monthly frame
     ``(series_id, obs_date, value)``. Returns the stationary
@@ -107,7 +115,7 @@ def stationarity_pipeline(
         if r["pos"]
     }
 
-    current = make_quarterly_diffs(monthly_long)
+    current = make_quarterly_diffs(monthly_long, freq=resample_freq)
     for s in {r["series_id"] for r in current.select("series_id").distinct().collect()}:
         transforms[s] = ["diff_quarterly_sum"]
 
@@ -152,7 +160,9 @@ def stationarity_pipeline(
         log_branch = effective_log
         parts = [keep]
         if log_branch:
-            parts.append(_quarterly_logdiffs(monthly_long, log_branch))
+            parts.append(
+                _quarterly_logdiffs(monthly_long, log_branch, resample_freq)
+            )
             for s in log_branch:
                 transforms[s] = ["logdiff_quarterly_sum"]
         if diff_branch:

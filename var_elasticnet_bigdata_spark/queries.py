@@ -2461,10 +2461,14 @@ def ml_ar1_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stat_adf_batch",
-    _DAILY_EVENTS_CTE
-    + """,
+def _adf_chain_sql(src: str) -> str:
+    """The full k=0 ADF replay (3×3 OLS via centered normal
+    equations, t-statistic, tseries' two-way Dickey–Fuller table
+    interpolation) as a CTE chain over any source relation named
+    ``src`` with (series_id, obs_date, value) — shared by
+    ``stat_adf_batch`` and ``stat_stationarity_round1``. Ends with
+    the ``pv`` CTE exposing (series_id, stat, p_value)."""
+    return """
  d0 AS (SELECT series_id, value,
                ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY obs_date) AS rn,
                COUNT(*) OVER (PARTITION BY series_id) AS n,
@@ -2534,6 +2538,15 @@ def ml_ar1_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
         END AS p_value
      FROM st2 s LEFT JOIN plo ON plo.series_id = s.series_id
                 LEFT JOIN phi ON phi.series_id = s.series_id)
+""".replace("FROM m)", f"FROM {src})")
+
+
+@query(
+    "stat_adf_batch",
+    _DAILY_EVENTS_CTE
+    + ","
+    + _adf_chain_sql("m")
+    + """
     SELECT series_id, ROUND(stat,6) AS statistic, ROUND(p_value,6) AS p_value,
            0 AS k
     FROM pv ORDER BY series_id
@@ -2558,6 +2571,106 @@ def stat_adf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("p_value")).alias("p_value"),
         "k",
     )
+
+
+@query(
+    "stat_stationarity_round1",
+    _DAILY_EVENTS_CTE
+    + """,
+ -- I(2) construction: the raw daily diffs are already stationary, so
+ -- a double running sum feeds the loop something whose FIRST diff is
+ -- still integrated — the flag/branch logic actually fires
+ m1 AS (SELECT series_id, obs_date,
+               SUM(value) OVER (PARTITION BY series_id ORDER BY obs_date
+                 ROWS UNBOUNDED PRECEDING) AS value
+        FROM m),
+ m2 AS (SELECT series_id, obs_date,
+               SUM(value) OVER (PARTITION BY series_id ORDER BY obs_date
+                 ROWS UNBOUNDED PRECEDING) AS value
+        FROM m1),
+ d AS (SELECT series_id, obs_date,
+              value - LAG(value) OVER (PARTITION BY series_id
+                                       ORDER BY obs_date) AS value
+       FROM m2),
+ qq AS (SELECT series_id,
+               CAST(date_trunc('day', obs_date) AS DATE) AS obs_date,
+               CASE WHEN COUNT(*) = COUNT(value) THEN SUM(value) END AS value
+        FROM d GROUP BY 1, 2),
+ fq AS (SELECT MIN(obs_date) AS f FROM qq),
+ src AS (SELECT qq.series_id, qq.obs_date, qq.value
+         FROM qq, fq WHERE qq.obs_date > fq.f AND qq.value IS NOT NULL),
+"""
+    + _adf_chain_sql("src")
+    + """,
+ pos AS (SELECT series_id, MIN(value) > 0 AS positive
+         FROM m2 WHERE value IS NOT NULL GROUP BY 1)
+    SELECT p.series_id AS series,
+           ROUND(p.p_value, 6) AS p1,
+           CASE WHEN p.p_value <= 0.05 THEN 'diff_quarterly_sum'
+                WHEN p.series_id = 'click' AND pos.positive
+                  THEN 'logdiff_quarterly_sum'
+                ELSE 'diff_quarterly_sum+diff' END AS transform,
+           CASE WHEN p.p_value <= 0.05 THEN 0 ELSE 1 END AS flagged
+    FROM pv p JOIN pos ON pos.series_id = p.series_id
+    ORDER BY series
+    """,
+)
+def stat_stationarity_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19's decision function hash-gated: ONE round of the
+    stationarity fixpoint (Main.R:64-92 variant at the replayable
+    k=0, crit=0.05, currency = {'click'}) on the daily event
+    series made I(2) by a double running sum (raw daily diffs are
+    already stationary; the integration makes the flag/branch logic
+    actually fire) — the initial sum-of-diffs transform at daily
+    buckets (the reference's monthly→quarterly shape degenerates at
+    the testdata's 30-day span; the resample/diff/drop-first
+    machinery is identical), the per-series ADF flag, and
+    the branch logic (currency ∧ positive → log-diff replacement;
+    otherwise extra diff appended). The DuckDB twin replays the
+    transform, the full ADF chain (shared ``_adf_chain_sql``), the
+    raw-level positivity check, and every branch. Only the
+    multi-round ITERATION CONTROL stays pytest-pinned
+    (tests/test_selection_stationarity.py + the golden repro)."""
+    from .functions.stats import adf_table
+    from .operators.stationarity import (
+        make_quarterly_diffs,
+        stationarity_pipeline,
+    )
+
+    from pyspark.sql import Window as _W
+
+    daily = _daily_events(spark, sf_dir)
+    w = (
+        _W.partitionBy("series_id")
+        .orderBy("obs_date")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    i2 = daily.select(
+        "series_id", "obs_date", F.sum("value").over(w).alias("value")
+    ).select(
+        "series_id", "obs_date", F.sum("value").over(w).alias("value")
+    )
+    res = stationarity_pipeline(
+        i2, currency_series={"click"}, crit=0.05, max_rounds=1,
+        adf_k=0, resample_freq="day",
+    )
+    q1 = make_quarterly_diffs(i2, freq="day")
+    pv = {
+        r["series_id"]: float(r["p_value"])
+        for r in adf_table(q1.dropna(subset=["value"]), k=0).collect()
+    }
+    rows = [
+        (
+            s,
+            round(pv[s], 6),
+            "+".join(res.transforms[s]),
+            int(s in res.still_non_stationary),
+        )
+        for s in sorted(res.transforms)
+    ]
+    return spark.createDataFrame(
+        rows, "series string, p1 double, transform string, flagged int"
+    ).orderBy("series")
 
 
 @query("ml_group_enet_coefs", None)  # oracle generated below
@@ -5315,6 +5428,7 @@ _PRIORITY = [
     "ml_modeltrain_msfe",
     "ml_ar1_coefs",
     "stat_adf_batch",
+    "stat_stationarity_round1",
     "stat_hosking",
     # ANN / embedding stack
     "ann_ivf_top1",
