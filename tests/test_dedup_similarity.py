@@ -399,3 +399,55 @@ def test_connected_components_star_rounds_sublinear(spark):
     assert out2 == out
     assert connected_components.last_rounds == 0
     assert connected_components.last_local_finish
+
+
+def test_connected_components_frees_round_checkpoints(spark):
+    """ADVICE r3: each star round localCheckpoints the contracted edge
+    frame; previous rounds' blocks must be released as the loop
+    advances, not accumulate one persisted RDD per round."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        connected_components,
+    )
+
+    spark.catalog.clearCache()
+
+    def _stored():
+        return {
+            r.id()
+            for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if r.numCachedPartitions() > 0
+        }
+
+    before = _stored()  # earlier tests' final fixpoint frames linger
+    L = 24
+    nodes = spark.createDataFrame([(i,) for i in range(L + 1)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(L)], "id_a long, id_b long"
+    )
+    out = connected_components(nodes, edges, local_finish_rows=0)
+    assert out.count() == L + 1
+    rounds = connected_components.last_rounds
+    assert rounds >= 2  # the path graph needs several star rounds
+    new = _stored() - before
+    # at most the FINAL fixpoint frame may remain (the returned label
+    # plan reads it lazily); every earlier round must have been freed
+    assert len(new) <= 1, sorted(new)
+
+
+def test_connected_components_max_iter_raises(spark):
+    """ADVICE r3: exiting by max_iter before the star fixpoint must
+    fail loudly — labeling mid-flight edges silently splits
+    clusters."""
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        connected_components,
+    )
+
+    L = 24
+    nodes = spark.createDataFrame([(i,) for i in range(L + 1)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(L)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, local_finish_rows=0, max_iter=1)

@@ -241,3 +241,29 @@ def test_png_rejects_corrupt_and_unsupported():
            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="depth=16"):
         decode_png(bad)
+
+
+def test_png_gray_and_gray_alpha_features(spark):
+    """ADVICE r3 (medium): a valid grayscale (color type 0) or
+    gray+alpha (color type 4) PNG must produce an 'ok' feature row —
+    image_features replicates the gray plane to RGB — not an
+    IndexError that fails the Spark task."""
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(6, 5, 1), dtype=np.uint8)
+    graya = rng.integers(0, 256, size=(4, 7, 2), dtype=np.uint8)
+    # local reference: decode → features directly
+    for img in (gray, graya):
+        feats = image_features(decode_png(encode_png(img)))
+        assert len(feats) == 5
+        r, g, b = feats[:3]
+        assert r == pytest.approx(g) and g == pytest.approx(b)
+        want = float(img[:, :, 0].mean()) / 255.0
+        assert feats[3] == pytest.approx(want, rel=1e-6)  # luma == gray mean
+    # through the Spark degrade-never-fail path
+    df = spark.createDataFrame(
+        [(21, bytearray(encode_png(gray))), (22, bytearray(encode_png(graya)))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert out[21].status == "ok" and out[22].status == "ok"
+    assert out[21].kind == "image" and len(out[21].features) == 5

@@ -258,6 +258,9 @@ def lsh_candidate_pairs(
     )
 
 
+_last_shingle_cache: DataFrame | None = None
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -276,9 +279,20 @@ def jaccard_pairs(
     if candidates is not None:
         # both join sides read the shingle frame — persist it so the
         # normalize→shingle→md5 pipeline runs ONCE per doc, not once
-        # per side (linear cache, single reuse; bench/tests clear
-        # cache between queries)
+        # per side. The cache must outlive this call (the returned
+        # plan is lazy), so it cannot be unpersisted here; instead
+        # each call releases the PREVIOUS call's cache, bounding a
+        # long-lived session to one live shingle cache instead of one
+        # per call (ADVICE r3). ``spark.catalog.clearCache()`` also
+        # frees it at any time.
+        global _last_shingle_cache
+        if _last_shingle_cache is not None:
+            try:
+                _last_shingle_cache.unpersist()
+            except Exception:
+                pass
         sh = sh.persist()
+        _last_shingle_cache = sh
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if candidates is not None:
@@ -412,6 +426,8 @@ def connected_components(
             )
         )
 
+    from ..plans.guards import release_local_checkpoint
+
     E = Eraw.distinct().localCheckpoint(eager=True)
 
     def _sig(frame: DataFrame):
@@ -425,6 +441,7 @@ def connected_components(
     sig = _sig(E)
     prev = sig
     rounds = 0
+    at_fixpoint = False
     while sig[0] > threshold and rounds < max_iter:
         rounds += 1
         sym = E.union(
@@ -454,8 +471,13 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         sig = _sig(e2)
+        # e2's blocks are materialized (eager) and no longer read the
+        # previous round's — free those instead of accumulating one
+        # frame per round for the session lifetime (ADVICE r3)
+        release_local_checkpoint(E)
         E = e2
         if sig == prev:
+            at_fixpoint = True  # star fixpoint: edges ARE min-id stars
             break
         prev = sig
     connected_components.last_rounds = rounds  # introspection for tests
@@ -463,9 +485,29 @@ def connected_components(
     if sig[0] <= threshold:
         # a star round contracted the frontier under the ceiling
         labels = _local_finish(E.collect())
-    else:
+        release_local_checkpoint(E)
+    elif at_fixpoint:
+        # converged stars above the ceiling: every edge points src →
+        # component-minimum, so the per-src min IS the final label.
+        # (E stays checkpointed: the labels frame reads it lazily when
+        # the caller executes the returned plan.)
         labels = E.groupBy("src").agg(F.min("dst").alias("comp")).withColumnRenamed(
             "src", "id"
+        )
+    else:
+        # max_iter exhausted before the fixpoint/ceiling: mid-flight
+        # star edges can still hold multi-hop chains, so labeling now
+        # would silently SPLIT clusters (ADVICE r3). Star alternation
+        # converges in O(log n) rounds — hitting 25 means something is
+        # structurally wrong; fail loudly rather than mislabel.
+        release_local_checkpoint(E)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} star rounds (edge signature still moving, "
+            f"{sig[0]:,} edges above the local-finish ceiling of "
+            f"{threshold:,}). Labeling mid-flight would split clusters; "
+            f"raise max_iter (rounds scale as O(log n)) or the "
+            f"SPARK_GRAFT_MAX_DRIVER_ROWS local-finish ceiling."
         )
     return (
         nodes.select(F.col(id_col).alias("id"))

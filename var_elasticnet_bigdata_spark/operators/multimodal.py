@@ -171,8 +171,9 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 def decode_png(payload: bytes) -> np.ndarray:
     """Stdlib PNG decoder (zlib inflate + scanline unfiltering —
     RFC 2083 filters 0-4 including Paeth; VERDICT r2 item 7): 8-bit
-    greyscale / RGB / RGBA, non-interlaced. Returns (h, w, c) uint8
-    with c ∈ {1, 3, 4}. Palette/16-bit/interlaced raise ValueError
+    greyscale / gray+alpha / RGB / RGBA, non-interlaced. Returns
+    (h, w, c) uint8 with c ∈ {1, 2, 3, 4} (color types 0/4/2/6).
+    Palette/16-bit/interlaced raise ValueError
     (callers degrade to a status row, never a task failure)."""
     import struct
     import zlib
@@ -401,8 +402,19 @@ def audio_features(rate: int, samples: np.ndarray) -> list[float]:
 
 
 def image_features(rgb: np.ndarray) -> list[float]:
-    """(mean_r, mean_g, mean_b, luma_mean, luma_std) in [0, 1]."""
-    x = rgb.astype(np.float64) / 255.0
+    """(mean_r, mean_g, mean_b, luma_mean, luma_std) in [0, 1].
+
+    Accepts every channel count the decoders emit — 1 (gray),
+    2 (gray+alpha, PNG color type 4), 3 (RGB), 4 (RGBA): the gray
+    plane is replicated to RGB and alpha is dropped, so a valid
+    grayscale PNG degrades to identical R=G=B means instead of an
+    IndexError escaping ``extract_media_features``'s degrade path
+    (ADVICE r3, medium)."""
+    x = np.asarray(rgb, dtype=np.float64) / 255.0
+    if x.ndim == 2:
+        x = x[:, :, None]
+    if x.shape[2] <= 2:  # gray / gray+alpha → replicate, drop alpha
+        x = np.repeat(x[:, :, :1], 3, axis=2)
     luma = 0.2126 * x[:, :, 0] + 0.7152 * x[:, :, 1] + 0.0722 * x[:, :, 2]
     return [
         float(x[:, :, 0].mean()),
@@ -448,7 +460,9 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id") -> DataFrame
                     rows.append((rid, kind, "ok", feats))
                 except NotImplementedError:
                     rows.append((rid, "unknown", "codec_unavailable", None))
-                except (ValueError, TypeError) as e:
+                except (ValueError, TypeError, IndexError) as e:
+                    # IndexError belt-and-braces: a decoder emitting an
+                    # unexpected shape must degrade, not fail the task
                     rows.append((rid, "unknown", f"undecodable: {e}", None))
             yield pd.DataFrame(
                 rows, columns=[idc, "kind", "status", "features"]

@@ -51,3 +51,23 @@ def guard_driver_collect(
             f"frontiers; at this size use {scale_path}, or raise "
             f"SPARK_GRAFT_MAX_DRIVER_ROWS explicitly."
         )
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor-storage blocks behind a ``localCheckpoint``-ed
+    DataFrame (ADVICE r3: iterative operators that checkpoint each
+    round would otherwise accumulate every round's blocks for the
+    session lifetime — ``DataFrame.unpersist()`` is a no-op for
+    checkpoint blocks because they bypass the cache manager).
+
+    The frame's analyzed plan is a ``LogicalRDD`` holding the
+    checkpointed RDD; unpersisting THAT RDD drops its blocks. The
+    frame must not be read again afterwards (the blocks are gone, by
+    design). Best-effort: any reflection failure on a future Spark
+    version degrades to the old keep-until-session-end behavior
+    rather than breaking the operator.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - version-drift fallback
+        pass
