@@ -258,19 +258,29 @@ def _tune_cells_distributed(
         F.col(date_col).alias("__d"),
         *[F.col(f"`{c}`").alias(f"c{i}") for i, c in enumerate(cols)],
     )
-    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
-    # prefix moments: sums + upper-triangle raw inner products. The
-    # single global window is the time-axis frontier — the same shape
-    # ar1_rolling_relational documents as the 100 TB-safe pattern.
+    # rn is assigned ONCE, with every value column as tie-breaker
+    # behind the date: duplicate timestamps would otherwise leave the
+    # tie order unspecified, and emb/prefix each re-deriving rn could
+    # disagree and silently misalign test rows with origin moments
+    # (ADVICE r3). Full-row ties that remain are interchangeable — the
+    # cumulative moments and test arrays are identical either way.
+    rn = F.row_number().over(
+        Window.orderBy("__d", *[f"c{i}" for i in range(len(cols))])
+    )
+    base = flat.select(rn.alias("rn"), "*").drop("__d")
+    # prefix moments: sums + upper-triangle raw inner products over
+    # the now-unique rn order. The single global window is the
+    # time-axis frontier — the same shape ar1_rolling_relational
+    # documents as the 100 TB-safe pattern.
+    w = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
     mom_cols = [F.sum(f"c{i}").over(w).alias(f"s{i}") for i in range(len(cols))]
     mom_cols += [
         F.sum(F.col(f"c{i}") * F.col(f"c{j}")).over(w).alias(f"p{i}_{j}")
         for i in range(len(cols))
         for j in range(i, len(cols))
     ]
-    rn = F.row_number().over(Window.orderBy("__d"))
-    emb = flat.select(rn.alias("rn"), "*").drop("__d")
-    prefix = flat.select(rn.alias("rn"), *mom_cols)
+    emb = base
+    prefix = base.select("rn", *mom_cols)
     n_emb = emb.count()
     origins = prefix.filter(
         (F.col("rn") >= init_window) & (F.col("rn") <= n_emb - horizon)

@@ -4699,13 +4699,19 @@ ORACLE["ml_pacf_blocked"] = _pacf_blocked_oracle_sql()
                AS s),
     dm AS (SELECT mm.md / sqrt(d.s/mm.P) AS stat FROM mm, dms d),
     -- normal upper tail via the erf Taylor series (DuckDB has no
-    -- erf): P(Z>x) = 0.5·(1 − erf(x/√2)), 60 terms ≡ erfc to ~1e-11
+    -- erf): P(Z>x) = 0.5·(1 − erf(x/√2)). The alternating series is
+    -- only numerically trustworthy for small arguments (by |x| ≳ 5·√2
+    -- intermediate terms hit ~1e13 and cancellation exceeds the 6-dp
+    -- gate, ADVICE r3) — so clamp to 0 when |stat| > 6, where the true
+    -- tail is < 1e-9 and rounds to 0 at 6 dp anyway; inside the clamp
+    -- 60 terms agree with erfc to ~1e-11
     dmp AS (
-      SELECT GREATEST(0.0, 0.5*(1.0 - (2.0/sqrt(pi())) * (
-        SELECT SUM(POW(-1.0, n.range)
-                   * POW(abs(dm.stat)/sqrt(2.0), 2*n.range + 1)
-                   / (gamma(n.range + 1.0) * (2*n.range + 1)))
-        FROM range(0, 60) n))) AS p
+      SELECT CASE WHEN abs(dm.stat) > 6.0 THEN 0.0
+             ELSE GREATEST(0.0, 0.5*(1.0 - (2.0/sqrt(pi())) * (
+               SELECT SUM(POW(-1.0, n.range)
+                          * POW(abs(dm.stat)/sqrt(2.0), 2*n.range + 1)
+                          / (gamma(n.range + 1.0) * (2*n.range + 1)))
+               FROM range(0, 60) n))) END AS p
       FROM dm)
     SELECT 'cw_stat' AS metric, ROUND(stat, 6) AS value FROM cw
     UNION ALL
