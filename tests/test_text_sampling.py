@@ -333,3 +333,78 @@ def test_temperature_sample_flattens_mixture(spark):
     assert again == k400
     # target above corpus size keeps everything (rate caps at 1)
     assert temperature_sample(df, "source", "doc_id", 10_000).count() == 1000
+
+
+def test_mixture_sample_composition_and_errors(spark):
+    from var_elasticnet_bigdata_spark.operators.split import mixture_sample
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "a", 10) for i in range(600)]
+        + [(i, "b", 10) for i in range(600, 900)]
+        + [(i, "c", 10) for i in range(900, 1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    # target 50/50 over a,b with equal row sizes: b (300 rows) binds →
+    # T = 600 units, expect ~300 from each; c is dropped (weight 0)
+    kept = mixture_sample(df, "source", "doc_id", {"a": 0.5, "b": 0.5},
+                          size_col="n_tok")
+    by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert "c" not in by
+    assert by["b"] == 300  # binding source keeps every row (rate 1)
+    assert abs(by["a"] - 300) < 60  # expected 300 of 600 at rate 0.5
+    # determinism
+    again = {r["source"]: r["n"] for r in
+             mixture_sample(df, "source", "doc_id", {"a": 0.5, "b": 0.5},
+                            size_col="n_tok")
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == by
+    # row-count weighting (no size_col) gives the same shape here
+    kept2 = mixture_sample(df, "source", "doc_id", {"a": 1, "b": 1})
+    assert kept2.groupBy("source").count().count() == 2
+    # weighted source absent from the data → loud, not empty
+    with _pytest.raises(ValueError, match="absent"):
+        mixture_sample(df, "source", "doc_id", {"a": 0.5, "zz": 0.5})
+    with _pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "source", "doc_id", {"a": 0.0, "b": 1.0})
+    with _pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, "source", "doc_id", {})
+
+
+def test_line_dedup_known_boilerplate(spark):
+    from var_elasticnet_bigdata_spark.operators.text import line_dedup
+
+    # seg_len=2 segments; 'x y' appears in docs 1,2,3 → boilerplate;
+    # everything else unique. doc 4 is ONLY boilerplate; doc 5 empty.
+    df = spark.createDataFrame(
+        [
+            (1, "x y a b"),
+            (2, "x y c d"),
+            (3, "p q x y"),
+            (4, "x y"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(df, seg_len=2, min_docs=2).collect()}
+    assert len(out) == 5
+    assert (out[1].n_segments, out[1].n_kept, out[1].cleaned_text) == (2, 1, "a b")
+    assert out[2].cleaned_text == "c d"
+    assert out[3].cleaned_text == "p q"  # order preserved, position 2 dropped
+    assert (out[4].n_kept, out[4].cleaned_text) == (0, "")
+    assert (out[5].n_segments, out[5].n_kept, out[5].cleaned_text) == (0, 0, "")
+    # min_docs=5: 'x y' is in only 4 docs → all text kept verbatim
+    out4 = {r.doc_id: r for r in line_dedup(df, seg_len=2, min_docs=5).collect()}
+    assert out4[1].cleaned_text == "x y a b"
+    # ragged tail forms its own short segment (and a SHARED tail
+    # segment is itself boilerplate)
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "z z c"), (3, "q r s")], "doc_id long, text string"
+    )
+    o2 = {r.doc_id: r for r in line_dedup(df2, seg_len=2, min_docs=2).collect()}
+    assert o2[1].n_segments == 2
+    assert o2[1].cleaned_text == "a b"  # shared tail 'c' dropped
+    assert o2[3].cleaned_text == "q r s"  # fully unique doc intact

@@ -333,3 +333,110 @@ def duck_temperature_sample_sql(
         WHERE CAST(('0x' || substr(md5('{salt}:' || CAST(t.{id_col} AS VARCHAR)), 1, 4)) AS INT)
               < CAST(round(r.rate * 65536) AS INT)
     """
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    size_col: str | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample to an EXPLICIT target mixture — the domain-reweighting
+    recipe when the mixture comes from a spec (DoReMi-style weights, a
+    product requirement) rather than a temperature rule
+    (``temperature_sample``): given target weights ``w_s`` over
+    sources, emit the LARGEST corpus whose composition matches ``w``,
+    i.e. total ``T = min_s size_s / w_s`` and per-source keep-rate
+    ``w_s · T / size_s`` (rate 1 for the binding source; no source is
+    oversampled — this engine does not duplicate rows).
+
+    ``size_col`` weighs sources by its sum (e.g. token counts — the
+    budget unit that matters for training mixtures) instead of row
+    counts; rows of a source then keep/drop together at the source's
+    rate, so the EXPECTED output composition matches ``w`` in
+    ``size_col`` units.
+
+    Deterministic and fully distributed, like every sampler here: the
+    per-source sizes are one partial-aggregated shuffle, rates join
+    back as a broadcast, and inclusion is the salted-md5 bucket rule
+    (stable across runs/engines/backfills; rates quantize to
+    1/65536). Sources absent from ``weights`` are dropped (weight 0);
+    a weighted source ABSENT from the data makes the mixture
+    infeasible and raises rather than silently returning an empty
+    frame.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    tot = sum(weights.values())
+    norm = {k: w / tot for k, w in weights.items()}
+    wdf = df.sparkSession.createDataFrame(
+        [(k, w) for k, w in sorted(norm.items())], f"{source_col} string, __wt double"
+    )
+    size = F.sum(size_col).cast("double") if size_col else F.count(F.lit(1)).cast("double")
+    sizes = df.groupBy(source_col).agg(size.alias("__sz"))
+    # anti-join build side must be the right: broadcast the (post-agg,
+    # #sources-sized) size frame, not the weight literals
+    present = {
+        r[source_col]
+        for r in wdf.join(F.broadcast(sizes), source_col, "left_anti").collect()
+    }
+    if present:
+        raise ValueError(
+            f"weighted sources absent from data (mixture infeasible): "
+            f"{sorted(present)}"
+        )
+    t_total = (
+        sizes.join(F.broadcast(wdf), source_col)
+        .agg(F.min(F.col("__sz") / F.col("__wt")).alias("__t"))
+    )
+    rates = (
+        sizes.join(F.broadcast(wdf), source_col)
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0), F.col("__wt") * F.col("__t") / F.col("__sz")
+            ).alias("__rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            _bucket16_expr(id_col, salt)
+            < F.round(F.col("__rate") * 65536).cast("int")
+        )
+        .drop("__rate")
+    )
+
+
+def duck_mixture_sample_sql(
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    size_col: str | None = None,
+    salt: str = "mix",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``mixture_sample`` (identical sizes → feasible
+    total → quantized rates → salted-bucket predicate)."""
+    tot = sum(weights.values())
+    vals = ", ".join(
+        f"('{k}', {w / tot!r})" for k, w in sorted(weights.items())
+    )
+    size = f"SUM({size_col})" if size_col else "COUNT(*)"
+    return f"""
+        WITH wt({source_col}, w) AS (VALUES {vals}),
+        sz AS (SELECT {source_col}, CAST({size} AS DOUBLE) AS sz
+               FROM {table} GROUP BY 1),
+        tt AS (SELECT MIN(sz.sz / wt.w) AS t FROM sz JOIN wt USING ({source_col})),
+        r AS (SELECT {source_col}, LEAST(1.0, wt.w * tt.t / sz.sz) AS rate
+              FROM sz JOIN wt USING ({source_col}), tt)
+        SELECT t.{id_col}, t.{source_col}
+        FROM {table} t JOIN r USING ({source_col})
+        WHERE CAST(('0x' || substr(md5('{salt}:' || CAST(t.{id_col} AS VARCHAR)), 1, 4)) AS INT)
+              < CAST(round(r.rate * 65536) AS INT)
+    """

@@ -456,3 +456,135 @@ def duck_regex_token_sql(
                md5(array_to_string(t, ' ')) AS tok_key
         FROM (SELECT {id_col}, {toks} AS t FROM {table})
     """
+
+
+# ---------------------------------------------------------------------------
+# segment-level boilerplate dedup (CCNet/RefinedWeb line-dedup shape)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    seg_len: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate removal, the line-dedup stage of
+    CCNet/C4-style curation: drop every text SEGMENT that occurs in
+    ``min_docs``-or-more distinct documents, keep the rest of each
+    document in order. Real corpora segment on newlines; the testdata
+    has none, so segments are fixed ``seg_len``-word windows — the
+    mechanics (segment → hash → global doc-frequency → filter →
+    reassemble) are identical.
+
+    Scale shape: normalize/split/segment is narrow; the segment
+    doc-frequency is one partial-aggregated shuffle on the md5
+    segment key (uniform ⇒ skew-free); boilerplate keys join back as
+    a left-anti hash join on that same key; the per-doc reassembly is
+    one more hash shuffle on ``id_col`` with an in-group
+    ``array_sort`` (positions are within-doc, never a global sort).
+    No driver materialization, no doc×doc comparison — at 100 TB this
+    is the standard two-shuffle dedup cascade.
+
+    Returns one row per input document:
+    ``(id_col, n_segments, n_kept, cleaned_text)`` (``cleaned_text``
+    is '' when every segment was boilerplate).
+    """
+    if seg_len <= 0:
+        raise ValueError(f"seg_len must be positive: {seg_len}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    from .dedup import norm_sql_spark
+
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    n_segs = f"greatest(cast(ceil(size(__w) / cast({seg_len} as double)) as int), 0)"
+    segs = (
+        df.withColumn("__w", F.expr(words))
+        # struct-typed lambda child: keeps InferFiltersFromGenerate
+        # from re-inlining the normalize/split pipeline into a
+        # scan-level filter (see operators/dedup.py)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    # slice-to-n: sequence(1, 0) would DESCEND ([1, 0]),
+                    # so an empty doc needs the guard, not a bare
+                    # sequence(1, n)
+                    f"transform(slice(sequence(1, greatest({n_segs}, 1)), 1, {n_segs}),"
+                    f" i -> struct(i AS pos, concat_ws(' ',"
+                    f" slice(__w, (i - 1) * {seg_len} + 1, {seg_len})) AS seg))"
+                )
+            ).alias("s"),
+        )
+        .select(id_col, F.col("s.pos").alias("pos"), F.md5(F.col("s.seg")).alias("sk"), F.col("s.seg").alias("seg"))
+    )
+    boiler = (
+        segs.groupBy("sk")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("sk")
+    )
+    # mark-then-regroup instead of anti-join + separate totals: ONE
+    # pass over the segment frame and one per-doc shuffle computes
+    # totals, kept counts, and the ordered reassembly together
+    # (collect_list skips the NULLed-out boilerplate structs); the
+    # boilerplate key set joins in by size — AQE broadcasts it when
+    # small, sort-merges when a pathological corpus makes it large
+    flagged = segs.join(boiler.withColumn("__b", F.lit(1)), "sk", "left")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("__b").isNull(), 1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list("
+                "CASE WHEN __b IS NULL THEN struct(pos, seg) END)), x -> x.seg)"
+            ),
+        ).alias("cleaned_text"),
+    )
+    base = df.select(id_col).distinct()
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
+def duck_line_dedup_sql(
+    seg_len: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``line_dedup`` (same segmentation, same
+    doc-frequency rule, ordered reassembly via ``string_agg``)."""
+    from .dedup import NORM_SQL_DUCK
+
+    return f"""
+        WITH w AS (
+          SELECT {id_col},
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '), x -> x <> '') AS toks
+          FROM {table}),
+        s AS (
+          SELECT {id_col}, CAST(t.i AS INT) AS pos,
+                 array_to_string(list_slice(toks, (t.i - 1) * {seg_len} + 1,
+                                            t.i * {seg_len}), ' ') AS seg
+          FROM w, UNNEST(range(1, 1 + greatest(CAST(ceil(len(toks) / CAST({seg_len} AS DOUBLE)) AS BIGINT), 0))) AS t(i)),
+        b AS (
+          SELECT md5(seg) AS sk FROM s
+          GROUP BY 1 HAVING COUNT(DISTINCT {id_col}) >= {min_docs}),
+        k AS (
+          SELECT {id_col}, COUNT(*) AS n_kept,
+                 string_agg(seg, ' ' ORDER BY pos) AS cleaned_text
+          FROM s WHERE md5(seg) NOT IN (SELECT sk FROM b)
+          GROUP BY 1),
+        tot AS (SELECT {id_col}, COUNT(*) AS n_segments FROM s GROUP BY 1)
+        SELECT d.{id_col},
+               CAST(COALESCE(tot.n_segments, 0) AS INT) AS n_segments,
+               CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept,
+               COALESCE(k.cleaned_text, '') AS cleaned_text
+        FROM (SELECT DISTINCT {id_col} FROM {table}) d
+        LEFT JOIN tot USING ({id_col}) LEFT JOIN k USING ({id_col})
+    """

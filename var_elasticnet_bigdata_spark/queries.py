@@ -5173,6 +5173,65 @@ def _register_temperature_oracle() -> None:
 _register_temperature_oracle()
 
 
+@query("sample_domain_mix", None)  # oracle registered below
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-target domain-mixture resampling
+    (`operators/split.mixture_sample`): given spec weights over
+    sources (the DoReMi-style reweighting case, vs
+    ``sample_temperature``'s count-derived rule), emit the largest
+    corpus matching the mixture — feasible total ``T = min_s
+    size_s/w_s`` with sources weighed by their TOKEN sums (n_chars
+    here), per-source rate ``w_s·T/size_s``, membership by salted md5
+    bucket. One size aggregate, rates broadcast back, no driver
+    collect in the data path. The hash gate pins exact per-doc
+    membership (sizes → feasible total → quantized rates → bucket
+    predicate replayed in DuckDB)."""
+    from .operators.split import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"src1": 0.3, "src2": 0.2, "src3": 0.2, "src4": 0.15, "src5": 0.15}
+    return mixture_sample(
+        docs, "source", "doc_id", w, size_col="n_chars"
+    ).select("doc_id", "source")
+
+
+def _register_mixture_oracle() -> None:
+    from .operators.split import duck_mixture_sample_sql
+
+    w = {"src1": 0.3, "src2": 0.2, "src3": 0.2, "src4": 0.15, "src5": 0.15}
+    ORACLE["sample_domain_mix"] = duck_mixture_sample_sql(
+        "source", "doc_id", w, size_col="n_chars"
+    )
+
+
+_register_mixture_oracle()
+
+
+@query("text_line_dedup", None)  # oracle registered below
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal
+    (`operators/text.line_dedup`, the CCNet/C4 line-dedup stage):
+    segments occurring in ≥2 distinct documents are dropped from
+    every document, the remainder reassembled in order. Two uniform
+    hash shuffles (segment doc-frequency, per-doc regroup) + one
+    left-anti hash join — never doc×doc. The hash gate replays
+    segmentation, doc-frequency, filtering, and ordered reassembly
+    in DuckDB and compares the cleaned text byte-for-byte."""
+    from .operators.text import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup(docs, seg_len=5, min_docs=2)
+
+
+def _register_line_dedup_oracle() -> None:
+    from .operators.text import duck_line_dedup_sql
+
+    ORACLE["text_line_dedup"] = duck_line_dedup_sql(seg_len=5, min_docs=2)
+
+
+_register_line_dedup_oracle()
+
+
 @query(
     "a7_incremental_rollup",
     """
@@ -5458,6 +5517,9 @@ _PRIORITY = [
     "sample_temperature",
     "pipeline_training_data",
     "pipeline_corpus_curation",
+    # round-4 additions: newest queries carry the most gate risk
+    "sample_domain_mix",
+    "text_line_dedup",
     "a7_incremental_rollup",
     "j6_local_supplier_volume",
 ]
