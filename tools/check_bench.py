@@ -29,19 +29,35 @@ FLOOR_SEC = 1.0
 
 def load_bench(path: str) -> dict:
     raw = open(path).read()
-    # driver BENCH files wrap the JSON line in a "tail" field; accept both
+    # bench.py emits TWO JSON lines since r4 (full then compact, so the
+    # driver's stdout-tail window always holds a parseable one); driver
+    # BENCH files wrap lines in a "tail" field. Accept all forms and
+    # prefer the candidate with the MOST per-query entries.
+    candidates: list[dict] = []
+
+    def consider(doc) -> None:
+        if isinstance(doc, dict):
+            if "queries" in doc:
+                candidates.append(doc)
+            if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+                candidates.append(doc["parsed"])
+            for m in re.findall(r'\{"metric".*?\}\}', doc.get("tail", "") or ""):
+                try:
+                    consider(json.loads(m))
+                except json.JSONDecodeError:
+                    pass
+
     try:
-        doc = json.loads(raw)
+        consider(json.loads(raw))
     except json.JSONDecodeError:
-        doc = json.loads(re.findall(r"\{.*\}", raw)[-1])
-    if "queries" in doc:
-        return doc
-    if "parsed" in doc and "queries" in doc["parsed"]:
-        return doc["parsed"]
-    m = re.findall(r'\{"metric".*?\}\}', doc.get("tail", ""))
-    if m:
-        return json.loads(m[-1])
-    raise SystemExit(f"no bench queries found in {path}")
+        for m in re.findall(r"\{.*\}", raw):
+            try:
+                consider(json.loads(m))
+            except json.JSONDecodeError:
+                pass
+    if not candidates:
+        raise SystemExit(f"no bench queries found in {path}")
+    return max(candidates, key=lambda d: len(d.get("queries", {})))
 
 
 def main() -> int:
