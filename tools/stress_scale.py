@@ -1,0 +1,103 @@
+"""Scale-growth stress harness: replicate the sf0.1 corpus K× into a
+scratch dir and measure per-query wall-clock growth for the
+data-sensitive text/dedup/ANN family (the SCALING.md "measured 10×
+growth" table).
+
+The replica duplicates every document/embedding K times with shifted
+ids — deliberately a heavy-duplication stress: each doc gains K−1
+exact copies, so near-dup operators see a quadratic-in-K pair load on
+top of the K× scan load. Dimension/fact tables are copied unchanged.
+
+    python tools/stress_scale.py            # K=10, family below
+    python tools/stress_scale.py 4          # K=4
+    python tools/stress_scale.py 10 text_lang_id dedup_simhash
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/spark_graft_stress"
+ID_STRIDE = 100_000_000  # far above any testdata id
+
+FAMILY = [
+    "dedup_exact", "dedup_minhash_signature", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_components", "text_lang_id",
+    "text_quality_score", "text_line_dedup", "sample_domain_mix",
+    "split_contamination", "text_pack_sequences", "ann_top1_cosine",
+    "ann_ivf_fixed", "pipeline_corpus_curation", "pipeline_training_data",
+]
+
+
+def build_replica(k: int) -> str:
+    import duckdb
+
+    out = f"{SCRATCH}/x{k}"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT doc_id + {ID_STRIDE} * r AS doc_id, text, lang, source, n_chars
+              FROM '{SRC}/documents.parquet', range(0, {k}) t(r))
+        TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT vec_id + {ID_STRIDE} * r AS vec_id, embedding, label
+              FROM '{SRC}/embeddings.parquet', range(0, {k}) t(r))
+        TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    family = sys.argv[2:] or FAMILY
+
+    from var_elasticnet_bigdata_spark import queries as Q
+    from var_elasticnet_bigdata_spark.session import get_spark
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    replica = build_replica(k)
+    spark = get_spark("stress-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(sf_dir: str) -> dict[str, float]:
+        # warm Arrow worker pools + table page cache, untimed
+        spark.createDataFrame([(1,)], "x int").mapInPandas(
+            lambda it: it, "x int"
+        ).count()
+        tiny = spark.createDataFrame([(1, 1.0)], "k int, v double")
+        tiny.groupBy("k").cogroup(tiny.groupBy("k")).applyInPandas(
+            lambda a, b: a, "k int, v double"
+        ).count()
+        for t in ("documents", "embeddings"):
+            load_table(spark, sf_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        out: dict[str, float] = {}
+        for name in family:
+            t0 = time.time()
+            Q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+        return out
+
+    base = run(SRC)
+    big = run(replica)
+    print(json.dumps({"k": k, "base": base, f"x{k}": big}))
+    for name in family:
+        g = big[name] / max(base[name], 0.01)
+        print(f"{name:28s} {base[name]:7.2f} -> {big[name]:7.2f}  ({g:.1f}x)")
+
+
+if __name__ == "__main__":
+    main()
