@@ -451,3 +451,37 @@ def test_connected_components_max_iter_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, local_finish_rows=0, max_iter=1)
+
+
+def test_lsh_hot_bucket_star_pairing(spark):
+    """Buckets above ``star_over`` must emit O(d) star pairs (every
+    member against the bucket min), not O(d²) all-pairs — the
+    mega-duplicate-cluster guard — while small buckets keep exact
+    all-pairs candidates."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 40 identical docs → every band buckets all 40 together
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate page text repeated") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    starred = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2, star_over=10)
+    rows = starred.collect()
+    assert len(rows) == 39  # star: min id pairs with each other member
+    assert all(r.id_a == 0 for r in rows)
+    # connectivity is preserved: components still form ONE cluster
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(docs.select("doc_id"), starred)
+    assert {r.component for r in comp.collect()} == {0}
+    # below the cap (and with the cap disabled): exact all-pairs
+    full = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2, star_over=None)
+    assert full.count() == 40 * 39 // 2
+    cap_high = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2, star_over=64)
+    assert cap_high.count() == 40 * 39 // 2

@@ -206,6 +206,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     num_hashes: int = 16,
+    star_over: int | None = 1024,
 ) -> DataFrame:
     """Band the signature, bucket-join within (band_idx, band_hash):
     the candidate generation step of MinHash-LSH. Returns distinct
@@ -215,7 +216,21 @@ def lsh_candidate_pairs(
     that overruns it makes ``slice`` return an EMPTY array for the
     overflow bands, so every document shares band_hash md5('') and
     the bucket join degenerates into an all-pairs cross product with
-    100% false candidates."""
+    100% false candidates.
+
+    ``star_over``: buckets larger than this emit STAR pairs (every
+    member against the bucket minimum) instead of all pairs. In-bucket
+    expansion is O(d²) per bucket in one task — web-scale corpora
+    carry mega-duplicate clusters (boilerplate pages duplicated 10⁵+
+    times) whose single bucket would otherwise materialize billions
+    of pairs and OOM the executor. Star pairing keeps O(d) pairs and
+    preserves exactly what downstream consumers need: every true
+    duplicate still pairs with (and Jaccard-verifies against) the
+    cluster representative, so drop-higher-id survivorship and
+    connected components reach the same clusters. Pass ``None`` for
+    the unconditional all-pairs behavior (the bench/oracle queries
+    pin caps far above their data so the candidate set is unchanged).
+    """
     if bands * rows_per_band > num_hashes:
         raise ValueError(
             f"bands*rows_per_band = {bands * rows_per_band} overruns the "
@@ -243,16 +258,24 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
+    all_pairs = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS id_a, y AS id_b))))"
+    )
+    if star_over is not None:
+        star = (
+            "transform(slice(ids, 2, size(ids) - 1),"
+            " y -> struct(ids[0] AS id_a, y AS id_b))"
         )
+        pair_expr = (
+            f"CASE WHEN size(ids) > {int(star_over)}"
+            f" THEN {star} ELSE {all_pairs} END"
+        )
+    else:
+        pair_expr = all_pairs
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
