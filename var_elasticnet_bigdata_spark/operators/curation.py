@@ -115,16 +115,13 @@ def curate_corpus(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    # shared hot-bucket guard: post-exact-dedup buckets are usually
+    # tiny, but boilerplate-heavy corpora can still form huge near-dup
+    # families — star-cap the expansion like lsh_candidate_pairs
+    from .dedup import bucket_pair_expr
+
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(F.expr(bucket_pair_expr(1024))).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )

@@ -258,26 +258,32 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    return (
+        buckets.select(F.explode(F.expr(bucket_pair_expr(star_over))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def bucket_pair_expr(star_over: int | None) -> str:
+    """In-bucket candidate expansion over a sorted ``ids`` array
+    column: all-pairs below ``star_over``, star pairs (each member vs
+    the bucket minimum) above it — the mega-duplicate-cluster guard
+    shared by ``lsh_candidate_pairs`` and ``curation.curate_corpus``."""
     all_pairs = (
         "flatten(transform(ids, (x, i) ->"
         " transform(slice(ids, i + 2, size(ids)),"
         " y -> struct(x AS id_a, y AS id_b))))"
     )
-    if star_over is not None:
-        star = (
-            "transform(slice(ids, 2, size(ids) - 1),"
-            " y -> struct(ids[0] AS id_a, y AS id_b))"
-        )
-        pair_expr = (
-            f"CASE WHEN size(ids) > {int(star_over)}"
-            f" THEN {star} ELSE {all_pairs} END"
-        )
-    else:
-        pair_expr = all_pairs
+    if star_over is None:
+        return all_pairs
+    star = (
+        "transform(slice(ids, 2, size(ids) - 1),"
+        " y -> struct(ids[0] AS id_a, y AS id_b))"
+    )
     return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+        f"CASE WHEN size(ids) > {int(star_over)}"
+        f" THEN {star} ELSE {all_pairs} END"
     )
 
 
