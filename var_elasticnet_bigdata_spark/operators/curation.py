@@ -253,3 +253,65 @@ def training_pipeline(
         None,
         ["doc_id"],
     )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.55,
+    min_tokens: int = 15,
+    seg_len: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate-removal curation composition (the C4/CCNet order:
+    filter junk, collapse exact copies, THEN line-dedup the
+    survivors so boilerplate frequency is counted once per unique
+    page): quality+length filter → exact dedup (min-id survivor per
+    content key) → segment-level line dedup → per-doc cleanliness
+    accounting. Returns ``(doc_id, lang, n_segments, n_kept,
+    n_tokens_clean, kept_ratio)``.
+
+    Scale shape: the filter/dedup prelude is one hash shuffle on the
+    md5 content key; `line_dedup` adds its two uniform shuffles; the
+    final lang join rides the per-doc key. Nothing doc×doc, nothing
+    driver-side.
+    """
+    from .text import line_dedup
+
+    staged = (
+        docs.withColumn("__norm", normalized_text())
+        .withColumn("__words", F.split(F.col("__norm"), " "))
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("__words").alias("n_tokens"),
+        F.expr(quality_sql_spark("__norm", "__words")).alias("quality"),
+        F.md5(F.col("__norm")).alias("ck"),
+    )
+    filt = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    w = Window.partitionBy("ck")
+    surv = (
+        filt.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .select("doc_id", "lang", "text")
+    )
+    clean = line_dedup(surv, seg_len=seg_len, min_docs=min_docs)
+    return (
+        surv.select("doc_id", "lang")
+        .join(clean, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_segments",
+            "n_kept",
+            F.size(
+                F.expr("filter(split(cleaned_text, ' '), w -> w <> '')")
+            ).alias("n_tokens_clean"),
+            F.round(
+                F.col("n_kept") / F.col("n_segments"), 6
+            ).alias("kept_ratio"),
+        )
+    )

@@ -5232,6 +5232,69 @@ def _register_line_dedup_oracle() -> None:
 _register_line_dedup_oracle()
 
 
+@query("pipeline_clean_corpus", None)  # oracle registered below
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-removal curation composition
+    (`operators/curation.clean_corpus`, the C4/CCNet stage order):
+    quality+length filter → exact dedup (min-id survivor per content
+    key) → segment-level line dedup over the survivors → per-doc
+    cleanliness accounting. The DuckDB twin replays every stage —
+    scoring, survivor selection, segment doc-frequency, ordered
+    token accounting — in one CTE chain."""
+    from .operators.curation import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs, min_quality=0.55, min_tokens=15,
+                        seg_len=5, min_docs=2)
+
+
+def _register_clean_corpus_oracle() -> None:
+    from .operators.dedup import NORM_SQL_DUCK
+    from .operators.text import QUALITY_SQL_DUCK
+
+    ORACLE["pipeline_clean_corpus"] = f"""
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+                 len(string_split({NORM_SQL_DUCK}, ' ')) AS n_tokens,
+                 {QUALITY_SQL_DUCK} AS quality,
+                 md5({NORM_SQL_DUCK}) AS ck
+          FROM documents),
+        filt AS (SELECT * FROM scored
+                 WHERE quality >= 0.55 AND n_tokens >= 15),
+        winners AS (SELECT ck, MIN(doc_id) AS doc_id FROM filt GROUP BY ck),
+        surv AS (SELECT f.doc_id, f.lang, f.text FROM filt f
+                 JOIN winners w ON f.ck = w.ck AND f.doc_id = w.doc_id),
+        wq AS (
+          SELECT doc_id,
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '), x -> x <> '') AS toks
+          FROM surv),
+        seg AS (
+          SELECT doc_id, CAST(t.i AS INT) AS pos,
+                 array_to_string(list_slice(toks, (t.i - 1) * 5 + 1,
+                                            t.i * 5), ' ') AS seg
+          FROM wq, UNNEST(range(1, 1 + greatest(CAST(ceil(len(toks) / 5.0) AS BIGINT), 0))) AS t(i)),
+        boiler AS (
+          SELECT md5(seg) AS sk FROM seg
+          GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        k AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 SUM(len(string_split(seg, ' '))) AS n_tok
+          FROM seg WHERE md5(seg) NOT IN (SELECT sk FROM boiler)
+          GROUP BY 1),
+        tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY 1)
+        SELECT s.doc_id, s.lang,
+               CAST(tot.n_segments AS INT) AS n_segments,
+               CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept,
+               CAST(COALESCE(k.n_tok, 0) AS INT) AS n_tokens_clean,
+               ROUND(COALESCE(k.n_kept, 0) / CAST(tot.n_segments AS DOUBLE), 6)
+                 AS kept_ratio
+        FROM surv s JOIN tot USING (doc_id) LEFT JOIN k USING (doc_id)
+    """
+
+
+_register_clean_corpus_oracle()
+
+
 @query(
     "a7_incremental_rollup",
     """
@@ -5520,6 +5583,7 @@ _PRIORITY = [
     # round-4 additions: newest queries carry the most gate risk
     "sample_domain_mix",
     "text_line_dedup",
+    "pipeline_clean_corpus",
     "a7_incremental_rollup",
     "j6_local_supplier_volume",
 ]
