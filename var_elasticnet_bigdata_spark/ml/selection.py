@@ -192,20 +192,19 @@ def pacf_var_selection(
     ``ind <- (i+1)*4-1`` fallback indexes past the frame otherwise —
     the 147-column SW frame is 4·36+3); we raise the same way."""
     if faithful_blocked:
-        from ..plans.guards import guard_driver_collect
+        from ..plans.guards import guarded_topandas
 
         pivoted = (
             df.groupBy(date_col)
             .pivot(series_col)
             .agg(F.first(value_col))
         )
-        guard_driver_collect(
-            pivoted,
+        wide = guarded_topandas(
+            pivoted.orderBy(date_col),
             "pacf_var_selection(faithful_blocked=True) wide frame",
             "pacf_var_selection(faithful_blocked=False) — the "
             "distributed one-pass acf_table path",
         )
-        wide = pivoted.orderBy(date_col).toPandas()
         names = column_order or [
             target,
             *sorted(c for c in wide.columns if c not in (date_col, target)),

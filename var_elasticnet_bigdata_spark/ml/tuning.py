@@ -144,22 +144,15 @@ def rolling_origin_tune(
             horizon, alpha_grid, lambda_sorted, intercept, date_col,
         )
         return _best_from_scores(series, alpha_grid, lambda_sorted, scores)
-    embedded = vz.df.filter(cond).select(
-        *[F.col(f"`{c}`") for c in [*z_cols, *series]]
-    )
-    from ..plans.guards import guard_driver_collect
+    from ..plans.guards import guarded_topandas
 
-    guard_driver_collect(
-        embedded,
+    pdf = guarded_topandas(
+        vz.df.filter(cond)
+        .orderBy(date_col)
+        .select(*[F.col(f"`{c}`") for c in [*z_cols, *series]]),
         "rolling_origin_tune's embedded estimation frame",
         "rolling_origin_tune(distribute='join') — the per-origin "
         "prefix-moment path",
-    )
-    pdf = (
-        vz.df.filter(cond)
-        .orderBy(date_col)
-        .select(*[F.col(f"`{c}`") for c in [*z_cols, *series]])
-        .toPandas()
     )
     X = pdf[z_cols].to_numpy(dtype=float)
     Y = pdf[series].to_numpy(dtype=float)
@@ -417,15 +410,14 @@ def ezlasso(
     """
     from pyspark.sql import functions as F
 
-    from ..plans.guards import guard_driver_collect
+    from ..plans.guards import guarded_topandas
 
     frame = wide_df.select(date_col, target, *predictors).dropna()
-    guard_driver_collect(
-        frame,
+    pdf = guarded_topandas(
+        frame.orderBy(date_col),
         "ezlasso's estimation frame",
         "a per-origin distributed tuner (ml.tuning.rolling_origin_tune)",
     )
-    pdf = frame.orderBy(date_col).toPandas()
     X = pdf[predictors].to_numpy(dtype=float)
     y = pdf[target].to_numpy(dtype=float)
     lams = np.array(sorted(EZLASSO_LAMBDA_GRID, reverse=True))

@@ -58,14 +58,13 @@ def cosine_topk(
     matrix is collected + broadcast; each corpus partition does one
     matmul per Arrow batch. Ties break on smaller neighbor id."""
     qdf = (queries if queries is not None else df).select(id_col, vec_col)
-    from ..plans.guards import guard_driver_collect
+    from ..plans.guards import guarded_collect
 
-    guard_driver_collect(
+    qrows = guarded_collect(
         qdf,
         "cosine_topk's exact query-matrix broadcast",
         "the LSH-bucketed path (similarity.lsh_topk)",
     )
-    qrows = qdf.collect()
     q_ids, Q = _normalized_matrix(qrows, id_col, vec_col)
     sc = df.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, Q))
@@ -602,14 +601,13 @@ def cosine_near_dup_pairs(
         return pairs.mapInPandas(verify, schema)
 
     corpus = df.select(id_col, vec_col)
-    from ..plans.guards import guard_driver_collect
+    from ..plans.guards import guarded_collect
 
-    guard_driver_collect(
+    rows = guarded_collect(
         corpus,
         "cosine_near_dup_pairs' exact corpus broadcast",
         "method='lsh' (hyperplane-bucketed candidate join)",
     )
-    rows = corpus.collect()
     c_ids, C = _normalized_matrix(rows, id_col, vec_col)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast((c_ids, C))

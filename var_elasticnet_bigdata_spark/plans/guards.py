@@ -30,6 +30,17 @@ def max_driver_rows() -> int:
     return int(v) if v else DEFAULT_MAX_DRIVER_ROWS
 
 
+def _ceiling_error(
+    what: str, scale_path: str, limit: int
+) -> DriverMaterializationError:
+    return DriverMaterializationError(
+        f"{what} would materialize more than {limit:,} rows on the "
+        f"driver. This path is for post-aggregation estimation "
+        f"frontiers; at this size use {scale_path}, or raise "
+        f"SPARK_GRAFT_MAX_DRIVER_ROWS explicitly."
+    )
+
+
 def guard_driver_collect(
     df: DataFrame,
     what: str,
@@ -41,16 +52,47 @@ def guard_driver_collect(
     Uses ``limit(n+1).count()`` so the check never scans past the
     ceiling. ``what`` names the collect site; ``scale_path`` tells
     the caller which distributed alternative to use instead.
+
+    Prefer ``guarded_topandas``/``guarded_collect`` when the very next
+    step is the materialization itself — they fuse the check into the
+    collect (one Spark job instead of two).
     """
     limit = max_rows if max_rows is not None else max_driver_rows()
     n = df.limit(limit + 1).count()
     if n > limit:
-        raise DriverMaterializationError(
-            f"{what} would materialize more than {limit:,} rows on the "
-            f"driver. This path is for post-aggregation estimation "
-            f"frontiers; at this size use {scale_path}, or raise "
-            f"SPARK_GRAFT_MAX_DRIVER_ROWS explicitly."
-        )
+        raise _ceiling_error(what, scale_path, limit)
+
+
+def guarded_topandas(
+    df: DataFrame,
+    what: str,
+    scale_path: str,
+    max_rows: int | None = None,
+):
+    """``df.toPandas()`` with the driver-materialization ceiling fused
+    into the same job: ``limit(ceiling+1)`` bounds what can ever reach
+    the driver, and one extra row trips the guard. Row order is
+    whatever ``df`` carries (apply ``orderBy`` upstream)."""
+    limit = max_rows if max_rows is not None else max_driver_rows()
+    pdf = df.limit(limit + 1).toPandas()
+    if len(pdf) > limit:
+        raise _ceiling_error(what, scale_path, limit)
+    return pdf
+
+
+def guarded_collect(
+    df: DataFrame,
+    what: str,
+    scale_path: str,
+    max_rows: int | None = None,
+) -> list:
+    """``df.collect()`` with the ceiling fused in, like
+    ``guarded_topandas``."""
+    limit = max_rows if max_rows is not None else max_driver_rows()
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise _ceiling_error(what, scale_path, limit)
+    return rows
 
 
 def release_local_checkpoint(df: DataFrame) -> None:

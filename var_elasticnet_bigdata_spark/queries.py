@@ -4739,16 +4739,18 @@ def stat_cw_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from .functions.stats import cw_test, dm_test
-    from .plans.guards import guard_driver_collect
+    from .plans.guards import guarded_collect
 
     wide = _quarterly_pair(spark, sf_dir)
-    guard_driver_collect(
-        wide,
-        "stat_cw_dm quarterly series",
-        "per-horizon relational forms (harness.ar1_rolling_relational)",
-    )
     y = np.array(
-        [r["revenue"] for r in wide.orderBy("obs_date").select("revenue").collect()],
+        [
+            r["revenue"]
+            for r in guarded_collect(
+                wide.orderBy("obs_date").select("revenue"),
+                "stat_cw_dm quarterly series",
+                "per-horizon relational forms (harness.ar1_rolling_relational)",
+            )
+        ],
         dtype=float,
     )
     phi = float((y[:-1] @ y[1:]) / (y[:-1] @ y[:-1]))
@@ -4962,21 +4964,15 @@ def stat_hosking(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from .functions.stats import hosking_test
-    from .plans.guards import guard_driver_collect
+    from .plans.guards import guarded_topandas
 
     wide = _quarterly_pair(spark, sf_dir)
-    guard_driver_collect(
-        wide,
+    U = guarded_topandas(
+        wide.orderBy("obs_date").select("revenue", "quantity"),
         "stat_hosking quarterly residual matrix",
         "a coarser roll-up before the portmanteau test (the statistic "
         "needs the full T×K series on one node by construction)",
-    )
-    U = (
-        wide.orderBy("obs_date")
-        .select("revenue", "quantity")
-        .toPandas()
-        .to_numpy(dtype=float)
-    )
+    ).to_numpy(dtype=float)
     U = U - U.mean(axis=0)
     rows = []
     for modified, name in ((True, "hosking"), (False, "ljung_box_mv")):
