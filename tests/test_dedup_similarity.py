@@ -485,3 +485,60 @@ def test_lsh_hot_bucket_star_pairing(spark):
     assert full.count() == 40 * 39 // 2
     cap_high = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2, star_over=64)
     assert cap_high.count() == 40 * 39 // 2
+
+
+def test_incremental_near_dup_matches_full_run(spark):
+    """The append-only production pattern: batch-vs-store dedup must
+    produce EXACTLY the survivors a full greedy drop-higher-id run
+    over the union would, when batch ids exceed store ids."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_near_dup,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet cyan magenta black",
+        "spark duck table query shuffle join window filter scan sort",
+    ]
+    rows = []
+    rid = 0
+    for b in base:  # originals + near-dups (suffix tweak) + unrelated
+        rows.append((rid, b)); rid += 1
+        rows.append((rid, b + " extra")); rid += 1
+        rows.append((rid, " ".join(reversed(b.split())))); rid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 6)
+    new = docs.filter(F.col("doc_id") >= 6)
+
+    surv1, store1 = incremental_near_dup(old, None, threshold=0.5)
+    surv2, store2 = incremental_near_dup(new, store1, threshold=0.5)
+    got = sorted(
+        r.doc_id for r in surv1.select("doc_id").collect()
+    ) + sorted(r.doc_id for r in surv2.select("doc_id").collect())
+
+    # reference: full LSH+verify over the union, drop higher id/pair
+    def full_survivors(frame):
+        sigs = minhash_signatures(frame)
+        cand = lsh_candidate_pairs(sigs, bands=8, rows_per_band=2)
+        pairs = jaccard_pairs(frame, threshold=0.5, candidates=cand)
+        drops = {r.id_b for r in pairs.collect()}
+        return sorted(
+            r.doc_id for r in frame.select("doc_id").collect()
+            if r.doc_id not in drops
+        )
+
+    assert sorted(got) == full_survivors(docs)
+    # the new store carries exactly the union's survivor rows
+    assert sorted(r.doc_id for r in store2.select("doc_id").collect()) == sorted(got)
+    # a batch doc duplicating a STORE doc is dropped even with no
+    # in-batch twin
+    extra = spark.createDataFrame(
+        [(100, base[0] + " extra tail")], "doc_id long, text string"
+    )
+    surv3, store3 = incremental_near_dup(extra, store2, threshold=0.5)
+    assert surv3.count() == 0
+    assert store3.count() == store2.count()

@@ -616,3 +616,150 @@ def fuzzy_near_dup_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+_last_incr_cache: DataFrame | None = None
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    store: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    star_over: int | None = 1024,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an already-accepted corpus — the
+    production pattern at 100 TB: the existing corpus was curated
+    once and its signature/shingle store persisted; each new crawl
+    batch is verified against the STORE (band join) and against
+    itself (bucket expansion), never re-shingling the old corpus.
+
+    ``store`` is the frame a previous call returned as its second
+    element: ``(id_col, sig array<bigint>, sh array<bigint>)`` —
+    or ``None`` for the first batch. Returns
+    ``(survivors, new_store)``:
+
+    - ``survivors``: batch rows that near-dup neither a store doc
+      nor a LOWER-id batch survivor candidate (the same greedy
+      drop-higher-id pair rule as ``curation.curate_corpus`` —
+      chains are not transitively closed, by design).
+    - ``new_store``: ``store`` ∪ the survivors' signature rows; feed
+      it to the next call.
+
+    EQUIVALENCE: when every batch id exceeds every store id (the
+    normal append-only case) and the store is itself pair-free at
+    this threshold, incremental processing produces exactly the
+    survivors a full drop-higher-id run over the union would —
+    pinned in tests/test_dedup_similarity.py.
+
+    Scale shape: the batch side is shingled/signed once (narrow);
+    candidates come from one band-key join against the store plus
+    one in-batch bucket expansion (both star-capped via
+    ``star_over``); Jaccard verification joins shingle arrays by
+    candidate id only. The store is append-only — no old-corpus
+    recompute, no doc×doc anywhere.
+    """
+    global _last_incr_cache
+    if _last_incr_cache is not None:
+        try:  # one live cache per session, like jaccard_pairs
+            _last_incr_cache.unpersist()
+        except Exception:
+            pass
+    sigged = (
+        with_shingle_hashes(batch, n, text_col=text_col)
+        .select(
+            F.col(id_col),
+            F.expr(_sig_expr(num_hashes)).alias("sig"),
+            F.col("__sh").alias("sh"),
+        )
+        .persist()
+    )
+    _last_incr_cache = sigged
+
+    def banded(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" b -> md5(concat_ws(',', slice(sig, b*{rows_per_band}+1, {rows_per_band}))))"
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    new_bands = banded(sigged)
+    # in-batch candidates: bucket expansion with the hot-bucket cap
+    in_batch = (
+        new_bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(bucket_pair_expr(star_over))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    pair_sources = [in_batch]
+    if store is not None:
+        vs_store = (
+            banded(store.select(id_col, "sig"))
+            .select(
+                F.col(id_col).alias("id_a"),
+                "band_idx",
+                "band_hash",
+            )
+            .join(
+                new_bands.select(
+                    F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select("id_a", "id_b")
+        )
+        pair_sources.append(vs_store)
+    cand = pair_sources[0]
+    for extra in pair_sources[1:]:
+        cand = cand.unionByName(extra)
+    cand = cand.distinct()
+    sh_all = (
+        sigged.select(id_col, "sh")
+        if store is None
+        else sigged.select(id_col, "sh").unionByName(
+            store.select(id_col, "sh")
+        )
+    )
+    a = sh_all.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sigged.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            )
+            >= threshold
+        )
+    )
+    drops = verified.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = batch.join(drops, id_col, "left_anti")
+    surv_rows = sigged.join(drops, id_col, "left_anti")
+    new_store = (
+        surv_rows if store is None else store.unionByName(surv_rows)
+    )
+    return survivors, new_store
+
+
+def _sig_expr(num_hashes: int) -> str:
+    """MinHash signature over a staged ``__sh`` column as one
+    zip_with loop (see curation._sig_from_shingles — identical
+    values, fraction of the codegen)."""
+    a = ", ".join(f"{MINHASH_A[i]}L" for i in range(num_hashes))
+    b = ", ".join(f"{MINHASH_B[i]}L" for i in range(num_hashes))
+    return (
+        f"zip_with(array({a}), array({b}),"
+        f" (a, b) -> array_min(transform(__sh, h -> ((a * h + b) % {MINHASH_P}L))))"
+    )

@@ -5291,6 +5291,75 @@ def _register_clean_corpus_oracle() -> None:
 _register_clean_corpus_oracle()
 
 
+@query("dedup_incremental", None)  # oracle registered below
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only incremental near-dup dedup
+    (`operators/dedup.incremental_near_dup`, the production pattern:
+    dedup each new crawl batch against the persisted
+    signature/shingle STORE of the accepted corpus, never
+    re-shingling old data): docs with id < 250 are curated as the
+    initial corpus, the rest arrive as the new batch and are
+    verified against the store (band join) and themselves (bucket
+    expansion). Output: every surviving doc with its phase.
+
+    The DuckDB twin replays the FULL greedy drop-higher-id run over
+    the union — by the append-only invariant (batch ids > store ids,
+    store pair-free) the incremental path must produce EXACTLY that
+    survivor set, so the hash gate pins the production shortcut
+    against the batch semantics (equivalence also unit-pinned in
+    tests/test_dedup_similarity.py)."""
+    from .operators.dedup import incremental_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    surv1, store1 = incremental_near_dup(old, None, threshold=0.5)
+    surv2, _ = incremental_near_dup(new, store1, threshold=0.5)
+    return surv1.select(
+        "doc_id", F.lit("store").alias("phase")
+    ).unionByName(surv2.select("doc_id", F.lit("batch").alias("phase")))
+
+
+def _register_dedup_incremental_oracle() -> None:
+    from .operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        duck_shingle_hashes,
+    )
+
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(16)
+    )
+    ORACLE["dedup_incremental"] = f"""
+        WITH s AS (SELECT doc_id, {duck_shingle_hashes(3)} AS sh FROM documents),
+        sig AS (SELECT doc_id, sh, [{sig_terms}] AS sig FROM s),
+        band AS (
+          SELECT doc_id, b,
+                 md5(array_to_string(list_slice(sig, b*2+1, b*2+2), ',')) AS bh
+          FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id),
+        drops AS (
+          SELECT DISTINCT c.id_b
+          FROM cand c
+          JOIN s sa ON sa.doc_id = c.id_a
+          JOIN s sb ON sb.doc_id = c.id_b
+          WHERE ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5)
+        SELECT doc_id,
+               CASE WHEN doc_id < 250 THEN 'store' ELSE 'batch' END AS phase
+        FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM drops)
+    """
+
+
+_register_dedup_incremental_oracle()
+
+
 @query(
     "a7_incremental_rollup",
     """
@@ -5580,6 +5649,7 @@ _PRIORITY = [
     "sample_domain_mix",
     "text_line_dedup",
     "pipeline_clean_corpus",
+    "dedup_incremental",
     "a7_incremental_rollup",
     "j6_local_supplier_volume",
 ]
