@@ -284,7 +284,7 @@ def clean_corpus(
     scored = staged.select(
         "doc_id",
         "lang",
-        "text",
+        "__words",
         F.size("__words").alias("n_tokens"),
         F.expr(quality_sql_spark("__norm", "__words")).alias("quality"),
         F.md5(F.col("__norm")).alias("ck"),
@@ -296,9 +296,13 @@ def clean_corpus(
     surv = (
         filt.withColumn("__min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("__min_id"))
-        .select("doc_id", "lang", "text")
+        .select("doc_id", "lang", "__words")
     )
-    clean = line_dedup(surv, seg_len=seg_len, min_docs=min_docs)
+    # hand the staged word arrays straight to line_dedup — re-deriving
+    # them from text would run the normalize/split pass twice
+    clean = line_dedup(
+        surv, seg_len=seg_len, min_docs=min_docs, words_col="__words"
+    )
     return (
         surv.select("doc_id", "lang")
         .join(clean, "doc_id")

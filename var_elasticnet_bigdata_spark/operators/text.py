@@ -469,6 +469,7 @@ def line_dedup(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    words_col: str | None = None,
 ) -> DataFrame:
     """Corpus-level boilerplate removal, the line-dedup stage of
     CCNet/C4-style curation: drop every text SEGMENT that occurs in
@@ -497,10 +498,19 @@ def line_dedup(
         raise ValueError(f"min_docs must be >= 2: {min_docs}")
     from .dedup import norm_sql_spark
 
-    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    # words_col: composed pipelines that already staged the
+    # normalize/split pass hand the word array in directly — at scale
+    # the re-normalization would double the narrow scan CPU
+    if words_col is not None:
+        staged = df.withColumn(
+            "__w", F.expr(f"filter({words_col}, w -> w <> '')")
+        )
+    else:
+        words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+        staged = df.withColumn("__w", F.expr(words))
     n_segs = f"greatest(cast(ceil(size(__w) / cast({seg_len} as double)) as int), 0)"
     segs = (
-        df.withColumn("__w", F.expr(words))
+        staged
         # struct-typed lambda child: keeps InferFiltersFromGenerate
         # from re-inlining the normalize/split pipeline into a
         # scan-level filter (see operators/dedup.py)
