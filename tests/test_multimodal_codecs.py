@@ -91,13 +91,13 @@ def test_decode_media_dispatch():
     assert kind == "image" and dec.shape == (4, 4, 3)
     kind, (rate, y) = decode_media(encode_wav(_sine(100), 8000))
     assert kind == "audio" and rate == 8000
-    # PNG now decodes for real (r3); corrupt PNG bodies are a
-    # ValueError (status-row degrade), JPEG stays the codec seam
+    # PNG (r3) and JPEG (r4) decode for real; corrupt bodies of
+    # either are a ValueError (status-row degrade)
     kind, dec = decode_media(encode_png(_gradient_rgb(4, 4)))
     assert kind == "image" and dec.shape == (4, 4, 3)
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff" + b"\x00" * 32)
     with pytest.raises(ValueError):
         decode_media(b"plain text, not media")
@@ -152,7 +152,7 @@ def _media_df(spark):
         (1, bytearray(encode_wav(_sine(4000), 8000))),
         (2, bytearray(encode_bmp(_gradient_rgb()))),
         (3, bytearray(b"garbage payload")),
-        (4, bytearray(b"\xff\xd8\xff" + b"\x00" * 40)),  # JPEG: codec seam
+        (4, bytearray(b"\xff\xd8\xff" + b"\x00" * 40)),  # corrupt JPEG
     ]
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
@@ -164,7 +164,9 @@ def test_extract_media_features_end_to_end(spark):
     assert out[2].kind == "image" and out[2].status == "ok"
     assert len(out[2].features) == 5
     assert out[3].status.startswith("undecodable")
-    assert out[4].status == "codec_unavailable"
+    # a corrupt JPEG degrades to a status row (the real decoder
+    # rejects it; nothing is "codec_unavailable" anymore)
+    assert out[4].status.startswith("undecodable")
     # decoded features match the local reference exactly
     want = image_features(_gradient_rgb())
     assert out[2].features == pytest.approx(want)
@@ -267,3 +269,101 @@ def test_png_gray_and_gray_alpha_features(spark):
     out = {r.media_id: r for r in extract_media_features(df).collect()}
     assert out[21].status == "ok" and out[22].status == "ok"
     assert out[21].kind == "image" and len(out[21].features) == 5
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT; the former codec seam, closed r4)
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w, chans=3):
+    g = np.zeros((h, w, chans), dtype=np.uint8)
+    for c in range(chans):
+        g[:, :, c] = np.clip(
+            np.add.outer(np.linspace(0, 100, h), np.linspace(0, 135, w))
+            + c * 20, 0, 255,
+        ).astype(np.uint8)
+    return g
+
+
+def test_jpeg_round_trip_444_and_420():
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _gradient(16, 24)
+    for sub in (False, True):
+        dec = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        # lossy, but a smooth gradient at Annex-K q50 stays tight
+        assert err.mean() < 4.0 and err.max() <= 12, (sub, err.max())
+
+
+def test_jpeg_odd_dimensions_and_grayscale():
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    odd = _gradient(17, 13)
+    for sub in (False, True):
+        d = decode_jpeg(encode_jpeg(odd, subsample=sub))
+        assert d.shape == (17, 13, 3)
+        assert np.abs(d.astype(int) - odd.astype(int)).mean() < 8.0
+    gray = _gradient(12, 20, 1)[:, :, 0]
+    dg = decode_jpeg(encode_jpeg(gray))
+    assert dg.shape == (12, 20, 1)
+    assert np.abs(dg[:, :, 0].astype(int) - gray.astype(int)).mean() < 3.0
+
+
+def test_jpeg_rejects_progressive_truncated_corrupt():
+    import struct
+
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    enc = bytearray(encode_jpeg(_gradient(8, 8)))
+    # flip SOF0 (0xFFC0) to SOF2 (progressive) -> loud rejection
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = enc[:i] + b"\xff\xc2" + enc[i + 2:]
+    with _pytest.raises(ValueError, match="baseline only"):
+        decode_jpeg(bytes(prog))
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(enc[: len(enc) // 3]))  # truncated
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff" + b"\x00" * 40)  # garbage markers
+    # zero-dimension SOF is rejected, not a zero-size allocation
+    j = bytes(enc).find(b"\xff\xc0")
+    hdr = bytearray(enc)
+    struct.pack_into(">H", hdr, j + 5, 0)  # height := 0
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(hdr))
+
+
+def test_jpeg_through_media_pipeline(spark):
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        decode_media,
+        encode_jpeg,
+        extract_media_features,
+        image_features,
+    )
+
+    img = _gradient(16, 24)
+    kind, dec = decode_media(encode_jpeg(img))
+    assert kind == "image" and dec.shape == img.shape
+    df = spark.createDataFrame(
+        [(31, bytearray(encode_jpeg(img))),
+         (32, bytearray(encode_jpeg(img, subsample=True)))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert out[31].status == "ok" and out[31].kind == "image"
+    want = image_features(dec)
+    assert out[31].features == pytest.approx(want)
+    assert out[32].status == "ok"

@@ -154,11 +154,18 @@ def test_multimodal_frame_sampling(spark):
         assert bytes(f1.frame.iloc[0]) == payload[32:48]  # stride 2 → chunk 2
 
 
-def test_real_decoder_seam_raises():
-    # JPEG remains the codec seam (PNG decodes for real since r3);
-    # the JPEG magic must reach the dispatch (decode_media rejects
-    # shorter payloads as undecodable, not unimplemented)
-    with pytest.raises(NotImplementedError, match="pillow"):
+def test_real_decoder_jpeg_dispatch():
+    # the JPEG seam is CLOSED (r4): the magic reaches the real
+    # baseline decoder, and a real payload round-trips through the
+    # dispatch while garbage after the magic degrades to ValueError
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.multimodal import encode_jpeg
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    kind, dec = decode_media(encode_jpeg(img))
+    assert kind == "image" and dec.shape == (8, 8, 3)
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff" + b"\x00" * 16)
 
 

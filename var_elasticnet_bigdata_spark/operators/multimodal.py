@@ -17,11 +17,13 @@ What IS real and tested here:
 - magic-byte dispatch (``decode_media``): BM→BMP, RIFF/WAVE→WAV,
   ‰PNG→PNG (REAL stdlib decoder: zlib inflate + all five scanline
   filters incl. Paeth unfiltering, 8-bit gray/RGB/RGBA,
-  non-interlaced — VERDICT r2 item 7); JPEG remains the documented
-  NotImplementedError seam (libjpeg is not in this container) —
-  swapping in a codec is still a one-function change, and the
+  non-interlaced — VERDICT r2 item 7), ÿØ→JPEG (REAL baseline
+  sequential-DCT decoder, ITU-T T.81: Annex-K-style Huffman/quant
+  table parsing, arbitrary sampling factors incl. 4:2:0, restart
+  markers, numpy IDCT — the former NotImplementedError seam is
+  CLOSED; progressive/12-bit/arithmetic raise ValueError and the
   corrupt/unsupported path degrades to a status column, never a task
-  failure;
+  failure);
 - ``mapInPandas`` batch shape for decode/feature-extraction with a
   deterministic fake decoder retained for pipeline tests that don't
   care about a codec;
@@ -326,11 +328,8 @@ def decode_media(payload: bytes) -> tuple[str, object]:
         return "audio", decode_wav(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "image", decode_png(payload)
-    if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires pillow/opencv (not installed); "
-            "add the codec here — callers' schema/batching are unchanged"
-        )
+    if payload[:3] == b"\xff\xd8\xff" or payload[:2] == b"\xff\xd8":
+        return "image", decode_jpeg(payload)
     raise ValueError("unrecognized media payload")
 
 
@@ -548,3 +547,482 @@ def sample_frames(
             )
 
     return df.select(id_col, "payload").mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81) — numpy + stdlib only
+# ---------------------------------------------------------------------------
+# Standard Annex-K quantization and Huffman tables (public constants
+# from the JPEG specification).
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+# (BITS counts for code lengths 1..16, then HUFFVAL symbol list)
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): value → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → value for bit-serial decoding."""
+    return {
+        (length, code): v
+        for v, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+def _dct_basis() -> np.ndarray:
+    n = np.arange(8)
+    basis = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    basis[0] /= np.sqrt(2)
+    return basis * 0.5  # orthonormal DCT-II rows
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """Minimal baseline JPEG encoder (fixture synthesis, like
+    ``encode_png``/``encode_bmp``): 8-bit grayscale or RGB, Annex-K
+    quality-50 tables, no restart markers. ``subsample=True`` emits
+    4:2:0 (2×2-mean chroma) so the decoder's upsample path has a
+    same-repo fixture; default is 4:4:4."""
+    import struct
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ncomp = a.shape
+    if ncomp not in (1, 3):
+        raise ValueError(f"encode_jpeg: {ncomp}-channel input unsupported")
+    if ncomp == 3:  # RGB -> YCbCr (JFIF)
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = [y, cb, cr]
+    else:
+        planes = [a[..., 0].astype(np.float64)]
+    sub = subsample and ncomp == 3
+    # (hi, vi) sampling factors per component
+    samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp[:ncomp])
+    vmax = max(s[1] for s in samp[:ncomp])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_planes = []
+    for ci in range(ncomp):
+        p = planes[ci]
+        hi, vi = samp[ci]
+        if (hi, vi) != (hmax, vmax):  # downsample chroma by 2x2 mean
+            fy, fx = vmax // vi, hmax // hi
+            ph = -(-p.shape[0] // fy) * fy
+            pw = -(-p.shape[1] // fx) * fx
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        comp_planes.append(p)
+    qts = [np.array(_JPEG_QT_LUMA, dtype=np.float64)]
+    if ncomp == 3:
+        qts.append(np.array(_JPEG_QT_CHROMA, dtype=np.float64))
+    B = _dct_basis()
+    bw = _BitWriter()
+    dc_tabs = [_huff_codes(*_JPEG_DC_LUMA), _huff_codes(*_JPEG_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_JPEG_AC_LUMA), _huff_codes(*_JPEG_AC_CHROMA)]
+    pred = [0] * ncomp
+
+    def put_block(blk: np.ndarray, ci: int) -> None:
+        t = 0 if ci == 0 else 1
+        coef = B @ (blk - 128.0) @ B.T
+        # zigzag THEN quantize with the zigzag-ordered table
+        zz = np.array([coef.flat[_JPEG_ZIGZAG[i]] for i in range(64)])
+        qz = np.rint(zz / qts[t]).astype(int)
+        diff = int(qz[0]) - pred[ci]
+        pred[ci] = int(qz[0])
+        s = _jpeg_category(diff)
+        code, length = dc_tabs[t][s]
+        bw.put(code, length)
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            bw.put(v, s)
+        run = 0
+        last_nz = max([i for i in range(1, 64) if qz[i] != 0], default=0)
+        for i in range(1, 64):
+            if i > last_nz:
+                c, ln = ac_tabs[t][0x00]  # EOB
+                bw.put(c, ln)
+                break
+            v = int(qz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_tabs[t][0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            s = _jpeg_category(v)
+            c, ln = ac_tabs[t][(run << 4) | s]
+            bw.put(c, ln)
+            vv = v if v > 0 else v + (1 << s) - 1
+            bw.put(vv, s)
+            run = 0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        y0 = (my * vi + vy) * 8
+                        x0 = (mx * hi + vx) * 8
+                        put_block(
+                            comp_planes[ci][y0:y0 + 8, x0:x0 + 8], ci
+                        )
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, q in enumerate(qts):
+        out += seg(0xFFDB, bytes([tid]) + bytes(int(q[i]) for i in range(64)))
+    comp_spec = b""
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        comp_spec += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
+    for tid, (cls, tab) in enumerate(
+        [(0, _JPEG_DC_LUMA), (1, _JPEG_AC_LUMA)]
+        + ([(0, _JPEG_DC_CHROMA), (1, _JPEG_AC_CHROMA)] if ncomp == 3 else [])
+    ):
+        dest = 0 if tid < 2 else 1
+        bits, vals = tab
+        out += seg(
+            0xFFC4,
+            bytes([(cls << 4) | dest]) + bytes(bits) + bytes(vals),
+        )
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG decoder (ITU-T T.81; numpy + stdlib —
+    closes the former codec seam): 8-bit grayscale / YCbCr with
+    arbitrary sampling factors (4:4:4, 4:2:0, ...), restart markers.
+    Progressive (SOF2), arithmetic coding, and 12-bit raise
+    ValueError (callers degrade to a status row)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = struct.unpack(">H", payload[pos:pos + 2])[0]
+        pos += 2
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos:pos + 2])
+        body = payload[pos + 2:pos + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xFFDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                qt[tq] = np.array(list(body[p + 1:p + 65]), dtype=np.float64)
+                p += 65
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(body):
+                cls, dest = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17:p + 17 + n])
+                (dc_tabs if cls == 0 else ac_tabs)[dest] = _huff_decoder(bits, vals)
+                p += 17 + n
+        elif marker == 0xFFC0 or marker == 0xFFC1:
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + ci * 3:9 + ci * 3]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError(
+                f"unsupported JPEG frame type {marker:#x} (baseline only)"
+            )
+        elif marker == 0xFFDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cid, tabs = body[1 + ci * 2:3 + ci * 2]
+                scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
+            pos += ln
+            break
+        pos += ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("corrupt JPEG header (zero dimension)")
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        s.update(by_id[s["id"]])
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    # entropy data: strip stuffing, split at restart markers
+    data = payload[pos:]
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF and i + 1 < len(data):
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            segments.append(bytes(cur))
+            cur = bytearray()
+            break
+        cur.append(b)
+        i += 1
+    if cur:
+        segments.append(bytes(cur))
+    B = _dct_basis()
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in scan
+    ]
+    pred = [0] * len(scan)
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
+    mcu_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_in_seg == restart:
+                br = _BitReader(next(seg_iter, b""))
+                pred = [0] * len(scan)
+                mcu_in_seg = 0
+            mcu_in_seg += 1
+            for ci, c in enumerate(scan):
+                if c["dc"] not in dc_tabs or c["ac"] not in ac_tabs:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                if c["tq"] not in qt:
+                    raise ValueError("JPEG component references missing quant table")
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        s = br.huff(dc_tabs[c["dc"]])
+                        if s:
+                            v = br.bits(s)
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                        else:
+                            v = 0
+                        pred[ci] += v
+                        zz = np.zeros(64)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.huff(ac_tabs[c["ac"]])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            s = rs & 0xF
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            v = br.bits(s)
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            zz[k] = v
+                            k += 1
+                        zz *= qt[c["tq"]]
+                        blk = np.zeros(64)
+                        blk[_JPEG_ZIGZAG] = zz
+                        pix = B.T @ blk.reshape(8, 8) @ B + 128.0
+                        y0 = (my * c["v"] + vy) * 8
+                        x0 = (mx * c["h"] + vx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    out_planes = []
+    for ci, c in enumerate(scan):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        g = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
