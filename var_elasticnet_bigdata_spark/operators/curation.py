@@ -299,9 +299,13 @@ def clean_corpus(
         .select("doc_id", "lang", "__words")
     )
     # hand the staged word arrays straight to line_dedup — re-deriving
-    # them from text would run the normalize/split pass twice
+    # them from text would run the normalize/split pass twice — and
+    # skip the reassembly: the pipeline only needs accounting, so the
+    # collect_list-of-strings aggregate (the heaviest part of the
+    # regroup) is dropped and kept tokens are summed per segment
     clean = line_dedup(
-        surv, seg_len=seg_len, min_docs=min_docs, words_col="__words"
+        surv, seg_len=seg_len, min_docs=min_docs, words_col="__words",
+        with_text=False,
     )
     return (
         surv.select("doc_id", "lang")
@@ -311,9 +315,7 @@ def clean_corpus(
             "lang",
             "n_segments",
             "n_kept",
-            F.size(
-                F.expr("filter(split(cleaned_text, ' '), w -> w <> '')")
-            ).alias("n_tokens_clean"),
+            F.col("n_tokens_kept").alias("n_tokens_clean"),
             F.round(
                 F.col("n_kept") / F.col("n_segments"), 6
             ).alias("kept_ratio"),

@@ -470,6 +470,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     words_col: str | None = None,
+    with_text: bool = True,
 ) -> DataFrame:
     """Corpus-level boilerplate removal, the line-dedup stage of
     CCNet/C4-style curation: drop every text SEGMENT that occurs in
@@ -489,8 +490,12 @@ def line_dedup(
     is the standard two-shuffle dedup cascade.
 
     Returns one row per input document:
-    ``(id_col, n_segments, n_kept, cleaned_text)`` (``cleaned_text``
-    is '' when every segment was boilerplate).
+    ``(id_col, n_segments, n_kept, n_tokens_kept, cleaned_text)``
+    (``cleaned_text`` is '' when every segment was boilerplate).
+    ``with_text=False`` skips the ordered reassembly — callers that
+    only need accounting (the composed pipelines) save the
+    collect_list-of-strings aggregate, the heaviest part of the
+    regroup; ``cleaned_text`` is then '' for every row.
     """
     if seg_len <= 0:
         raise ValueError(f"seg_len must be positive: {seg_len}")
@@ -527,7 +532,13 @@ def line_dedup(
                 )
             ).alias("s"),
         )
-        .select(id_col, F.col("s.pos").alias("pos"), F.md5(F.col("s.seg")).alias("sk"), F.col("s.seg").alias("seg"))
+        .select(
+            id_col,
+            F.col("s.pos").alias("pos"),
+            F.md5(F.col("s.seg")).alias("sk"),
+            F.col("s.seg").alias("seg"),
+            (F.size(F.split(F.col("s.seg"), " "))).alias("seg_n"),
+        )
     )
     boiler = (
         segs.groupBy("sk")
@@ -542,22 +553,32 @@ def line_dedup(
     # boilerplate key set joins in by size — AQE broadcasts it when
     # small, sort-merges when a pathological corpus makes it large
     flagged = segs.join(boiler.withColumn("__b", F.lit(1)), "sk", "left")
-    per_doc = flagged.groupBy(id_col).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_segments"),
         F.count(F.when(F.col("__b").isNull(), 1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(array_sort(collect_list("
-                "CASE WHEN __b IS NULL THEN struct(pos, seg) END)), x -> x.seg)"
-            ),
-        ).alias("cleaned_text"),
-    )
+        F.sum(
+            F.when(F.col("__b").isNull(), F.col("seg_n")).otherwise(F.lit(0))
+        ).alias("n_tokens_kept"),
+    ]
+    if with_text:
+        aggs.append(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN __b IS NULL THEN struct(pos, seg) END)), x -> x.seg)"
+                ),
+            ).alias("cleaned_text")
+        )
+    per_doc = flagged.groupBy(id_col).agg(*aggs)
+    if not with_text:
+        per_doc = per_doc.withColumn("cleaned_text", F.lit(""))
     base = df.select(id_col).distinct()
     return base.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
         F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("int").alias("n_tokens_kept"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
@@ -587,6 +608,7 @@ def duck_line_dedup_sql(
           GROUP BY 1 HAVING COUNT(DISTINCT {id_col}) >= {min_docs}),
         k AS (
           SELECT {id_col}, COUNT(*) AS n_kept,
+                 SUM(len(string_split(seg, ' '))) AS n_tok,
                  string_agg(seg, ' ' ORDER BY pos) AS cleaned_text
           FROM s WHERE md5(seg) NOT IN (SELECT sk FROM b)
           GROUP BY 1),
@@ -594,6 +616,7 @@ def duck_line_dedup_sql(
         SELECT d.{id_col},
                CAST(COALESCE(tot.n_segments, 0) AS INT) AS n_segments,
                CAST(COALESCE(k.n_kept, 0) AS INT) AS n_kept,
+               CAST(COALESCE(k.n_tok, 0) AS INT) AS n_tokens_kept,
                COALESCE(k.cleaned_text, '') AS cleaned_text
         FROM (SELECT DISTINCT {id_col} FROM {table}) d
         LEFT JOIN tot USING ({id_col}) LEFT JOIN k USING ({id_col})
