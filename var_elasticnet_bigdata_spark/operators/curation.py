@@ -297,6 +297,10 @@ def clean_corpus(
         filt.withColumn("__min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("__min_id"))
         .select("doc_id", "lang", "__words")
+        # consumed by line_dedup AND the final lang join: persist so
+        # the score/filter/dedup prelude runs once (the curate_corpus
+        # survivor-checkpoint pattern; bench/tests clear cache)
+        .persist()
     )
     # hand the staged word arrays straight to line_dedup — re-deriving
     # them from text would run the normalize/split pass twice — and

@@ -666,7 +666,13 @@ def incremental_near_dup(
     """
     global _last_incr_cache
     if _last_incr_cache is not None:
-        try:  # one live cache per session, like jaccard_pairs
+        try:  # one live cache per session, like jaccard_pairs.
+            # Deliberately ALSO evicted when the next call's store
+            # derives from this batch: lineage recomputes the store
+            # correctly, and a two-deep cache window was MEASURED 3×
+            # slower on the two-phase dedup_incremental query (9.5 s
+            # vs 3.3 s at sf0.1 — cached InMemoryRelations block
+            # AQE/pushdown on the store side; recompute wins).
             _last_incr_cache.unpersist()
         except Exception:
             pass

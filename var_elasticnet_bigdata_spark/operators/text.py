@@ -463,6 +463,9 @@ def duck_regex_token_sql(
 # ---------------------------------------------------------------------------
 
 
+_last_line_dedup_cache: DataFrame | None = None
+
+
 def line_dedup(
     df: DataFrame,
     seg_len: int = 5,
@@ -513,6 +516,20 @@ def line_dedup(
     else:
         words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
         staged = df.withColumn("__w", F.expr(words))
+    # three consumers read the staged frame (segment build feeds both
+    # the doc-frequency agg and the regroup, plus the keep-every-doc
+    # base) — persist the DOC-level frame so the normalize/split runs
+    # once, not once per plan branch (the segment-level frame is 5-10×
+    # bigger and recomputes narrowly from this cache, so it is NOT
+    # persisted). One live cache per session, like jaccard_pairs.
+    global _last_line_dedup_cache
+    if _last_line_dedup_cache is not None:
+        try:
+            _last_line_dedup_cache.unpersist()
+        except Exception:
+            pass
+    staged = staged.persist()
+    _last_line_dedup_cache = staged
     n_segs = f"greatest(cast(ceil(size(__w) / cast({seg_len} as double)) as int), 0)"
     segs = (
         staged
@@ -573,7 +590,7 @@ def line_dedup(
     per_doc = flagged.groupBy(id_col).agg(*aggs)
     if not with_text:
         per_doc = per_doc.withColumn("cleaned_text", F.lit(""))
-    base = df.select(id_col).distinct()
+    base = staged.select(id_col).distinct()
     return base.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
