@@ -408,3 +408,42 @@ def test_line_dedup_known_boilerplate(spark):
     assert o2[1].n_segments == 2
     assert o2[1].cleaned_text == "a b"  # shared tail 'c' dropped
     assert o2[3].cleaned_text == "q r s"  # fully unique doc intact
+
+
+def test_quality_top_fraction_exact_and_approx(spark):
+    from var_elasticnet_bigdata_spark.operators.curation import (
+        quality_top_fraction,
+    )
+
+    import pytest as _pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = quality_top_fraction(docs, 0.4, group_col="lang").toPandas()
+    # per-group kept count == ceil(0.4 * n_group), top-ranked by quality
+    totals = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    kept = exact.groupby("lang").size()
+    import math
+
+    for lang, n in totals.items():
+        assert kept[lang] == math.ceil(0.4 * n), lang
+    # determinism
+    again = quality_top_fraction(docs, 0.4, group_col="lang").toPandas()
+    assert sorted(again.doc_id) == sorted(exact.doc_id)
+    # the sort-free approx path keeps ~the same set (threshold ties
+    # and sketch rank error only)
+    approx = quality_top_fraction(
+        docs, 0.4, group_col="lang", exact=False
+    ).toPandas()
+    e, a = set(exact.doc_id), set(approx.doc_id)
+    assert len(e & a) / len(e) > 0.9
+    # kept rows are the TOP of each group: every kept quality >= every
+    # dropped quality within the group (up to rank ties broken by id)
+    alldocs = quality_top_fraction(docs, 1.0, group_col="lang").toPandas()
+    for lang in totals.index:
+        kq = exact[exact.lang == lang].quality
+        dq = alldocs[(alldocs.lang == lang)
+                     & (~alldocs.doc_id.isin(exact.doc_id))].quality
+        if len(dq):
+            assert kq.min() >= dq.max() - 1e-12
+    with _pytest.raises(ValueError, match="frac"):
+        quality_top_fraction(docs, 0.0)

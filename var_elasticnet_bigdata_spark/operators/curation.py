@@ -325,3 +325,65 @@ def clean_corpus(
             ).alias("kept_ratio"),
         )
     )
+
+
+def quality_top_fraction(
+    docs: DataFrame,
+    frac: float,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Keep the top ``frac`` of documents per group by quality score —
+    the percentile-based curation filter (an absolute threshold keeps
+    whatever the corpus happens to contain; a per-language percentile
+    keeps the BEST slice of each language regardless of its quality
+    distribution).
+
+    ``exact=True``: deterministic — rank by (quality desc, id asc)
+    within the group and keep ``ceil(frac · n_group)`` rows. One
+    per-group sort (windowed, partitioned by the group key — never a
+    global sort); ties broken by id so reruns agree row-for-row.
+
+    ``exact=False``: the sort-free scale path — per-group
+    ``percentile_approx`` thresholds (one combinable aggregate),
+    broadcast back, filter ``quality >= threshold``. No sort at all;
+    the kept fraction is approximate near the threshold (relative
+    rank error of the sketch), which is the standard trade at
+    100 TB. Equivalence-up-to-threshold-ties is pinned in
+    tests/test_text_sampling.py.
+
+    Returns the kept rows of ``docs`` with their ``quality``.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    staged = (
+        docs.withColumn("__norm", normalized_text())
+        .withColumn("__words", F.split(F.col("__norm"), " "))
+    )
+    scored = staged.select(
+        id_col,
+        group_col,
+        F.expr(quality_sql_spark("__norm", "__words")).alias("quality"),
+    )
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("quality").desc(), F.col(id_col).asc()
+        )
+        wc = Window.partitionBy(group_col)
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wc))
+            .filter(
+                F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(frac)))
+            )
+            .drop("__rn", "__n")
+        )
+    thr = scored.groupBy(group_col).agg(
+        F.percentile_approx("quality", 1.0 - float(frac), 10_000).alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .filter(F.col("quality") >= F.col("__thr"))
+        .drop("__thr")
+    )

@@ -5360,6 +5360,46 @@ def _register_dedup_incremental_oracle() -> None:
 _register_dedup_incremental_oracle()
 
 
+@query("filter_quality_top_frac", None)  # oracle registered below
+def filter_quality_top_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile quality filter
+    (`operators/curation.quality_top_fraction`): keep the top 40% of
+    each language by quality score, rank deterministically by
+    (quality desc, doc_id) — the distribution-relative curation
+    filter (an absolute threshold keeps whatever the corpus happens
+    to contain). Window partitioned by the group key, never a global
+    sort; the sort-free `exact=False` scale path (per-group
+    percentile_approx thresholds, broadcast filter) is
+    equivalence-tested in pytest. The twin replays the ranked filter
+    in DuckDB."""
+    from .operators.curation import quality_top_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_top_fraction(docs, 0.4, group_col="lang")
+    return out.select("doc_id", "lang", r6(F.col("quality")).alias("quality"))
+
+
+def _register_quality_frac_oracle() -> None:
+    from .operators.dedup import NORM_SQL_DUCK
+    from .operators.text import QUALITY_SQL_DUCK
+
+    ORACLE["filter_quality_top_frac"] = f"""
+        WITH scored AS (
+          SELECT doc_id, lang, {QUALITY_SQL_DUCK} AS quality
+          FROM documents),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY quality DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM scored)
+        SELECT doc_id, lang, ROUND(quality, 6) AS quality
+        FROM ranked WHERE rn <= CEIL(n * 0.4)
+    """
+
+
+_register_quality_frac_oracle()
+
+
 @query(
     "a7_incremental_rollup",
     """
@@ -5650,6 +5690,7 @@ _PRIORITY = [
     "text_line_dedup",
     "pipeline_clean_corpus",
     "dedup_incremental",
+    "filter_quality_top_frac",
     "a7_incremental_rollup",
     "j6_local_supplier_volume",
 ]
