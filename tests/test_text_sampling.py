@@ -447,3 +447,29 @@ def test_quality_top_fraction_exact_and_approx(spark):
             assert kq.min() >= dq.max() - 1e-12
     with _pytest.raises(ValueError, match="frac"):
         quality_top_fraction(docs, 0.0)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Pin the interpolation against a hand-computable corpus."""
+    import math
+
+    from var_elasticnet_bigdata_spark.operators.text import bigram_logprob
+
+    import pytest as _pytest
+
+    # corpus: doc1 = "a b a b", doc2 = "a b", doc3 = "c" (omitted)
+    df = _docs(spark, [(1, "a b a b"), (2, "a b"), (3, "c")])
+    out = {r.doc_id: r for r in bigram_logprob(df, lam=0.5).collect()}
+    assert 3 not in out  # <2 tokens → no scored positions
+    # token stream: a b a b a b c → N=7, c1(a)=3, c1(b)=3, c1(c)=1
+    # bigram positions: doc1 (a,b),(b,a),(a,b); doc2 (a,b)
+    # c2(a,b)=3, ctx(a)=3; c2(b,a)=1, ctx(b)=1
+    p_ab = 0.5 * (3 / 3) + 0.5 * (3 / 7)
+    p_ba = 0.5 * (1 / 1) + 0.5 * (3 / 7)
+    want1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1].n_bigrams == 3
+    assert out[1].logprob == _pytest.approx(want1, rel=1e-9)
+    assert out[2].n_bigrams == 1
+    assert out[2].logprob == _pytest.approx(math.log(p_ab), rel=1e-9)
+    with _pytest.raises(ValueError, match="lam"):
+        bigram_logprob(df, lam=1.5)

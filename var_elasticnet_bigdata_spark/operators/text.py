@@ -638,3 +638,102 @@ def duck_line_dedup_sql(
         FROM (SELECT DISTINCT {id_col} FROM {table}) d
         LEFT JOIN tot USING ({id_col}) LEFT JOIN k USING ({id_col})
     """
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean interpolated-bigram log-probability under the
+    corpus's own empirical counts — the next step up from
+    ``unigram_logprob`` toward the KenLM-style perplexity filters of
+    CCNet-class pipelines:
+
+        P(w_i | w_{i-1}) = λ·c₂(w_{i-1}, w_i)/c_ctx(w_{i-1})
+                           + (1−λ)·c₁(w_i)/N
+
+    with c₂/c_ctx counted over the corpus's bigram positions and
+    c₁/N over all token positions (the unigram back-off keeps every
+    probability strictly positive). Docs with fewer than two tokens
+    have no scored positions and are omitted — define the model, not
+    a padding convention.
+
+    Scale shape: one token-stream materialization (persisted; the
+    same staged pattern as ``unigram_logprob``) feeds four
+    partitioned windows — token (unigram counts), doc (the lag that
+    forms bigrams), (prev, tok) and prev (bigram / context counts).
+    Each is an ordinary hash-partitioned window over the token
+    stream; no join against a vocabulary table, no Python, nothing
+    doc×doc. Returns ``(id_col, n_bigrams, logprob)``.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from .dedup import norm_sql_spark
+
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    toks = (
+        df.withColumn("__w", F.expr(words))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr("transform(__w, w -> w)")).alias("pos", "tok"),
+        )
+        .persist()
+    )
+    total = toks.count()
+    w_tok = Window.partitionBy("tok")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        toks.withColumn("c1", F.count(F.lit(1)).over(w_tok))
+        .withColumn("prev", F.lag("tok").over(w_doc))
+        .filter(F.col("prev").isNotNull())
+    )
+    w_pair = Window.partitionBy("prev", "tok")
+    w_ctx = Window.partitionBy("prev")
+    p = (
+        F.lit(float(lam)) * F.count(F.lit(1)).over(w_pair)
+        / F.count(F.lit(1)).over(w_ctx)
+        + F.lit(1.0 - float(lam)) * F.col("c1") / F.lit(float(total))
+    )
+    return (
+        big.withColumn("__p", p)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log("__p")).alias("logprob"),
+        )
+    )
+
+
+def duck_bigram_logprob_sql(
+    lam: float = 0.7, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB twin of ``bigram_logprob`` (same counts, same
+    interpolation, same omit-short-docs rule)."""
+    from .dedup import NORM_SQL_DUCK
+
+    return f"""
+        WITH wl AS (
+          SELECT {id_col},
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                             x -> x <> '') AS l
+          FROM {table}),
+        toks AS (
+          SELECT {id_col}, CAST(p.pos AS INT) AS pos, l[p.pos] AS tok
+          FROM wl, UNNEST(range(1, len(l) + 1)) AS p(pos)),
+        n AS (SELECT COUNT(*) AS total FROM toks),
+        uni AS (SELECT *, COUNT(*) OVER (PARTITION BY tok) AS c1 FROM toks),
+        big AS (
+          SELECT *, LAG(tok) OVER (PARTITION BY {id_col} ORDER BY pos) AS prev
+          FROM uni),
+        scored AS (
+          SELECT {id_col},
+                 {float(lam)!r} * (COUNT(*) OVER (PARTITION BY prev, tok))
+                   / (COUNT(*) OVER (PARTITION BY prev))
+                 + {1.0 - float(lam)!r} * c1 / n.total AS p
+          FROM big, n WHERE prev IS NOT NULL)
+        SELECT {id_col}, COUNT(*) AS n_bigrams,
+               ROUND(AVG(LN(p)), 6) AS logprob
+        FROM scored GROUP BY 1
+    """

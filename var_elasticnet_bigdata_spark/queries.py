@@ -352,6 +352,35 @@ def _register_unigram_oracle() -> None:
 _register_unigram_oracle()
 
 
+@query("text_bigram_logprob", None)  # oracle registered below
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring
+    (`operators/text.bigram_logprob`, the KenLM-direction upgrade of
+    the unigram filter): per-doc mean
+    ln(λ·c₂(prev,tok)/c_ctx(prev) + (1−λ)·c₁(tok)/N) at λ=0.7, all
+    counts from the corpus itself via partitioned windows over one
+    persisted token stream — no vocabulary join, no Python. Docs
+    with fewer than two tokens are omitted (no scored positions).
+    The DuckDB twin replays tokenization, the lag that forms
+    bigrams, all three count windows, and the interpolation."""
+    from .operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = bigram_logprob(docs, lam=0.7)
+    return res.select(
+        "doc_id", "n_bigrams", r6(F.col("logprob")).alias("logprob")
+    )
+
+
+def _register_bigram_oracle() -> None:
+    from .operators.text import duck_bigram_logprob_sql
+
+    ORACLE["text_bigram_logprob"] = duck_bigram_logprob_sql(lam=0.7)
+
+
+_register_bigram_oracle()
+
+
 @query("split_train_val_test", None)  # oracle registered below
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
@@ -5691,6 +5720,7 @@ _PRIORITY = [
     "pipeline_clean_corpus",
     "dedup_incremental",
     "filter_quality_top_frac",
+    "text_bigram_logprob",
     "a7_incremental_rollup",
     "j6_local_supplier_volume",
 ]
