@@ -5667,6 +5667,16 @@ def j6_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration order changes, and tools/check_oracle.py always runs all.
 _PRIORITY = [
     "flagship_quarterly_revenue_growth",
+    # round-4 additions FIRST: they have never appeared in a driver
+    # correctness artifact, so they carry the most gate risk — the ML
+    # twins below were driver-green in r3 and are covered by the
+    # committed local sweep logs besides
+    "sample_domain_mix",
+    "text_line_dedup",
+    "pipeline_clean_corpus",
+    "dedup_incremental",
+    "filter_quality_top_frac",
+    "text_bigram_logprob",
     # ML estimation / tuning / selection twins (VERDICT r2 §next-round 1-2)
     "ml_enet_var_coefs",
     "ml_ridge_var_coefs",
@@ -5714,13 +5724,6 @@ _PRIORITY = [
     "sample_temperature",
     "pipeline_training_data",
     "pipeline_corpus_curation",
-    # round-4 additions: newest queries carry the most gate risk
-    "sample_domain_mix",
-    "text_line_dedup",
-    "pipeline_clean_corpus",
-    "dedup_incremental",
-    "filter_quality_top_frac",
-    "text_bigram_logprob",
     "a7_incremental_rollup",
     "j6_local_supplier_volume",
 ]
