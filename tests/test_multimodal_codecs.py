@@ -367,3 +367,24 @@ def test_jpeg_through_media_pipeline(spark):
     want = image_features(dec)
     assert out[31].features == pytest.approx(want)
     assert out[32].status == "ok"
+
+
+def test_jpeg_restart_markers_resync():
+    """DRI/RSTn: the decoder must resync at every restart interval
+    (DC predictors reset, bit reader realigned) and produce EXACTLY
+    the pixels of the unrestarted encoding — with and without chroma
+    subsampling."""
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _gradient(24, 32)
+    plain = decode_jpeg(encode_jpeg(img))
+    for ri in (1, 2, 7):
+        enc = encode_jpeg(img, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI present
+        assert np.array_equal(decode_jpeg(enc), plain), ri
+    sub_plain = decode_jpeg(encode_jpeg(img, subsample=True))
+    sub_rst = decode_jpeg(encode_jpeg(img, subsample=True, restart_interval=2))
+    assert np.array_equal(sub_rst, sub_plain)

@@ -714,12 +714,16 @@ class _BitReader:
         raise ValueError("invalid JPEG Huffman code")
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """Minimal baseline JPEG encoder (fixture synthesis, like
     ``encode_png``/``encode_bmp``): 8-bit grayscale or RGB, Annex-K
-    quality-50 tables, no restart markers. ``subsample=True`` emits
-    4:2:0 (2×2-mean chroma) so the decoder's upsample path has a
-    same-repo fixture; default is 4:4:4."""
+    quality-50 tables. ``subsample=True`` emits 4:2:0 (2×2-mean
+    chroma) and ``restart_interval=N`` emits a DRI segment and RSTn
+    markers every N MCUs — so the decoder's upsample and
+    restart-resync paths both have same-repo fixtures; defaults are
+    4:4:4 with no restarts."""
     import struct
 
     a = np.asarray(img, dtype=np.uint8)
@@ -803,8 +807,25 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
             bw.put(vv, s)
             run = 0
 
+    chunks: list[bytes] = []
+    mcu_count = 0
+    rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                # close the entropy segment, emit RSTn (cycling 0-7),
+                # reset the DC predictors — T.81 restart semantics
+                chunks.append(bw.flush())
+                chunks.append(struct.pack(">H", 0xFFD0 + rst_idx))
+                rst_idx = (rst_idx + 1) % 8
+                bw.__init__()
+                for ci in range(ncomp):
+                    pred[ci] = 0
+            mcu_count += 1
             for ci in range(ncomp):
                 hi, vi = samp[ci]
                 for vy in range(vi):
@@ -814,7 +835,8 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
                         put_block(
                             comp_planes[ci][y0:y0 + 8, x0:x0 + 8], ci
                         )
-    data = bw.flush()
+    chunks.append(bw.flush())
+    data = b"".join(chunks)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -837,6 +859,8 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
             0xFFC4,
             bytes([(cls << 4) | dest]) + bytes(bits) + bytes(vals),
         )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
