@@ -313,3 +313,42 @@ def test_stat_hosking_collect_guarded(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MAX_DRIVER_ROWS", "3")
     with _pytest.raises(DriverMaterializationError, match="roll-up"):
         QUERIES["stat_hosking"](spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Driver correctness-window rotation (VERDICT r4 next-round #1)
+# ---------------------------------------------------------------------------
+
+
+def test_registry_rotation_deprioritizes_freshest_driver_green():
+    """all_queries()/all_oracle_sql() must put queries whose driver-green
+    is stalest FIRST so the driver's 50-slot sweep window cycles the
+    whole registry every 2 rounds, flagship pinned at slot 0, and the
+    two dicts must agree on relative order."""
+    from var_elasticnet_bigdata_spark.queries import (
+        _last_driver_green,
+        all_oracle_sql,
+        all_queries,
+    )
+
+    q = list(all_queries())
+    o = list(all_oracle_sql())
+    oset = set(o)
+    assert [k for k in q if k in oset] == o
+    assert q[0] == "flagship_quarterly_revenue_growth"
+    green = _last_driver_green()
+    if not green:  # fresh checkout: static fallback order, nothing to rotate
+        return
+    rounds = [green.get(k, -1) for k in q[1:]]
+    assert rounds == sorted(rounds), "staleness order must be ascending"
+
+
+def test_registry_rotation_fallback_without_artifacts(monkeypatch):
+    """With no CORRECTNESS artifacts readable, ordering falls back to the
+    static _PRIORITY list and never raises."""
+    import var_elasticnet_bigdata_spark.queries as Q
+
+    monkeypatch.setattr(Q, "_last_driver_green", lambda: {})
+    q = list(Q.all_queries())
+    assert q[0] == "flagship_quarterly_revenue_growth"
+    assert len(q) == len(set(q))

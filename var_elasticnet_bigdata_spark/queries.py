@@ -5659,12 +5659,17 @@ def j6_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The driver's per-round correctness sweep may cap how many queries it
-# reaches (round 2 stopped at 50 of 83, leaving the entire ML/ANN/text
-# tail unchecked in CORRECTNESS_r02.json). Order the registry so the
-# highest-risk hash-gated ML/ANN/pipeline twins register FIRST, the
-# plain relational spine last — every query still registers, only the
-# iteration order changes, and tools/check_oracle.py always runs all.
+# The driver's per-round correctness sweep caps how many queries it
+# reaches (50 of 99 in r4). Order the registry so the sweep window
+# rotates: the FRESHEST driver-green queries go LAST, the stalest (or
+# never-driver-checked) go FIRST, flagship always at slot 0. The
+# staleness map is read from the CORRECTNESS_r*.json artifacts the
+# driver itself writes into the repo root, so the rotation is
+# self-maintaining round over round: whatever round N covered is
+# deprioritized in round N+1 and the 50-slot window cycles the full
+# registry every ceil(99/50)=2 rounds (VERDICT r4 next-round #1).
+# _PRIORITY is the static fallback order when no artifacts are
+# readable (fresh checkout, tests).
 _PRIORITY = [
     "flagship_quarterly_revenue_growth",
     # round-4 additions FIRST: they have never appeared in a driver
@@ -5729,7 +5734,54 @@ _PRIORITY = [
 ]
 
 
+def _last_driver_green() -> dict[str, int]:
+    """Map query name -> most recent round whose driver CORRECTNESS
+    artifact recorded it fully green (rows+schema+hash). Empty dict if
+    no artifacts are readable (fresh checkout)."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+    from pathlib import Path as _Path
+
+    root = _Path(__file__).resolve().parent.parent
+    out: dict[str, int] = {}
+    for art in sorted(_glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)\.json$", art)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(art) as fh:
+                data = _json.load(fh)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            if (
+                isinstance(res, dict)
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+            ):
+                out[name] = max(out.get(name, -1), rnd)
+    return out
+
+
 def _ordered(d: dict) -> dict:
+    green = _last_driver_green()
+    if green:
+        # Flagship first (it is the smoke-checked entry and must always
+        # be in-window), then ascending staleness: never-driver-checked
+        # (-1) before oldest-green before freshest-green. Ties break on
+        # the name so QUERIES and ORACLE (whose insertion orders differ
+        # because non-SQL ops have no oracle) sort identically.
+        flag = "flagship_quarterly_revenue_growth"
+
+        def key(k: str):
+            return (k != flag, green.get(k, -1), k)
+
+        return {k: d[k] for k in sorted(d, key=key)}
     head = {k: d[k] for k in _PRIORITY if k in d}
     return head | {k: v for k, v in d.items() if k not in head}
 
