@@ -542,3 +542,40 @@ def test_incremental_near_dup_matches_full_run(spark):
     surv3, store3 = incremental_near_dup(extra, store2, threshold=0.5)
     assert surv3.count() == 0
     assert store3.count() == store2.count()
+
+
+def test_incremental_near_dup_dropped_store_doc_does_not_drop_batch(spark):
+    """Jaccard is non-transitive: a batch doc whose ONLY near-dup is a
+    store doc that phase 1 itself dropped must SURVIVE — the operator
+    compares the batch against store survivors only, and the DuckDB
+    oracle (queries.py dedup_incremental) replays the same two-phase
+    rule (ADVICE r4). The control run proves the batch↔dropped pair IS
+    detectable by this LSH config, so survival is not vacuous."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+
+    def block(prefix):
+        return " ".join(f"{prefix}{i}" for i in range(50))
+
+    P, Q, R, T = (block(p) for p in ("p", "q", "r", "t"))
+    # S=P+Q, D=P+R: J≈0.32; B=R+T: J(B,D)≈0.32, J(B,S)=0
+    docs = spark.createDataFrame(
+        [(0, f"{P} {Q}"), (1, f"{P} {R}"), (10, f"{R} {T}")],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.3, num_hashes=16, bands=16, rows_per_band=1)
+
+    # control: full single-phase run over the union drops BOTH 1 and 10
+    full, _ = incremental_near_dup(docs, None, **kw)
+    assert sorted(r.doc_id for r in full.select("doc_id").collect()) == [0]
+
+    old = docs.filter(F.col("doc_id") < 10)
+    new = docs.filter(F.col("doc_id") >= 10)
+    surv1, store1 = incremental_near_dup(old, None, **kw)
+    assert sorted(r.doc_id for r in surv1.select("doc_id").collect()) == [0]
+    surv2, store2 = incremental_near_dup(new, store1, **kw)
+    # D (id 1) was dropped from the store, so B (id 10) has no live
+    # near-dup and must survive; the store gains its signature row
+    assert sorted(r.doc_id for r in surv2.select("doc_id").collect()) == [10]
+    assert sorted(r.doc_id for r in store2.select("doc_id").collect()) == [0, 10]

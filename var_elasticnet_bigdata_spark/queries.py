@@ -5331,12 +5331,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against the store (band join) and themselves (bucket
     expansion). Output: every surviving doc with its phase.
 
-    The DuckDB twin replays the FULL greedy drop-higher-id run over
-    the union — by the append-only invariant (batch ids > store ids,
-    store pair-free) the incremental path must produce EXACTLY that
-    survivor set, so the hash gate pins the production shortcut
-    against the batch semantics (equivalence also unit-pinned in
-    tests/test_dedup_similarity.py)."""
+    The DuckDB twin replays the TWO-PHASE semantics exactly (ADVICE
+    r4): phase 1 drops higher-id near-dups within the store, phase 2
+    drops a batch doc only for a near-dup with a store SURVIVOR or a
+    lower-id batch doc — a batch doc matching only a phase-1-DROPPED
+    store doc survives in both engines (Jaccard is non-transitive,
+    so the full-union greedy run would diverge there). The one
+    remaining precondition is the hot-bucket star cap (star_over =
+    1024): the oracle expands buckets all-pairs, so the gate assumes
+    no band bucket exceeds 1024 docs — at sf0.01/0.1 the largest
+    bucket is ≪ 100 (unit-pinned cap behaviour in
+    tests/test_dedup_similarity.py covers the capped regime)."""
     from .operators.dedup import incremental_near_dup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5372,17 +5377,29 @@ def _register_dedup_incremental_oracle() -> None:
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
                                  AND a.doc_id < b.doc_id),
-        drops AS (
-          SELECT DISTINCT c.id_b
+        ver AS (
+          SELECT c.id_a, c.id_b
           FROM cand c
           JOIN s sa ON sa.doc_id = c.id_a
           JOIN s sb ON sb.doc_id = c.id_b
           WHERE ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                      / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5)
+                      / len(list_distinct(sa.sh || sb.sh)), 6) >= 0.5),
+        -- phase 1: dedup the store against itself (drop-higher-id)
+        drops1 AS (
+          SELECT DISTINCT id_b FROM ver WHERE id_a < 250 AND id_b < 250),
+        -- phase 2: a batch doc drops on a near-dup with a store
+        -- SURVIVOR or a lower-id batch doc; matches against
+        -- phase-1-dropped store docs do NOT drop it
+        drops2 AS (
+          SELECT DISTINCT id_b FROM ver
+          WHERE id_b >= 250
+            AND (id_a >= 250
+                 OR id_a NOT IN (SELECT id_b FROM drops1)))
         SELECT doc_id,
                CASE WHEN doc_id < 250 THEN 'store' ELSE 'batch' END AS phase
         FROM documents
-        WHERE doc_id NOT IN (SELECT id_b FROM drops)
+        WHERE (doc_id < 250 AND doc_id NOT IN (SELECT id_b FROM drops1))
+           OR (doc_id >= 250 AND doc_id NOT IN (SELECT id_b FROM drops2))
     """
 
 
