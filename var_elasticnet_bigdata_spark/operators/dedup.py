@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.cachereg import swap_cache
+
 # fixed MinHash permutation coefficients (numpy default_rng(777))
 MINHASH_P = 2147483647  # 2^31 − 1
 MINHASH_A = [
@@ -287,9 +289,6 @@ def bucket_pair_expr(star_over: int | None) -> str:
     )
 
 
-_last_shingle_cache: DataFrame | None = None
-
-
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -309,19 +308,10 @@ def jaccard_pairs(
         # both join sides read the shingle frame — persist it so the
         # normalize→shingle→md5 pipeline runs ONCE per doc, not once
         # per side. The cache must outlive this call (the returned
-        # plan is lazy), so it cannot be unpersisted here; instead
-        # each call releases the PREVIOUS call's cache, bounding a
-        # long-lived session to one live shingle cache instead of one
-        # per call (ADVICE r3). ``spark.catalog.clearCache()`` also
-        # frees it at any time.
-        global _last_shingle_cache
-        if _last_shingle_cache is not None:
-            try:
-                _last_shingle_cache.unpersist()
-            except Exception:
-                pass
-        sh = sh.persist()
-        _last_shingle_cache = sh
+        # plan is lazy), so it cannot be unpersisted here; the
+        # session-keyed registry instead releases the PREVIOUS call's
+        # cache (ADVICE r3; plans/cachereg.py).
+        sh = swap_cache("dedup.jaccard_shingles", sh)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if candidates is not None:
@@ -618,9 +608,6 @@ def fuzzy_near_dup_pairs(
     )
 
 
-_last_incr_cache: DataFrame | None = None
-
-
 def incremental_near_dup(
     batch: DataFrame,
     store: DataFrame | None,
@@ -664,28 +651,21 @@ def incremental_near_dup(
     candidate id only. The store is append-only — no old-corpus
     recompute, no doc×doc anywhere.
     """
-    global _last_incr_cache
-    if _last_incr_cache is not None:
-        try:  # one live cache per session, like jaccard_pairs.
-            # Deliberately ALSO evicted when the next call's store
-            # derives from this batch: lineage recomputes the store
-            # correctly, and a two-deep cache window was MEASURED 3×
-            # slower on the two-phase dedup_incremental query (9.5 s
-            # vs 3.3 s at sf0.1 — cached InMemoryRelations block
-            # AQE/pushdown on the store side; recompute wins).
-            _last_incr_cache.unpersist()
-        except Exception:
-            pass
-    sigged = (
-        with_shingle_hashes(batch, n, text_col=text_col)
-        .select(
+    # one live cache per (session, slot) via the registry — the
+    # PREVIOUS batch's cache is deliberately ALSO evicted when this
+    # call's store derives from it: lineage recomputes the store
+    # correctly, and a two-deep cache window was MEASURED 3× slower
+    # on the two-phase dedup_incremental query (9.5 s vs 3.3 s at
+    # sf0.1 — cached InMemoryRelations block AQE/pushdown on the
+    # store side; recompute wins).
+    sigged = swap_cache(
+        "dedup.incremental_sigs",
+        with_shingle_hashes(batch, n, text_col=text_col).select(
             F.col(id_col),
             F.expr(_sig_expr(num_hashes)).alias("sig"),
             F.col("__sh").alias("sh"),
-        )
-        .persist()
+        ),
     )
-    _last_incr_cache = sigged
 
     def banded(frame: DataFrame) -> DataFrame:
         return frame.select(
