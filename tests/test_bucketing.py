@@ -117,3 +117,80 @@ def test_plain_parquet_read_loses_buckets(spark, bucketed_pair, tmp_path):
         assert "Exchange" in plan
     finally:
         _restore(spark, old)
+
+
+def test_incremental_near_dup_bucketed_store(spark, tmp_path):
+    """VERDICT r4 #3: the persisted signature store must (a) give the
+    same survivors as the DataFrame-store path batch for batch, and
+    (b) be read already-partitioned — NO Exchange between the store
+    scans and their joins; only the new batch shuffles."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_near_dup,
+        incremental_near_dup_bucketed,
+    )
+    from var_elasticnet_bigdata_spark.plans.inspect import scan_ancestry
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet cyan magenta black",
+        "spark duck table query shuffle join window filter scan sort",
+    ]
+    rows = []
+    rid = 0
+    for b in base:
+        rows.append((rid, b)); rid += 1
+        rows.append((rid, b + " extra")); rid += 1
+        rows.append((rid, " ".join(reversed(b.split())))); rid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [
+        docs.filter(F.col("doc_id") < 4),
+        docs.filter((F.col("doc_id") >= 4) & (F.col("doc_id") < 8)),
+        docs.filter(F.col("doc_id") >= 8),
+    ]
+    spark.sql("DROP TABLE IF EXISTS ibs__bands")
+    spark.sql("DROP TABLE IF EXISTS ibs__sigs")
+    try:
+        store = None
+        for i, b in enumerate(batches):
+            ref, store = incremental_near_dup(b, store, threshold=0.5)
+            got = incremental_near_dup_bucketed(
+                b, "ibs", threshold=0.5, buckets=4, path=str(tmp_path)
+            )
+            assert sorted(r.doc_id for r in got.collect()) == sorted(
+                r.doc_id for r in ref.collect()
+            ), f"batch {i} diverged"
+        # store now holds every survivor's rows exactly once
+        n_surv = spark.table("ibs__sigs").count()
+        assert n_surv == store.count()
+
+        # plan shape: store side of the band join and of the shingle
+        # lookup must reach its join with no Exchange above the scan
+        old = _no_broadcast(spark)
+        try:
+            probe = spark.createDataFrame(
+                [(100, "0:abc")], "doc_id long, bk string"
+            )
+            j = (
+                read_bucketed(spark, "ibs__bands")
+                .select(F.col("doc_id").alias("id_a"), "bk")
+                .join(
+                    probe.select(F.col("doc_id").alias("id_b"), "bk"), "bk"
+                )
+            )
+            anc = scan_ancestry(j, r"ibs__bands")
+            assert not any(a.startswith("Exchange") for a in anc), anc
+
+            cand = spark.createDataFrame([(0,)], "id_a long")
+            j2 = (
+                read_bucketed(spark, "ibs__sigs")
+                .select(F.col("doc_id").alias("id_a"), "sh")
+                .join(cand, "id_a")
+            )
+            anc2 = scan_ancestry(j2, r"ibs__sigs")
+            assert not any(a.startswith("Exchange") for a in anc2), anc2
+        finally:
+            _restore(spark, old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ibs__bands")
+        spark.sql("DROP TABLE IF EXISTS ibs__sigs")

@@ -739,6 +739,152 @@ def incremental_near_dup(
     return survivors, new_store
 
 
+def incremental_near_dup_bucketed(
+    batch: DataFrame,
+    store_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    star_over: int | None = 1024,
+    buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """``incremental_near_dup`` against a PERSISTED, BUCKETED
+    signature store (VERDICT r4 next-round #3): the append-only store
+    lives as two catalog tables written once per batch —
+
+    - ``{store_name}__bands``: ``(bk, id_col)``, bucketed on ``bk``
+      (the band key ``band_idx:band_hash``), so the per-batch
+      candidate band join reads the store already partitioned on the
+      join key: ZERO Exchange on the store side, only the (small) new
+      batch shuffles (asserted in tests/test_bucketing.py).
+    - ``{store_name}__sigs``: ``(id_col, sig, sh)``, bucketed on
+      ``id_col``, so the Jaccard-verify shingle lookup for store-side
+      candidates is likewise exchange-free on the store scan.
+
+    At 100 TB this is the difference between re-shuffling the whole
+    accepted corpus's band rows on EVERY crawl batch and shuffling
+    only the batch: the store pays its partitioning once, at append
+    time, with the same fixed ``buckets`` contract every batch writes.
+
+    Semantics are identical to ``incremental_near_dup`` (same
+    candidate rule, same exact-shingle verify, same drop rule;
+    equivalence pinned in tests/test_bucketing.py). Returns the batch
+    SURVIVORS and appends their band/signature rows to the store
+    tables (creating them on first call — ``path`` roots the external
+    location, else ``spark.sql.warehouse.dir``). Unlike the
+    DataFrame-store variant this call is EAGER: the append is an
+    action, so the survivors are computed exactly once and the
+    returned frame re-reads nothing from the batch lineage.
+    """
+    spark = batch.sparkSession
+    bands_t = f"{store_name}__bands"
+    sigs_t = f"{store_name}__sigs"
+    exists = spark.catalog.tableExists(sigs_t)
+
+    sigged = swap_cache(
+        "dedup.incremental_bucketed_sigs",
+        with_shingle_hashes(batch, n, text_col=text_col).select(
+            F.col(id_col),
+            F.expr(_sig_expr(num_hashes)).alias("sig"),
+            F.col("__sh").alias("sh"),
+        ),
+    )
+    bk = (
+        f"transform(sequence(0, {bands - 1}), b -> concat_ws(':', b,"
+        f" md5(concat_ws(',', slice(sig, b*{rows_per_band}+1, {rows_per_band})))))"
+    )
+    new_bands = sigged.select(
+        F.col(id_col), F.explode(F.expr(bk)).alias("bk")
+    )
+    in_batch = (
+        new_bands.groupBy("bk")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(bucket_pair_expr(star_over))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    b_side = sigged.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+
+    def _verify(cand: DataFrame, a_side: DataFrame) -> DataFrame:
+        return (
+            cand.join(a_side, "id_a")
+            .join(b_side, "id_b")
+            .filter(
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    6,
+                )
+                >= threshold
+            )
+            .select("id_b")
+        )
+
+    a_batch = sigged.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    dropped = _verify(in_batch.distinct(), a_batch)
+    if exists:
+        # store side of BOTH joins is bucketed on the join key: the
+        # band join clusters on bk, the shingle lookup on id — no
+        # store-side Exchange (scan_ancestry-asserted in tests)
+        vs_store = (
+            spark.table(bands_t)
+            .select(F.col(id_col).alias("id_a"), "bk")
+            .join(new_bands.select(F.col(id_col).alias("id_b"), "bk"), "bk")
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a_store = spark.table(sigs_t).select(
+            F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+        )
+        dropped = dropped.unionByName(_verify(vs_store, a_store))
+    # drops must be pinned BEFORE the append below: the plan reads the
+    # store tables, and the append adds this batch's survivors to them
+    # — a lazy re-evaluation after the write would match survivors
+    # against themselves and drop everything. localCheckpoint(eager)
+    # severs the table lineage at pre-append state; the frame is just
+    # the dropped ids, so the materialization is small.
+    drops = (
+        dropped.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    surv_rows = sigged.join(drops, id_col, "left_anti")
+
+    from ..sources.bucketing import write_bucketed
+
+    mode = "append" if exists else "overwrite"
+    write_bucketed(
+        surv_rows.select(id_col, F.explode(F.expr(bk)).alias("bk")).select(
+            "bk", id_col
+        ),
+        bands_t,
+        "bk",
+        buckets=buckets,
+        sort_cols="bk",
+        path=None if path is None else f"{path}/{bands_t}",
+        mode=mode,
+    )
+    write_bucketed(
+        surv_rows.select(id_col, "sig", "sh"),
+        sigs_t,
+        id_col,
+        buckets=buckets,
+        sort_cols=id_col,
+        path=None if path is None else f"{path}/{sigs_t}",
+        mode=mode,
+    )
+    return batch.join(drops, id_col, "left_anti")
+
+
 def _sig_expr(num_hashes: int) -> str:
     """MinHash signature over a staged ``__sh`` column as one
     zip_with loop (see curation._sig_from_shingles — identical

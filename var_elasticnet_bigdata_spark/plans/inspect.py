@@ -70,3 +70,39 @@ def assert_scan_pruned(
             f"scan reads {widest} columns (> {max_read_cols}) of {table_cols}: "
             f"column pruning failed; schemas={schemas}"
         )
+
+
+def scan_ancestry(df: DataFrame, table_pattern: str) -> list[str]:
+    """Plan-node descriptions on the path from the first scan whose
+    line matches ``table_pattern`` (regex) UP to the plan root,
+    nearest-first. Lets tests assert shuffle-elimination precisely:
+    "no Exchange between the bucketed store scan and its join" rather
+    than "no Exchange anywhere" (the other join side legitimately
+    shuffles)."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    lines = text.splitlines()
+
+    def marker(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1  # -1 = root depth
+
+    target = None
+    for i, ln in enumerate(lines):
+        if re.search(table_pattern, ln):
+            target = i
+            break
+    if target is None:
+        raise AssertionError(
+            f"no plan line matches {table_pattern!r}:\n{text}"
+        )
+    out: list[str] = []
+    depth = marker(lines[target])
+    for i in range(target - 1, -1, -1):
+        d = marker(lines[i])
+        if d < depth:
+            body = lines[i][d + 3 :] if d >= 0 else lines[i]
+            out.append(body.strip())
+            depth = d
+            if d == -1:
+                break
+    return out
