@@ -388,3 +388,34 @@ def test_jpeg_restart_markers_resync():
     sub_plain = decode_jpeg(encode_jpeg(img, subsample=True))
     sub_rst = decode_jpeg(encode_jpeg(img, subsample=True, restart_interval=2))
     assert np.array_equal(sub_rst, sub_plain)
+
+
+def test_jpeg_dqt_bytes_are_zigzag_scanned_annex_k():
+    """T.81 B.2.4.1: DQT Qk bytes are in zigzag scan order. The
+    effective weighting must be the DOCUMENTED Annex-K q50 tables —
+    self-round-trip alone cannot catch a permuted table (ADVICE r4),
+    so pin the emitted segment bytes directly."""
+    import struct
+
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        _JPEG_QT_CHROMA,
+        _JPEG_QT_LUMA,
+        _JPEG_ZIGZAG,
+        encode_jpeg,
+    )
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    buf = encode_jpeg(img)
+    tables = {}
+    i = 2
+    while i < len(buf) - 1:
+        marker, ln = struct.unpack(">HH", buf[i : i + 4])
+        if marker == 0xFFDA:
+            break
+        if marker == 0xFFDB:
+            body = buf[i + 4 : i + 2 + ln]
+            tables[body[0] & 0x0F] = list(body[1:65])
+        i += 2 + ln
+    assert set(tables) == {0, 1}
+    assert tables[0] == [_JPEG_QT_LUMA[z] for z in _JPEG_ZIGZAG]
+    assert tables[1] == [_JPEG_QT_CHROMA[z] for z in _JPEG_ZIGZAG]

@@ -762,9 +762,15 @@ def encode_jpeg(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
         comp_planes.append(p)
-    qts = [np.array(_JPEG_QT_LUMA, dtype=np.float64)]
+    # zigzag-SCAN the Annex-K tables (they are natural/row-major
+    # order): the quantize below divides zigzag-ordered coefficients,
+    # and T.81 B.2.4.1 wants the DQT Qk bytes in zigzag order too —
+    # the decoder multiplies them straight into the zigzag stream
+    # (ADVICE r4: without the scan, weighting was permuted vs the
+    # documented Annex-K q50, self-consistently but wrongly)
+    qts = [np.array(_JPEG_QT_LUMA, dtype=np.float64)[_JPEG_ZIGZAG]]
     if ncomp == 3:
-        qts.append(np.array(_JPEG_QT_CHROMA, dtype=np.float64))
+        qts.append(np.array(_JPEG_QT_CHROMA, dtype=np.float64)[_JPEG_ZIGZAG])
     B = _dct_basis()
     bw = _BitWriter()
     dc_tabs = [_huff_codes(*_JPEG_DC_LUMA), _huff_codes(*_JPEG_DC_CHROMA)]
