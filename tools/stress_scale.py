@@ -93,10 +93,53 @@ def main() -> None:
 
     base = run(SRC)
     big = run(replica)
-    print(json.dumps({"k": k, "base": base, f"x{k}": big}))
+
+    # Recall floor (VERDICT r4 stretch #8): IVF's speed at scale must
+    # never silently come from dropped recall. Compare the ACHIEVED
+    # top-1 cosine per query vector against the exact brute-force
+    # answer at the replica scale — cosine-based, not neighbor-id
+    # equality, because the K× replica gives every vector K−1 exact
+    # duplicates and id tie-breaks would understate true recall.
+    recall = None
+    if "ann_ivf_fixed" in family and "ann_top1_cosine" in family:
+        from pyspark.sql import functions as F
+
+        from var_elasticnet_bigdata_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+            seed_centroids,
+        )
+
+        e = load_table(spark, replica, "embeddings")
+        ex = cosine_topk(e, k=1).select(
+            "vec_id", F.col("cosine").alias("c_exact")
+        )
+        C = seed_centroids(e, nlist=16)
+        iv = ivf_topk(e, k=1, nlist=16, nprobe=4, centroids=C).select(
+            "vec_id", F.col("cosine").alias("c_ivf")
+        )
+        j = ex.join(iv, "vec_id")
+        hits = j.agg(
+            F.sum(
+                (F.col("c_ivf") >= F.col("c_exact") - F.lit(1e-6)).cast("long")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        recall = hits.h / hits.n
+        spark.catalog.clearCache()
+
+    print(json.dumps(
+        {"k": k, "base": base, f"x{k}": big, "recall_at_1": recall}
+    ))
     for name in family:
         g = big[name] / max(base[name], 0.01)
         print(f"{name:28s} {base[name]:7.2f} -> {big[name]:7.2f}  ({g:.1f}x)")
+    if recall is not None:
+        print(f"IVF recall@1 vs exact at x{k}: {recall:.4f} (floor 0.95)")
+        if recall < 0.95:
+            raise SystemExit(
+                f"IVF recall@1 {recall:.4f} below the 0.95 floor at x{k}"
+            )
 
 
 if __name__ == "__main__":
