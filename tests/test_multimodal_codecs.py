@@ -329,11 +329,17 @@ def test_jpeg_rejects_progressive_truncated_corrupt():
     )
 
     enc = bytearray(encode_jpeg(_gradient(8, 8)))
-    # flip SOF0 (0xFFC0) to SOF2 (progressive) -> loud rejection
+    # flip SOF0 (0xFFC0) to SOF2: the baseline full-band scan header
+    # (Ss=0, Se=63) is ILLEGAL inside a progressive frame -> loud
+    # rejection, not a silent misdecode
     i = bytes(enc).find(b"\xff\xc0")
     prog = enc[:i] + b"\xff\xc2" + enc[i + 2:]
-    with _pytest.raises(ValueError, match="baseline only"):
+    with _pytest.raises(ValueError, match="DC band"):
         decode_jpeg(bytes(prog))
+    # genuinely unsupported frame types still reject loudly
+    loss = enc[:i] + b"\xff\xc3" + enc[i + 2:]
+    with _pytest.raises(ValueError, match="unsupported JPEG frame"):
+        decode_jpeg(bytes(loss))
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(enc[: len(enc) // 3]))  # truncated
     with _pytest.raises(ValueError):
@@ -419,3 +425,60 @@ def test_jpeg_dqt_bytes_are_zigzag_scanned_annex_k():
     assert set(tables) == {0, 1}
     assert tables[0] == [_JPEG_QT_LUMA[z] for z in _JPEG_ZIGZAG]
     assert tables[1] == [_JPEG_QT_CHROMA[z] for z in _JPEG_ZIGZAG]
+
+
+def test_jpeg_progressive_decode_matches_baseline_exactly():
+    """Progressive scans carry the SAME quantized coefficients as the
+    baseline scan, split across DC/AC bands and two successive-
+    approximation levels — after the final refinement scan the
+    reconstruction must be BYTE-IDENTICAL to the baseline decode of
+    the same image. This pins DC first/refine, per-band AC first
+    (EOB runs, ZRL), and AC refinement (correction bits) end to end,
+    for 4:4:4, 4:2:0, grayscale, and odd dimensions."""
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    cases = [
+        (_gradient(16, 24), False),
+        (_gradient(16, 24), True),
+        (_gradient(17, 13), False),
+        (_gradient(17, 13), True),
+        (_gradient(12, 20, 1)[:, :, 0], False),
+    ]
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    cases.append((noisy, False))  # dense AC spectrum: many new coefs
+    cases.append((noisy, True))
+    flat = np.full((32, 32, 3), 77, dtype=np.uint8)
+    cases.append((flat, False))  # all-EOB: long EOBRUN accumulation
+    for img, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        prog_bytes = encode_jpeg(img, subsample=sub, progressive=True)
+        assert b"\xff\xc2" in prog_bytes
+        prog = decode_jpeg(prog_bytes)
+        assert np.array_equal(prog, base), (img.shape, sub)
+
+
+def test_jpeg_progressive_truncated_and_corrupt_degrade_loudly():
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    enc = encode_jpeg(_gradient(16, 16), progressive=True)
+    with _pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) // 2])  # truncated mid-scan
+    # corrupt one entropy byte of the last AC refinement scan: must
+    # raise (huffman/overrun) or decode to SOME image, never crash
+    # with a non-ValueError
+    body = bytearray(enc)
+    body[-20] ^= 0x55
+    try:
+        out = decode_jpeg(bytes(body))
+        assert out.shape == (16, 16, 3)
+    except ValueError:
+        pass

@@ -624,6 +624,22 @@ _JPEG_AC_CHROMA = (
 )
 
 
+# Progressive AC scans need EOBn symbols (r<<4 for r=1..14), which
+# the baseline Annex-K AC tables do not define. Fixture encoding does
+# not need optimal codes, so the progressive encoder emits this flat
+# 9-bit canonical table covering every AC symbol (EOB0, ZRL, EOBn,
+# and all run/size pairs); the decoder just reads it from DHT.
+_JPEG_AC_PROG_VALS = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_PROG = (
+    [0] * 8 + [len(_JPEG_AC_PROG_VALS)] + [0] * 7,
+    _JPEG_AC_PROG_VALS,
+)
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical Huffman assignment (T.81 C.2): value → (code, length)."""
     out: dict[int, tuple[int, int]] = {}
@@ -715,15 +731,24 @@ class _BitReader:
 
 
 def encode_jpeg(
-    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+    img: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Minimal baseline JPEG encoder (fixture synthesis, like
+    """Minimal JPEG encoder (fixture synthesis, like
     ``encode_png``/``encode_bmp``): 8-bit grayscale or RGB, Annex-K
     quality-50 tables. ``subsample=True`` emits 4:2:0 (2×2-mean
     chroma) and ``restart_interval=N`` emits a DRI segment and RSTn
     markers every N MCUs — so the decoder's upsample and
     restart-resync paths both have same-repo fixtures; defaults are
-    4:4:4 with no restarts."""
+    4:4:4 with no restarts. ``progressive=True`` emits an SOF2
+    progressive stream with a fixed scan script exercising every
+    progressive decode path (interleaved DC first + refine with
+    successive approximation, per-component spectral-selection AC
+    bands at Al=1 then their refinement scans — T.81 Annex G,
+    EOB-run and correction-bit semantics per the spec's G.1.2.2/3);
+    restart_interval is ignored in progressive mode."""
     import struct
 
     a = np.asarray(img, dtype=np.uint8)
@@ -772,80 +797,250 @@ def encode_jpeg(
     if ncomp == 3:
         qts.append(np.array(_JPEG_QT_CHROMA, dtype=np.float64)[_JPEG_ZIGZAG])
     B = _dct_basis()
-    bw = _BitWriter()
     dc_tabs = [_huff_codes(*_JPEG_DC_LUMA), _huff_codes(*_JPEG_DC_CHROMA)]
     ac_tabs = [_huff_codes(*_JPEG_AC_LUMA), _huff_codes(*_JPEG_AC_CHROMA)]
-    pred = [0] * ncomp
+    ac_prog = _huff_codes(*_JPEG_AC_PROG)
 
-    def put_block(blk: np.ndarray, ci: int) -> None:
+    # quantize every 8x8 block up front (zigzag order) — both the
+    # baseline scan and the progressive scan script read from these
+    qcoef: list[np.ndarray] = []
+    for ci in range(ncomp):
+        p = comp_planes[ci]
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
         t = 0 if ci == 0 else 1
-        coef = B @ (blk - 128.0) @ B.T
-        # zigzag THEN quantize with the zigzag-ordered table
-        zz = np.array([coef.flat[_JPEG_ZIGZAG[i]] for i in range(64)])
-        qz = np.rint(zz / qts[t]).astype(int)
-        diff = int(qz[0]) - pred[ci]
-        pred[ci] = int(qz[0])
-        s = _jpeg_category(diff)
-        code, length = dc_tabs[t][s]
-        bw.put(code, length)
-        if s:
-            v = diff if diff > 0 else diff + (1 << s) - 1
-            bw.put(v, s)
-        run = 0
-        last_nz = max([i for i in range(1, 64) if qz[i] != 0], default=0)
-        for i in range(1, 64):
-            if i > last_nz:
-                c, ln = ac_tabs[t][0x00]  # EOB
-                bw.put(c, ln)
-                break
-            v = int(qz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = ac_tabs[t][0xF0]  # ZRL
-                bw.put(c, ln)
-                run -= 16
-            s = _jpeg_category(v)
-            c, ln = ac_tabs[t][(run << 4) | s]
-            bw.put(c, ln)
-            vv = v if v > 0 else v + (1 << s) - 1
-            bw.put(vv, s)
-            run = 0
+        qb = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for yy in range(nby):
+            for xx in range(nbx):
+                coef = B @ (p[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] - 128.0) @ B.T
+                zz = coef.flatten()[_JPEG_ZIGZAG]
+                qb[yy, xx] = np.rint(zz / qts[t]).astype(np.int64)
+        qcoef.append(qb)
 
-    chunks: list[bytes] = []
-    mcu_count = 0
-    rst_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                # close the entropy segment, emit RSTn (cycling 0-7),
-                # reset the DC predictors — T.81 restart semantics
-                chunks.append(bw.flush())
-                chunks.append(struct.pack(">H", 0xFFD0 + rst_idx))
-                rst_idx = (rst_idx + 1) % 8
-                bw.__init__()
+    def put_amp(bw: _BitWriter, v: int, s: int) -> None:
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+
+    def emit_baseline() -> bytes:
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        chunks: list[bytes] = []
+        mcu_count = 0
+        rst_idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    # close the entropy segment, emit RSTn (cycling
+                    # 0-7), reset the DC predictors — T.81 restart
+                    # semantics
+                    chunks.append(bw.flush())
+                    chunks.append(struct.pack(">H", 0xFFD0 + rst_idx))
+                    rst_idx = (rst_idx + 1) % 8
+                    bw = _BitWriter()
+                    pred = [0] * ncomp
+                mcu_count += 1
                 for ci in range(ncomp):
-                    pred[ci] = 0
-            mcu_count += 1
-            for ci in range(ncomp):
-                hi, vi = samp[ci]
-                for vy in range(vi):
-                    for vx in range(hi):
-                        y0 = (my * vi + vy) * 8
-                        x0 = (mx * hi + vx) * 8
-                        put_block(
-                            comp_planes[ci][y0:y0 + 8, x0:x0 + 8], ci
-                        )
-    chunks.append(bw.flush())
-    data = b"".join(chunks)
+                    hi, vi = samp[ci]
+                    t = 0 if ci == 0 else 1
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            qz = qcoef[ci][my * vi + vy, mx * hi + vx]
+                            diff = int(qz[0]) - pred[ci]
+                            pred[ci] = int(qz[0])
+                            s = _jpeg_category(diff)
+                            code, length = dc_tabs[t][s]
+                            bw.put(code, length)
+                            if s:
+                                put_amp(bw, diff, s)
+                            run = 0
+                            last_nz = max(
+                                [i for i in range(1, 64) if qz[i] != 0],
+                                default=0,
+                            )
+                            for i in range(1, 64):
+                                if i > last_nz:
+                                    c, ln = ac_tabs[t][0x00]  # EOB
+                                    bw.put(c, ln)
+                                    break
+                                v = int(qz[i])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    c, ln = ac_tabs[t][0xF0]  # ZRL
+                                    bw.put(c, ln)
+                                    run -= 16
+                                s = _jpeg_category(v)
+                                c, ln = ac_tabs[t][(run << 4) | s]
+                                bw.put(c, ln)
+                                put_amp(bw, v, s)
+                                run = 0
+        chunks.append(bw.flush())
+        return b"".join(chunks)
+
+    # --- progressive scan emitters (T.81 Annex G) ---
+
+    def emit_dc_first(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    t = 0 if ci == 0 else 1
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            # point transform: arithmetic shift (floor
+                            # for negatives — matches the decoder's
+                            # two's-complement refinement OR)
+                            dc = int(qcoef[ci][my * vi + vy, mx * hi + vx][0]) >> al
+                            diff = dc - pred[ci]
+                            pred[ci] = dc
+                            s = _jpeg_category(diff)
+                            code, length = dc_tabs[t][s]
+                            bw.put(code, length)
+                            if s:
+                                put_amp(bw, diff, s)
+        return bw.flush()
+
+    def emit_dc_refine(al: int) -> bytes:
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            dc = int(qcoef[ci][my * vi + vy, mx * hi + vx][0])
+                            bw.put((dc >> al) & 1, 1)
+        return bw.flush()
+
+    def _true_blocks(ci: int) -> tuple[int, int]:
+        hi, vi = samp[ci]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def emit_ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        t = 0 if ci == 0 else 1
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_prog[nb << 4]
+                bw.put(c, ln)
+                if nb:
+                    bw.put(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        by_t, bx_t = _true_blocks(ci)
+        for yy in range(by_t):
+            for xx in range(bx_t):
+                qz = qcoef[ci][yy, xx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(qz[k])
+                    mag = abs(v) >> al
+                    if mag == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        c, ln = ac_prog[0xF0]
+                        bw.put(c, ln)
+                        r -= 16
+                    s = mag.bit_length()
+                    c, ln = ac_prog[(r << 4) | s]
+                    bw.put(c, ln)
+                    bw.put(mag if v > 0 else (~mag) & ((1 << s) - 1), s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    def emit_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        t = 0 if ci == 0 else 1
+        eobrun = 0
+        be_bits: list[int] = []  # correction bits owed after next EOB
+
+        def flush_eob() -> None:
+            nonlocal eobrun, be_bits
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_prog[nb << 4]
+                bw.put(c, ln)
+                if nb:
+                    bw.put(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+                for bit in be_bits:
+                    bw.put(bit, 1)
+                be_bits = []
+
+        by_t, bx_t = _true_blocks(ci)
+        for yy in range(by_t):
+            for xx in range(bx_t):
+                qz = qcoef[ci][yy, xx]
+                absv = [abs(int(qz[k])) >> al for k in range(ss, se + 1)]
+                eob_k = ss - 1  # last NEWLY-nonzero position
+                for k in range(ss, se + 1):
+                    if absv[k - ss] == 1:
+                        eob_k = k
+                r = 0
+                br_bits: list[int] = []  # this block's correction bits
+                for k in range(ss, se + 1):
+                    temp = absv[k - ss]
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_k:
+                        flush_eob()
+                        c, ln = ac_prog[0xF0]
+                        bw.put(c, ln)
+                        r -= 16
+                        for bit in br_bits:
+                            bw.put(bit, 1)
+                        br_bits = []
+                    if temp > 1:
+                        # history-nonzero coefficient: buffered
+                        # correction bit, emitted after the next
+                        # symbol (G.1.2.3)
+                        br_bits.append(temp & 1)
+                        continue
+                    flush_eob()
+                    c, ln = ac_prog[(r << 4) | 1]
+                    bw.put(c, ln)
+                    bw.put(1 if int(qz[k]) > 0 else 0, 1)
+                    for bit in br_bits:
+                        bw.put(bit, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be_bits.extend(br_bits)
+                    if eobrun == 0x7FFF or len(be_bits) > 900:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
 
     out = bytearray(b"\xff\xd8")  # SOI
     for tid, q in enumerate(qts):
@@ -854,10 +1049,15 @@ def encode_jpeg(
     for ci in range(ncomp):
         hi, vi = samp[ci]
         comp_spec += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec)
+    out += seg(
+        0xFFC2 if progressive else 0xFFC0,
+        struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec,
+    )
+    ac_luma_tab = _JPEG_AC_PROG if progressive else _JPEG_AC_LUMA
+    ac_chroma_tab = _JPEG_AC_PROG if progressive else _JPEG_AC_CHROMA
     for tid, (cls, tab) in enumerate(
-        [(0, _JPEG_DC_LUMA), (1, _JPEG_AC_LUMA)]
-        + ([(0, _JPEG_DC_CHROMA), (1, _JPEG_AC_CHROMA)] if ncomp == 3 else [])
+        [(0, _JPEG_DC_LUMA), (1, ac_luma_tab)]
+        + ([(0, _JPEG_DC_CHROMA), (1, ac_chroma_tab)] if ncomp == 3 else [])
     ):
         dest = 0 if tid < 2 else 1
         bits, vals = tab
@@ -865,25 +1065,72 @@ def encode_jpeg(
             0xFFC4,
             bytes([(cls << 4) | dest]) + bytes(bits) + bytes(vals),
         )
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
-    out += data
+    if progressive:
+        # fixed scan script: DC first (Al=1, interleaved) → DC refine
+        # → per-component AC bands 1-5 / 6-63 at Al=1 → their Al=0
+        # refinement scans. Exercises spectral selection, successive
+        # approximation, EOB runs, and correction bits.
+        all_ids = list(range(ncomp))
+        out += sos(all_ids, 0, 0, 0, 1)
+        out += emit_dc_first(1)
+        out += sos(all_ids, 0, 0, 1, 0)
+        out += emit_dc_refine(0)
+        for ci in range(ncomp):
+            for lo, hi_ in ((1, 5), (6, 63)):
+                out += sos([ci], lo, hi_, 0, 1)
+                out += emit_ac_first(ci, lo, hi_, 1)
+        for ci in range(ncomp):
+            for lo, hi_ in ((1, 5), (6, 63)):
+                out += sos([ci], lo, hi_, 1, 0)
+                out += emit_ac_refine(ci, lo, hi_, 0)
+    else:
+        if restart_interval:
+            out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += sos(list(range(ncomp)), 0, 63, 0, 0)
+        out += emit_baseline()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+def _jpeg_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Consume entropy-coded data from ``start``: strip byte
+    stuffing, split at RSTn markers. Returns (segments, position of
+    the next non-RST marker's 0xFF byte)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF and i + 1 < len(data):
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JPEG decoder (ITU-T T.81; numpy + stdlib —
-    closes the former codec seam): 8-bit grayscale / YCbCr with
-    arbitrary sampling factors (4:4:4, 4:2:0, ...), restart markers.
-    Progressive (SOF2), arithmetic coding, and 12-bit raise
-    ValueError (callers degrade to a status row)."""
+    """JPEG decoder (ITU-T T.81; numpy + stdlib — closes the former
+    codec seam): baseline sequential AND progressive (SOF2) 8-bit
+    grayscale / YCbCr with arbitrary sampling factors (4:4:4, 4:2:0,
+    ...), restart markers, spectral selection + successive
+    approximation with EOB runs and correction bits (Annex G).
+    Arithmetic coding, lossless/hierarchical frames, and 12-bit raise
+    ValueError (callers degrade to a status row).
+
+    All scans accumulate quantized coefficients per component (the
+    baseline scan is just the ss=0..se=63, ah=al=0 special case);
+    dequantize + IDCT happen once at the end."""
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -893,8 +1140,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    progressive = False
     restart = 0
-    scan = None
+    scans: list[dict] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -923,130 +1171,227 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[p + 17:p + 17 + n])
                 (dc_tabs if cls == 0 else ac_tabs)[dest] = _huff_decoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xFFC0 or marker == 0xFFC1:
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            progressive = marker == 0xFFC2
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + ci * 3:9 + ci * 3]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
             frame = (fh, fw, comps)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError(
-                f"unsupported JPEG frame type {marker:#x} (baseline only)"
+                f"unsupported JPEG frame type {marker:#x} "
+                "(baseline/progressive Huffman only)"
             )
         elif marker == 0xFFDD:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
             ns = body[0]
-            scan = []
+            sc = []
             for ci in range(ns):
                 cid, tabs = body[1 + ci * 2:3 + ci * 2]
-                scan.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
-            pos += ln
-            break
+                sc.append({"id": cid, "dc": tabs >> 4, "ac": tabs & 0xF})
+            if len(body) < 1 + ns * 2 + 3:
+                raise ValueError("truncated JPEG scan header")
+            ss = body[1 + ns * 2]
+            se = body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            segments, pos = _jpeg_entropy_segments(payload, pos + ln)
+            scans.append({
+                "comps": sc, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0xF,
+                "segments": segments, "restart": restart,
+            })
+            continue
         pos += ln
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
     if fh == 0 or fw == 0:
         raise ValueError("corrupt JPEG header (zero dimension)")
     by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        s.update(by_id[s["id"]])
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    # entropy data: strip stuffing, split at restart markers
-    data = payload[pos:]
-    segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF and i + 1 < len(data):
-            nxt = data[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            segments.append(bytes(cur))
-            cur = bytearray()
-            break
-        cur.append(b)
-        i += 1
-    if cur:
-        segments.append(bytes(cur))
-    B = _dct_basis()
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in scan
+    # coefficient accumulators, padded to the interleaved MCU grid;
+    # zigzag order, integer (progressive refinement ORs bits in)
+    coef = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
     ]
-    pred = [0] * len(scan)
-    seg_iter = iter(segments)
-    br = _BitReader(next(seg_iter))
-    mcu_in_seg = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_in_seg == restart:
+    comp_idx = {c["id"]: i for i, c in enumerate(comps)}
+
+    def true_blocks(c: dict) -> tuple[int, int]:
+        cw = -(-fw * c["h"] // hmax)
+        ch = -(-fh * c["v"] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+    for scan in scans:
+        sc = scan["comps"]
+        for s in sc:
+            if s["id"] not in by_id:
+                raise ValueError("JPEG scan references unknown component")
+            s.update(by_id[s["id"]])
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        if ss > se or se > 63:
+            raise ValueError("corrupt JPEG spectral selection")
+        if progressive and ss == 0 and se != 0:
+            raise ValueError("corrupt progressive JPEG scan (DC band must be alone)")
+        if ss > 0 and len(sc) != 1:
+            raise ValueError("corrupt JPEG: AC scan must be single-component")
+        needs_dc = ss == 0 and ah == 0
+        needs_ac = se > 0
+        for s in sc:
+            if (needs_dc and s["dc"] not in dc_tabs) or (
+                needs_ac and s["ac"] not in ac_tabs
+            ):
+                raise ValueError("JPEG scan references missing Huffman table")
+            if s["tq"] not in qt:
+                raise ValueError("JPEG component references missing quant table")
+        interleaved = len(sc) > 1
+        if interleaved:
+            nunits = mcux * mcuy
+
+            def unit_blocks(u: int):
+                my, mx = divmod(u, mcux)
+                for s in sc:
+                    ci = comp_idx[s["id"]]
+                    for vy in range(s["v"]):
+                        for vx in range(s["h"]):
+                            yield s, coef[ci][my * s["v"] + vy, mx * s["h"] + vx]
+        else:
+            c0 = sc[0]
+            by_t, bx_t = true_blocks(c0)
+            nunits = by_t * bx_t
+            ci0 = comp_idx[c0["id"]]
+
+            def unit_blocks(u: int):
+                yield c0, coef[ci0][u // bx_t, u % bx_t]
+
+        seg_iter = iter(scan["segments"])
+        br = _BitReader(next(seg_iter))
+        pred = {s["id"]: 0 for s in sc}
+        eobrun = 0
+        units_in_seg = 0
+        rst = scan["restart"]
+        for u in range(nunits):
+            if rst and units_in_seg == rst:
                 br = _BitReader(next(seg_iter, b""))
-                pred = [0] * len(scan)
-                mcu_in_seg = 0
-            mcu_in_seg += 1
-            for ci, c in enumerate(scan):
-                if c["dc"] not in dc_tabs or c["ac"] not in ac_tabs:
-                    raise ValueError("JPEG scan references missing Huffman table")
-                if c["tq"] not in qt:
-                    raise ValueError("JPEG component references missing quant table")
-                for vy in range(c["v"]):
-                    for vx in range(c["h"]):
-                        s = br.huff(dc_tabs[c["dc"]])
-                        if s:
-                            v = br.bits(s)
-                            if v < (1 << (s - 1)):
-                                v -= (1 << s) - 1
-                        else:
-                            v = 0
-                        pred[ci] += v
-                        zz = np.zeros(64)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.huff(ac_tabs[c["ac"]])
-                            if rs == 0x00:  # EOB
+                pred = {s["id"]: 0 for s in sc}
+                eobrun = 0
+                units_in_seg = 0
+            units_in_seg += 1
+            for c, blk in unit_blocks(u):
+                if ss == 0 and ah == 0:
+                    # DC first (progressive) or full baseline block
+                    s = br.huff(dc_tabs[c["dc"]])
+                    v = extend(br.bits(s), s) if s else 0
+                    pred[c["id"]] += v
+                    blk[0] = pred[c["id"]] << al
+                if ss == 0 and ah > 0:
+                    # DC refinement: one raw bit per block
+                    if br.bit():
+                        blk[0] |= 1 << al
+                if needs_ac and ah == 0:
+                    # AC first scan (baseline AC is the al=0,
+                    # never-EOBRUN special case of the same code)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = max(ss, 1)
+                    while k <= se:
+                        rs = br.huff(ac_tabs[c["ac"]])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
                                 break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            s = rs & 0xF
-                            if k > 63:
-                                raise ValueError("JPEG AC index overrun")
-                            v = br.bits(s)
-                            if v < (1 << (s - 1)):
-                                v -= (1 << s) - 1
-                            zz[k] = v
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overrun")
+                        blk[k] = extend(br.bits(s), s) << al
+                        k += 1
+                elif needs_ac:
+                    # AC refinement (G.1.2.3): correction bits for
+                    # history-nonzero coefficients, ±1<<al for new
+                    p1, m1 = 1 << al, -(1 << al)
+                    k = ss
+
+                    def corr_bit(blk, k):
+                        if br.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = br.huff(ac_tabs[c["ac"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                # r == 15: ZRL, skip 16 zero-history
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "corrupt JPEG AC refinement symbol"
+                                    )
+                                v = p1 if br.bit() else m1
+                            while k <= se:
+                                if blk[k] != 0:
+                                    corr_bit(blk, k)
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                            if s:
+                                if k > se:
+                                    raise ValueError("JPEG AC index overrun")
+                                blk[k] = v
                             k += 1
-                        zz *= qt[c["tq"]]
-                        blk = np.zeros(64)
-                        blk[_JPEG_ZIGZAG] = zz
-                        pix = B.T @ blk.reshape(8, 8) @ B + 128.0
-                        y0 = (my * c["v"] + vy) * 8
-                        x0 = (mx * c["h"] + vx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                    if eobrun > 0:
+                        while k <= se:
+                            if blk[k] != 0:
+                                corr_bit(blk, k)
+                            k += 1
+                        eobrun -= 1
+
+    # dequantize + IDCT once, from the accumulated coefficients
+    B = _dct_basis()
     out_planes = []
-    for ci, c in enumerate(scan):
-        p = planes[ci]
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG component references missing quant table")
+        cb = coef[ci]
+        nby, nbx = cb.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for yy in range(nby):
+            for xx in range(nbx):
+                blk = np.zeros(64)
+                blk[_JPEG_ZIGZAG] = cb[yy, xx] * q
+                plane[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] = (
+                    B.T @ blk.reshape(8, 8) @ B + 128.0
+                )
         if c["h"] != hmax or c["v"] != vmax:
-            p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
-        out_planes.append(p[:fh, :fw])
+            plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+                hmax // c["h"], axis=1
+            )
+        out_planes.append(plane[:fh, :fw])
     if len(out_planes) == 1:
         g = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
         return g[:, :, None]
