@@ -194,3 +194,75 @@ def test_incremental_near_dup_bucketed_store(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ibs__bands")
         spark.sql("DROP TABLE IF EXISTS ibs__sigs")
+
+
+def test_contamination_store_exchange_free_and_equivalent(spark, tmp_path):
+    """The persisted benchmark shingle store: (a) contamination_vs_store
+    must agree with the in-flight split_contamination on the same
+    corpus/split, including after an append of extra benchmark docs
+    recomputed as a fresh union run; (b) the store side of the shingle
+    join reaches its join with no Exchange above the bucketed scan."""
+    from var_elasticnet_bigdata_spark.operators.split import (
+        contamination_store_write,
+        contamination_vs_store,
+        hash_split,
+        split_contamination,
+    )
+    from var_elasticnet_bigdata_spark.plans.inspect import scan_ancestry
+
+    rows = [
+        (i, f"tok{i % 7} alpha beta gamma delta epsilon zeta eta theta w{i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = hash_split(docs, "doc_id")
+    spark.sql("DROP TABLE IF EXISTS cstore__shingles")
+    try:
+        contamination_store_write(
+            lab.filter(F.col("split") == "train"), "cstore", n=3,
+            buckets=4, path=str(tmp_path),
+        )
+        got = contamination_vs_store(
+            lab.filter(F.col("split") == "test"), "cstore", n=3
+        )
+        ref = split_contamination(docs, n=3)
+        g = {r.doc_id: (r.n_shingles, r.n_hit) for r in got.collect()}
+        r_ = {r.doc_id: (r.n_shingles, r.n_hit) for r in ref.collect()}
+        assert g == r_
+
+        # append a second benchmark (duplicate shingles allowed) ==
+        # a fresh run over the union
+        extra = spark.createDataFrame(
+            [(1000, "omega psi chi phi upsilon tau sigma rho")],
+            "doc_id long, text string",
+        )
+        contamination_store_write(extra, "cstore", n=3, buckets=4, mode="append")
+        got2 = {
+            r.doc_id: (r.n_shingles, r.n_hit)
+            for r in contamination_vs_store(
+                lab.filter(F.col("split") == "test"), "cstore", n=3
+            ).collect()
+        }
+        union_lab = hash_split(docs.unionByName(extra), "doc_id").withColumn(
+            "split",
+            F.when(F.col("doc_id") == 1000, "train").otherwise(F.col("split")),
+        )
+        union_ref = split_contamination(union_lab, n=3, split_col="split")
+        u = {r.doc_id: (r.n_shingles, r.n_hit) for r in union_ref.collect()}
+        assert got2 == u
+
+        old = _no_broadcast(spark)
+        try:
+            probe = spark.createDataFrame([(5, "abc")], "doc_id long, s string")
+            j = (
+                read_bucketed(spark, "cstore__shingles")
+                .groupBy("s")
+                .agg(F.lit(1).alias("hit"))
+                .join(probe, "s")
+            )
+            anc = scan_ancestry(j, r"cstore__shingles")
+            assert not any(a.startswith("Exchange") for a in anc), anc
+        finally:
+            _restore(spark, old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cstore__shingles")

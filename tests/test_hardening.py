@@ -413,3 +413,22 @@ def test_cache_registry_is_per_session(spark):
     # a second call on session A evicts only A's previous cache
     line_dedup(docs_a.limit(6)).count()
     assert len(_stored(spark) - before) == 2
+
+
+def test_all_package_persists_are_registry_bounded():
+    """Every .persist() in the package must go through the cachereg
+    registry (one live cache per session+slot) — the only exception
+    is queries._shared_frame, which memoizes deliberately per Spark
+    application. Guards against reintroducing the per-call persist
+    leak class (ADVICE r3/r4)."""
+    import pathlib
+
+    import var_elasticnet_bigdata_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".persist()" in line and "cachereg" not in str(py):
+                offenders.append(f"{py.relative_to(root)}:{i}")
+    assert len(offenders) == 1 and offenders[0].startswith("queries.py:"), offenders

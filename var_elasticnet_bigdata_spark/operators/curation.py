@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.cachereg import swap_cache
+
 from .dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -88,11 +90,11 @@ def curate_corpus(
     # (high-cardinality md5 ⇒ skew-free) instead of groupBy+self-join
     # — measured 12.5 s → 4.3 s for the whole pipeline at sf0.1
     w = Window.partitionBy("ck")
-    surv = (
+    surv = swap_cache(
+        "curation.curate_survivors",
         filt.withColumn("__min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("__min_id"))
-        .drop("__min_id")
-        .persist()
+        .drop("__min_id"),
     )
 
     sigs = surv.select("doc_id", _sig_from_shingles(num_hashes).alias("sig"))
@@ -210,7 +212,7 @@ def training_pipeline(
     )
     from .split import hash_split
 
-    lab = hash_split(surv, "doc_id").persist()
+    lab = swap_cache("curation.training_data_lab", hash_split(surv, "doc_id"))
     sh_expr = F.expr(shingle_hashes_from_words("__words", contamination_n))
     # test-side distinct shingle set (the eval corpus to protect)
     test_sh = (
@@ -293,14 +295,15 @@ def clean_corpus(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )
     w = Window.partitionBy("ck")
-    surv = (
+    # consumed by line_dedup AND the final lang join: persist so
+    # the score/filter/dedup prelude runs once (the curate_corpus
+    # survivor-checkpoint pattern); registry-bounded like every other
+    # staged frame
+    surv = swap_cache(
+        "curation.clean_corpus_survivors",
         filt.withColumn("__min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("__min_id"))
-        .select("doc_id", "lang", "__words")
-        # consumed by line_dedup AND the final lang join: persist so
-        # the score/filter/dedup prelude runs once (the curate_corpus
-        # survivor-checkpoint pattern; bench/tests clear cache)
-        .persist()
+        .select("doc_id", "lang", "__words"),
     )
     # hand the staged word arrays straight to line_dedup — re-deriving
     # them from text would run the normalize/split pass twice — and

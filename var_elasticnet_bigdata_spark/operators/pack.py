@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.cachereg import swap_cache
+
 
 def global_token_offsets(
     toks: DataFrame, id_col: str, num_ranges: int = 32
@@ -53,10 +55,11 @@ def global_token_offsets(
     )
     # persist: the totals collect below and the caller's action both
     # consume this frame — without the cache the corpus tokenize scan
-    # and the range shuffle run twice. Shared-lineage persist (same
-    # pattern as curation.curate_corpus); MEMORY_AND_DISK blocks are
-    # evictable, so there is no unpersist hook on the returned frame.
-    intra = ranged.withColumn("__c", F.sum("n_tokens").over(w)).persist()
+    # and the range shuffle run twice. Registry-bounded to one live
+    # cache per session (plans/cachereg.py).
+    intra = swap_cache(
+        "pack.intra_prefix", ranged.withColumn("__c", F.sum("n_tokens").over(w))
+    )
     totals = {
         r["__pid"]: r["t"]
         for r in intra.groupBy("__pid").agg(F.max("__c").alias("t")).collect()

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..plans.cachereg import swap_cache
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -443,10 +445,9 @@ def ivf_topk(
     # ONE assignment pass: the corpus placement is exactly the
     # probe_rank==0 slice of the nprobe assignment — a second
     # ivf_assign would re-scan and re-matmul the whole corpus
-    assigned = (
-        ivf_assign(df, C, nprobe, id_col, vec_col)
-        .join(vecs, id_col)
-        .persist()
+    assigned = swap_cache(
+        "similarity.ivf_assigned",
+        ivf_assign(df, C, nprobe, id_col, vec_col).join(vecs, id_col),
     )
     corpus = assigned.filter(F.col("probe_rank") == 0).select(
         "cell", F.col(id_col).alias("cid"), F.col("__v").alias("cv")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.cachereg import swap_cache
+
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     """(name, upper-bound hex bucket) pairs, cumulative over the 256
@@ -126,9 +128,12 @@ def split_contamination(
     # persist: BOTH the train-set branch and the eval branch consume
     # this frame — uncached, the normalize/shingle/md5 corpus pass
     # runs twice (same shared-lineage pattern as unigram_logprob)
-    sh = exploded_shingle_hashes(lab, n=n, text_col=text_col, out_col="s").select(
-        id_col, "__split", "s"
-    ).persist()
+    sh = swap_cache(
+        "split.contamination_shingles",
+        exploded_shingle_hashes(
+            lab, n=n, text_col=text_col, out_col="s"
+        ).select(id_col, "__split", "s"),
+    )
     train_set = (
         sh.filter(F.col("__split") == train_split)
         .select("s")
@@ -143,6 +148,86 @@ def split_contamination(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
             F.avg(F.coalesce(F.col("hit"), F.lit(0)).cast("double")).alias("hit_ratio"),
+        )
+    )
+
+
+def contamination_store_write(
+    train_df: DataFrame,
+    store_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the benchmark/train corpus's DISTINCT shingle-hash set
+    as a bucketed catalog table (`{store_name}__shingles`, bucketed
+    and sorted on the hash) — the write-once half of production
+    decontamination: the protected benchmark suite is STATIC, so its
+    shingle set should pay its partitioning once, not be re-reduced
+    and re-shuffled for every crawl batch that needs checking.
+    ``mode='append'`` adds a new benchmark's shingles (duplicates
+    across appends are fine — hits are counted via semi-join
+    EXISTS semantics, see ``contamination_vs_store``)."""
+    from .dedup import exploded_shingle_hashes
+
+    from ..sources.bucketing import write_bucketed
+
+    sh = (
+        exploded_shingle_hashes(train_df, n=n, text_col=text_col, out_col="s")
+        .select("s")
+        .distinct()
+    )
+    write_bucketed(
+        sh,
+        f"{store_name}__shingles",
+        "s",
+        buckets=buckets,
+        sort_cols="s",
+        path=None if path is None else f"{path}/{store_name}__shingles",
+        mode=mode,
+    )
+
+
+def contamination_vs_store(
+    eval_df: DataFrame,
+    store_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Contamination scan of a new batch against the PERSISTED
+    bucketed shingle store (`contamination_store_write`): per eval
+    doc, the fraction of its word n-grams present in the store. The
+    store side of the shingle join is read already partitioned on the
+    join key — zero Exchange on the store scan; only the (small)
+    eval batch shuffles. Same output columns as
+    ``split_contamination``: ``(id_col, n_shingles, n_hit,
+    hit_ratio)``. Appends may leave duplicate shingles in the store,
+    so the hit join aggregates the store to per-key existence first —
+    still exchange-free (bucketed group-by)."""
+    from .dedup import exploded_shingle_hashes
+
+    spark = eval_df.sparkSession
+    store = (
+        spark.table(f"{store_name}__shingles")
+        .groupBy("s")
+        .agg(F.lit(1).alias("hit"))
+    )
+    ev = exploded_shingle_hashes(
+        eval_df, n=n, text_col=text_col, out_col="s"
+    ).select(F.col(id_col), "s")
+    return (
+        ev.join(store, "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.avg(
+                F.coalesce(F.col("hit"), F.lit(0)).cast("double")
+            ).alias("hit_ratio"),
         )
     )
 

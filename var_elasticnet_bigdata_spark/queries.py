@@ -5067,6 +5067,48 @@ def _register_contamination_oracle() -> None:
 _register_contamination_oracle()
 
 
+@query("split_contamination_store", None)  # oracle registered below
+def split_contamination_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a PERSISTED bucketed shingle store
+    (`operators/split.contamination_store_write` /
+    `contamination_vs_store`): the protected benchmark corpus is
+    static at 100 TB, so its DISTINCT shingle set is written once,
+    bucketed+sorted on the hash — every later crawl batch's
+    contamination join reads the store with zero store-side Exchange
+    (only the batch shuffles). Same split rule and accounting as
+    `split_contamination`, so the two queries share one oracle and
+    must hash-match each other."""
+    import tempfile
+
+    from .operators.split import (
+        contamination_store_write,
+        contamination_vs_store,
+        hash_split,
+    )
+
+    store = "q_contamination_store"
+    spark.sql(f"DROP TABLE IF EXISTS {store}__shingles")
+    path = tempfile.mkdtemp(prefix="spark_graft_contam_store_")
+    docs = load_table(spark, sf_dir, "documents")
+    lab = hash_split(docs, "doc_id")
+    contamination_store_write(
+        lab.filter(F.col("split") == "train"), store, n=8, path=path
+    )
+    res = contamination_vs_store(
+        lab.filter(F.col("split") == "test"), store, n=8
+    )
+    return res.select(
+        "doc_id", "n_shingles", "n_hit", r6(F.col("hit_ratio")).alias("hit_ratio")
+    )
+
+
+def _register_contamination_store_oracle() -> None:
+    ORACLE["split_contamination_store"] = ORACLE["split_contamination"]
+
+
+_register_contamination_store_oracle()
+
+
 @query("text_bm25_topk", None)  # oracle registered below
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval (`operators/retrieval.bm25_topk`)
