@@ -33,6 +33,8 @@ FAMILY = [
     "text_quality_score", "text_line_dedup", "sample_domain_mix",
     "split_contamination", "text_pack_sequences", "ann_top1_cosine",
     "ann_ivf_fixed", "pipeline_corpus_curation", "pipeline_training_data",
+    # r5 persisted-store paths: store build + batch join both scale
+    "dedup_incremental_bucketed", "split_contamination_store",
 ]
 
 
