@@ -266,3 +266,54 @@ def test_contamination_store_exchange_free_and_equivalent(spark, tmp_path):
             _restore(spark, old)
     finally:
         spark.sql("DROP TABLE IF EXISTS cstore__shingles")
+
+
+def test_compact_bucketed_store_merges_append_fragments(spark, tmp_path):
+    """N appends leave N files per bucket; compact_bucketed must
+    rewrite to ~one file per bucket, preserve rows exactly, and KEEP
+    the bucketing contract (exchange-free join still asserted after
+    the swap)."""
+    from var_elasticnet_bigdata_spark.plans.inspect import scan_ancestry
+    from var_elasticnet_bigdata_spark.sources.compaction import (
+        compact_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS cstore2")
+    spark.sql("DROP TABLE IF EXISTS cstore2__compacting")
+    try:
+        for batch in range(4):
+            df = spark.createDataFrame(
+                [(batch * 100 + i, float(i)) for i in range(50)],
+                "k long, v double",
+            )
+            write_bucketed(
+                df, "cstore2", "k", buckets=4, sort_cols="k",
+                path=str(tmp_path / "cstore2") if batch == 0 else None,
+                mode="overwrite" if batch == 0 else "append",
+            )
+        rows_before = {
+            (r.k, r.v) for r in spark.table("cstore2").collect()
+        }
+        before, after = compact_bucketed(spark, "cstore2")
+        assert before >= 16  # 4 appends x 4 buckets
+        assert after <= 8, (before, after)
+        assert {
+            (r.k, r.v) for r in spark.table("cstore2").collect()
+        } == rows_before
+        old = _no_broadcast(spark)
+        try:
+            probe = spark.createDataFrame([(5,)], "k long")
+            j = read_bucketed(spark, "cstore2").join(probe, "k")
+            anc = scan_ancestry(j, r"cstore2")
+            assert not any(a.startswith("Exchange") for a in anc), anc
+        finally:
+            _restore(spark, old)
+        # compacting twice alternates the sibling location cleanly
+        b2, a2 = compact_bucketed(spark, "cstore2")
+        assert {
+            (r.k, r.v) for r in spark.table("cstore2").collect()
+        } == rows_before
+        assert a2 <= 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cstore2")
+        spark.sql("DROP TABLE IF EXISTS cstore2__compacting")

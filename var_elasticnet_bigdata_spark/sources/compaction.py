@@ -97,3 +97,86 @@ def compact(
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.mode("overwrite").parquet(dst)
     return n_files
+
+
+def compact_bucketed(spark: SparkSession, table: str) -> tuple[int, int]:
+    """In-place compaction of a BUCKETED catalog table: every append
+    (`sources.bucketing.write_bucketed(mode='append')`, as used by
+    the incremental dedup / decontamination stores) adds one file per
+    task per bucket, so a store appended N times scans N files per
+    bucket. This rewrites the table through a staging table with the
+    SAME bucket spec — the bucketing contract (and therefore the
+    exchange-free store-side joins) survives, verified by plan
+    assertion in tests — then atomically swaps it in via catalog
+    rename. Rows are pre-partitioned on the bucket columns into
+    ``num_buckets`` tasks so the rewrite emits ~one file per bucket.
+
+    Returns ``(data_files_before, data_files_after)``. External
+    tables get a sibling location (alternating ``__c`` suffix);
+    managed tables stay managed.
+    """
+    info = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    if "Num Buckets" not in info:
+        raise ValueError(f"{table} is not a bucketed table")
+    buckets = int(info["Num Buckets"])
+
+    def _cols(key: str) -> list[str]:
+        raw = info.get(key, "[]").strip("[]")
+        return [c.strip(" `") for c in raw.split(",") if c.strip(" `")]
+
+    bcols = _cols("Bucket Columns")
+    scols = _cols("Sort Columns")
+    loc = info.get("Location", "")
+    local = loc.removeprefix("file:")
+    before = data_file_count(local) if local and os.path.isdir(local) else -1
+
+    from .bucketing import write_bucketed
+
+    tmp = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    new_path = None
+    if local and os.path.isdir(local):
+        new_path = (
+            local.removesuffix("__c") if local.endswith("__c")
+            else local + "__c"
+        )
+    # read the table NON-bucketed for the rewrite: a bucketed scan
+    # "satisfies" the repartition's distribution, so the planner
+    # elides the exchange AND then disables the bucketed read
+    # (DisableUnnecessaryBucketedScan) — leaving N unaligned scan
+    # tasks each writing per-bucket files, the very fragmentation
+    # being compacted. A plain scan forces one real exchange into
+    # `buckets` tasks whose hash (murmur3 pmod) IS the bucket id, so
+    # the writer emits ~one file per bucket.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    bucketing_key = "spark.sql.sources.bucketing.enabled"
+    old_conf = {k: spark.conf.get(k, None) for k in (auto_key, bucketing_key)}
+    try:
+        spark.conf.set(bucketing_key, "false")
+        staged = spark.table(table).repartition(
+            buckets, *[F.col(c) for c in bcols]
+        )
+        write_bucketed(
+            staged, tmp, bcols, buckets=buckets,
+            sort_cols=scols or None, path=new_path, mode="overwrite",
+        )
+    finally:
+        for k, v in old_conf.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    after_loc = new_path if new_path else None
+    if after_loc is None:
+        inf2 = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        after_loc = inf2.get("Location", "").removeprefix("file:")
+    after = data_file_count(after_loc) if after_loc and os.path.isdir(after_loc) else -1
+    return before, after
