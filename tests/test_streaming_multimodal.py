@@ -294,3 +294,76 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     batch_n = load_table(spark, SF_SMALL, "events").count()
     assert n1 == batch_n
     assert n2 == n1  # restart did not re-ingest
+
+
+def test_stream_near_dup_against_store_matches_incremental_chain(spark, tmp_path):
+    """The continuous crawl loop: micro-batches near-dup-deduped
+    against the persisted bucketed store via foreachBatch must yield
+    EXACTLY the survivors the batch incremental chain produces over
+    the same arrival order, and the store must end holding exactly
+    the survivor signature rows."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_near_dup,
+    )
+    from var_elasticnet_bigdata_spark.streaming.dedup import (
+        stream_near_dup_against_store,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet cyan magenta black",
+    ]
+    rows = []
+    rid = 0
+    for b in base:  # original + near-dup + unrelated reversal
+        rows.append((rid, b)); rid += 1
+        rows.append((rid, b + " extra")); rid += 1
+        rows.append((rid, " ".join(reversed(b.split())))); rid += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = docs.filter(F.col("doc_id") < 5)
+    b2 = docs.filter(F.col("doc_id") >= 5)
+
+    src = str(tmp_path / "src")
+    # two files, distinct mtimes -> two micro-batches in arrival order
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    spark.sql("DROP TABLE IF EXISTS sstore__bands")
+    spark.sql("DROP TABLE IF EXISTS sstore__sigs")
+    try:
+        q = stream_near_dup_against_store(
+            stream,
+            "sstore",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            out_path=str(tmp_path / "out"),
+            threshold=0.5,
+            buckets=4,
+            store_path=str(tmp_path / "store"),
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        s1, store1 = incremental_near_dup(b1, None, threshold=0.5)
+        s2, store2 = incremental_near_dup(b2, store1, threshold=0.5)
+        ref = sorted(
+            r.doc_id for r in s1.unionByName(s2).select("doc_id").collect()
+        )
+        assert got == ref and len(got) >= 4
+        assert sorted(
+            r.doc_id for r in spark.table("sstore__sigs").collect()
+        ) == ref
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sstore__bands")
+        spark.sql("DROP TABLE IF EXISTS sstore__sigs")

@@ -82,3 +82,66 @@ def stream_scored(docs: DataFrame) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+def stream_near_dup_against_store(
+    docs: DataFrame,
+    store_name: str,
+    checkpoint_dir: str,
+    out_path: str,
+    threshold: float = 0.5,
+    buckets: int = 32,
+    store_path: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous near-dup curation against the PERSISTED bucketed
+    signature store — the full production crawl loop as one streaming
+    query: each micro-batch of new documents is deduplicated against
+    the accepted corpus's store (`operators/dedup.
+    incremental_near_dup_bucketed`: band join + shingle verify, both
+    exchange-free on the store side) and against itself; survivors
+    append to BOTH the parquet corpus at ``out_path`` and the store
+    tables, so the next micro-batch sees them.
+
+    Near-dup dedup needs the candidate join against all accepted
+    history, which Structured Streaming's keyed state cannot express
+    — `foreachBatch` is the sanctioned escape hatch for exactly this
+    write-a-batch-against-external-state shape (the store tables ARE
+    the state, bounded by the accepted corpus, not the stream). Exact
+    dedup stays in `stream_exact_dedup`'s watermarked state store;
+    this operator is its heavyweight sibling.
+
+    Restart semantics: `foreachBatch` replays the last uncommitted
+    micro-batch after a crash, so the store append is at-least-once.
+    A replayed batch re-verifies against a store that may already
+    hold its survivors — they self-match (Jaccard 1.0) and drop, so
+    the SURVIVOR SET stays correct; only their store/corpus rows can
+    duplicate, which the store's own dedup semantics then mask (a
+    doc_id matching itself is dropped before anything else matches
+    it). Exactly-once needs an idempotent sink (MERGE on doc_id) —
+    out of scope for the parquet fixture sink, documented here.
+
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    from ..operators.dedup import incremental_near_dup_bucketed
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        survivors = incremental_near_dup_bucketed(
+            batch_df,
+            store_name,
+            threshold=threshold,
+            buckets=buckets,
+            path=store_path,
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
