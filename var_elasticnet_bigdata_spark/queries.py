@@ -5091,8 +5091,9 @@ def split_contamination_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="spark_graft_contam_store_")
     docs = load_table(spark, sf_dir, "documents")
     lab = hash_split(docs, "doc_id")
+    # fixture-scale bucket count (see dedup_incremental_bucketed)
     contamination_store_write(
-        lab.filter(F.col("split") == "train"), store, n=8, path=path
+        lab.filter(F.col("split") == "train"), store, n=8, buckets=8, path=path
     )
     res = contamination_vs_store(
         lab.filter(F.col("split") == "test"), store, n=8
@@ -5471,11 +5472,15 @@ def dedup_incremental_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
+    # buckets sized to the FIXTURE store (~MBs at sf≤0.1; the
+    # 128-512 MB/bucket rule in sources/bucketing.py would give 1):
+    # 8 keeps multi-bucket layouts exercised while avoiding 4x32
+    # near-empty files per run. Production stores size their own.
     surv1 = incremental_near_dup_bucketed(
-        old, store, threshold=0.5, path=path
+        old, store, threshold=0.5, buckets=8, path=path
     )
     surv2 = incremental_near_dup_bucketed(
-        new, store, threshold=0.5, path=path
+        new, store, threshold=0.5, buckets=8, path=path
     )
     return surv1.select(
         "doc_id", F.lit("store").alias("phase")
