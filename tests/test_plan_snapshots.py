@@ -20,9 +20,15 @@ sys.path.insert(
 from tools.plan_snapshot import SNAPSHOT_PATH, lockable, plan_signature
 
 
-def test_plans_match_lockfile(spark):
+def test_plans_match_lockfile(spark, monkeypatch):
     from var_elasticnet_bigdata_spark import queries as Q
 
+    # canonical uncached shapes, same mode the lock is built in: the
+    # staged-frame persists are disabled so CacheManager substitution
+    # (which hides a staged subtree's Exchange/Sort/Window inside an
+    # InMemoryTableScan, depending on what ran before this test)
+    # cannot perturb the signatures
+    monkeypatch.setenv("SPARK_GRAFT_NO_STAGED_CACHE", "1")
     locked = json.load(open(SNAPSHOT_PATH))
     drifts = {}
     missing = []
@@ -32,10 +38,8 @@ def test_plans_match_lockfile(spark):
         if name not in locked:
             missing.append(name)
             continue
-        # clear per query: persisted shared frames (from earlier
-        # tests OR earlier queries in this loop) make the CacheManager
-        # substitute InMemoryTableScan into matching sub-plans,
-        # changing the shape vs the lock's canonical uncached form
+        # clear per query: earlier tests' or queries' persisted frames
+        # would otherwise still substitute into matching sub-plans
         spark.catalog.clearCache()
         sig = plan_signature(fn(spark, "/root/testdata/sf0.01"))
         want = locked[name]

@@ -75,21 +75,34 @@ def lockable(name: str) -> bool:
 
 
 def build_signatures(sf_dir: str) -> dict[str, dict[str, int]]:
+    import os as _os
+
     from var_elasticnet_bigdata_spark import queries as Q
     from var_elasticnet_bigdata_spark.session import get_spark
 
     spark = get_spark("plan-snapshot")
     spark.sparkContext.setLogLevel("ERROR")
     out = {}
-    for name, fn in sorted(Q.QUERIES.items()):
-        if not lockable(name):
-            continue
-        # some operators persist() shared frames at construction;
-        # the CacheManager then substitutes InMemoryTableScan into
-        # every later matching sub-plan — clear so each signature is
-        # the canonical uncached shape regardless of build order
-        spark.catalog.clearCache()
-        out[name] = plan_signature(fn(spark, sf_dir))
+    # signatures are the CANONICAL UNCACHED plan shapes: staged-frame
+    # persists (plans/cachereg.py) are disabled for the build, and the
+    # cache is cleared per query — CacheManager substitution would
+    # otherwise hide a staged subtree's Exchange/Sort/Window inside an
+    # InMemoryTableScan depending on registration order, making the
+    # signature depend on which tests ran first rather than on the
+    # query's structure
+    prev = _os.environ.get("SPARK_GRAFT_NO_STAGED_CACHE")
+    _os.environ["SPARK_GRAFT_NO_STAGED_CACHE"] = "1"
+    try:
+        for name, fn in sorted(Q.QUERIES.items()):
+            if not lockable(name):
+                continue
+            spark.catalog.clearCache()
+            out[name] = plan_signature(fn(spark, sf_dir))
+    finally:
+        if prev is None:
+            _os.environ.pop("SPARK_GRAFT_NO_STAGED_CACHE", None)
+        else:
+            _os.environ["SPARK_GRAFT_NO_STAGED_CACHE"] = prev
     return out
 
 

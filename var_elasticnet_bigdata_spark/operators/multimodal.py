@@ -17,11 +17,13 @@ What IS real and tested here:
 - magic-byte dispatch (``decode_media``): BM→BMP, RIFF/WAVE→WAV,
   ‰PNG→PNG (REAL stdlib decoder: zlib inflate + all five scanline
   filters incl. Paeth unfiltering, 8-bit gray/RGB/RGBA,
-  non-interlaced — VERDICT r2 item 7), ÿØ→JPEG (REAL baseline
-  sequential-DCT decoder, ITU-T T.81: Annex-K-style Huffman/quant
-  table parsing, arbitrary sampling factors incl. 4:2:0, restart
-  markers, numpy IDCT — the former NotImplementedError seam is
-  CLOSED; progressive/12-bit/arithmetic raise ValueError and the
+  non-interlaced — VERDICT r2 item 7), ÿØ→JPEG (REAL decoder,
+  ITU-T T.81: baseline sequential DCT AND progressive SOF2 with
+  spectral selection / successive approximation / EOB runs /
+  correction bits since r5; Annex-K-style Huffman/quant table
+  parsing, arbitrary sampling factors incl. 4:2:0, restart markers,
+  numpy IDCT — the former NotImplementedError seam is CLOSED;
+  12-bit/arithmetic/lossless raise ValueError and the
   corrupt/unsupported path degrades to a status column, never a task
   failure);
 - ``mapInPandas`` batch shape for decode/feature-extraction with a
@@ -925,7 +927,6 @@ def encode_jpeg(
 
     def emit_ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
         bw = _BitWriter()
-        t = 0 if ci == 0 else 1
         eobrun = 0
 
         def flush_eob() -> None:
@@ -968,7 +969,6 @@ def encode_jpeg(
 
     def emit_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
         bw = _BitWriter()
-        t = 0 if ci == 0 else 1
         eobrun = 0
         be_bits: list[int] = []  # correction bits owed after next EOB
 

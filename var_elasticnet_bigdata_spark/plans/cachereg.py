@@ -20,6 +20,7 @@ bound, since both plans stay correct via lineage.
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame
@@ -31,7 +32,18 @@ _live: dict[tuple[int, str], DataFrame] = {}
 def swap_cache(slot: str, df: DataFrame) -> DataFrame:
     """Persist ``df`` as the single live cache for (session, slot),
     unpersisting whatever previously held that slot. Returns the
-    persisted frame."""
+    persisted frame.
+
+    ``SPARK_GRAFT_NO_STAGED_CACHE=1`` makes this a no-op (returns
+    ``df`` unpersisted): plan-snapshot/audit tooling sets it so
+    signatures are computed on the CANONICAL uncached plan shape —
+    CacheManager substitution of a registered staged frame hides that
+    subtree's Exchange/Sort/Window nodes inside an InMemoryTableScan,
+    and whether substitution fires depends on registration timing
+    relative to other queries, which made in-suite signatures drift
+    from the lock."""
+    if os.environ.get("SPARK_GRAFT_NO_STAGED_CACHE"):
+        return df
     key = (id(df.sparkSession), slot)
     df = df.persist()
     with _lock:
