@@ -732,3 +732,97 @@ def duck_bigram_logprob_sql(
                ROUND(AVG(LN(p)), 6) AS logprob
         FROM scored GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage — top-V vocab + per-document OOV rate
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Builds the corpus's top-``vocab_size`` token vocabulary (by
+    frequency, token-ascending tiebreak) and scores every document's
+    out-of-vocabulary rate against it — the standard pre-tokenizer
+    health check before committing a vocab to a training run (a domain
+    whose OOV rate spikes is about to fragment into bytes).
+
+    Scale shape: one token-keyed combinable group-by builds the
+    counts; the top-V cut is ``orderBy(...).limit(V)`` which Spark
+    plans as TakeOrderedAndProject (per-partition heaps + driver
+    merge of V rows — never a full sort); the vocab then BROADCASTS
+    to the token stream, so the scoring pass adds no shuffle beyond
+    the per-doc aggregate. At 100 TB the only all-data shuffles are
+    the token count and the final doc group-by, both map-side
+    combinable. Zero-token documents emit no row (no tokens to
+    cover), matching the twin's explode-then-group shape.
+
+    Returns ``(id_col, n_tokens, n_oov, oov_ratio)``.
+    """
+    from .dedup import norm_sql_spark
+
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive: {vocab_size}")
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    # one materialized token stream consumed by BOTH the vocab build
+    # and the scoring join (the vocab broadcast collect fills the
+    # cache before the main pass reads it); registry-bounded
+    toks = swap_cache(
+        "text.vocab_tokens",
+        df.select(F.col(id_col), F.explode(F.expr(words)).alias("tok")),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+def duck_vocab_coverage_sql(
+    vocab_size: int = 500, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB twin of ``vocab_coverage`` (same tiebreak, same
+    left-join OOV accounting)."""
+    from .dedup import NORM_SQL_DUCK
+
+    return f"""
+        WITH toks AS (
+          SELECT {id_col},
+                 UNNEST(list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                                    x -> x <> '')) AS tok
+          FROM {table}),
+        vocab AS (
+          SELECT tok, 1 AS in_vocab FROM (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+            ORDER BY c DESC, tok ASC LIMIT {vocab_size})),
+        j AS (
+          SELECT t.{id_col}, v.in_vocab
+          FROM toks t LEFT JOIN vocab v USING (tok))
+        SELECT {id_col}, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS oov_ratio
+        FROM j GROUP BY 1
+    """

@@ -5764,6 +5764,52 @@ def j6_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_shard_balance", None)  # oracle registered below
+def text_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment (`operators/shard.
+    shard_balance`): rank documents by token count descending and
+    deal them across 8 shards serpentine-style so per-shard token
+    totals even out. The global rank is a two-phase DISTRIBUTED
+    row_number (range-partition + broadcast count prefixes — never a
+    single-partition window); the DuckDB twin is the plain one-window
+    ROW_NUMBER form of the same rule."""
+    from .operators.shard import shard_balance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_balance(docs, k=8)
+
+
+def _register_shard_oracle() -> None:
+    from .operators.shard import duck_shard_sql
+
+    ORACLE["text_shard_balance"] = duck_shard_sql(k=8)
+
+
+_register_shard_oracle()
+
+
+@query("text_vocab_coverage", None)  # oracle registered below
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-500 corpus vocabulary + per-document OOV rate
+    (`operators/text.vocab_coverage`): one combinable token count,
+    a TakeOrderedAndProject top-V cut (never a full sort), and a
+    broadcast vocab join back onto the token stream. The tokenizer
+    health check a 100 TB corpus runs before committing a vocab."""
+    from .operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=500)
+
+
+def _register_vocab_coverage_oracle() -> None:
+    from .operators.text import duck_vocab_coverage_sql
+
+    ORACLE["text_vocab_coverage"] = duck_vocab_coverage_sql(vocab_size=500)
+
+
+_register_vocab_coverage_oracle()
+
+
 # The driver's per-round correctness sweep caps how many queries it
 # reaches (50 of 99 in r4). Order the registry so the sweep window
 # rotates: the FRESHEST driver-green queries go LAST, the stalest (or
