@@ -579,3 +579,140 @@ def test_incremental_near_dup_dropped_store_doc_does_not_drop_batch(spark):
     # near-dup and must survive; the store gains its signature row
     assert sorted(r.doc_id for r in surv2.select("doc_id").collect()) == [10]
     assert sorted(r.doc_id for r in store2.select("doc_id").collect()) == [0, 10]
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup / cluster_profile (SemDeDup shape)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_numpy_oracle(spark, emb):
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivf_assign,
+        semantic_dedup,
+        seed_centroids,
+    )
+
+    C = seed_centroids(emb, nlist=16)
+    got = semantic_dedup(emb, eps=0.4, nlist=16).toPandas()
+    assert len(got) == emb.count()
+
+    # numpy replay: assignment from the SAME operator (its own oracle
+    # is ann_ivf_fixed's SQL twin), drop rule replayed brute-force
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(emb, C, nprobe=1).collect()
+    }
+    pdf = emb.toPandas()
+    M = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    order = np.argsort(ids)
+    M, ids = M[order], ids[order]
+    S = M @ M.T
+    want_dup = {}
+    for j in range(len(ids)):
+        want_dup[ids[j]] = any(
+            S[i, j] >= 0.4 and assign[ids[i]] == assign[ids[j]]
+            for i in range(j)
+        )
+    for r in got.itertuples():
+        assert assign[r.vec_id] == r.cell
+        assert want_dup[r.vec_id] == r.is_dup, r.vec_id
+
+
+def test_semantic_dedup_blocked_scan_invariant(spark, emb):
+    from var_elasticnet_bigdata_spark.operators.similarity import semantic_dedup
+
+    a = semantic_dedup(emb, eps=0.4, nlist=16, block=7).toPandas()
+    b = semantic_dedup(emb, eps=0.4, nlist=16, block=4096).toPandas()
+    ka = a.sort_values("vec_id").reset_index(drop=True)
+    kb = b.sort_values("vec_id").reset_index(drop=True)
+    assert ka.equals(kb)
+
+
+def test_semantic_dedup_cell_cap_raises(spark, emb):
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.similarity import semantic_dedup
+
+    with _pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(emb, eps=0.4, nlist=2, max_cell_rows=10).collect()
+
+
+def test_semantic_dedup_rejects_bad_eps(spark, emb):
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.similarity import semantic_dedup
+
+    with _pytest.raises(ValueError):
+        semantic_dedup(emb, eps=0.0)
+    with _pytest.raises(ValueError):
+        semantic_dedup(emb, eps=1.5)
+
+
+def test_semantic_dedup_sound_vs_exact_pairs(spark, emb):
+    """Cluster-gating only ever LOSES pairs (cross-cell ones), never
+    invents them: the semantic dup set must be a subset of the exact
+    corpus-wide pair scan's dup set at the same threshold."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    exact_pairs = cosine_near_dup_pairs(emb, threshold=0.4, method="exact")
+    exact_dups = {r["id_b"] for r in exact_pairs.collect()}
+    got = semantic_dedup(emb, eps=0.4, nlist=16).toPandas()
+    sem_dups = set(got[got.is_dup].vec_id)
+    assert sem_dups <= exact_dups
+    assert len(sem_dups) > 0  # threshold actually bites on this data
+
+
+def test_semantic_dedup_recall_on_planted_near_identicals(spark, emb):
+    """SemDeDup's operating regime is HIGH eps (the paper uses ~0.96+
+    on real corpora): a near-identical pair has nearly identical
+    centroid cosines, so it lands in one cell and cluster-gating
+    loses almost nothing. Plant 60 tiny-perturbation copies and
+    require ≥0.9 recall with TRAINED centroids (the quality path;
+    seed_centroids stays the hash-gate twin)."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    base_max = int(pdf.vec_id.max())
+    rng = np.random.default_rng(7)
+    planted = []
+    originals = pdf.head(60)
+    for k, row in enumerate(originals.itertuples()):
+        v = np.array(row.embedding, dtype=np.float64)
+        v = v + rng.normal(0.0, 1e-3, size=len(v)) * np.linalg.norm(v)
+        planted.append((base_max + 1 + k, [float(x) for x in v]))
+    aug = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in pdf.itertuples()]
+        + planted,
+        "vec_id long, embedding array<double>",
+    )
+    C = ivf_centroids(aug, nlist=16)
+    got = semantic_dedup(aug, eps=0.95, centroids=C).toPandas()
+    dup_ids = set(got[got.is_dup].vec_id)
+    plant_ids = {pid for pid, _ in planted}
+    recall = len(dup_ids & plant_ids) / len(plant_ids)
+    assert recall >= 0.9, recall
+
+
+def test_cluster_profile_matches_assignment(spark, emb):
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        cluster_profile,
+        ivf_assign,
+        seed_centroids,
+    )
+
+    C = seed_centroids(emb, nlist=16)
+    prof = {r["cell"]: r["n_members"] for r in cluster_profile(emb, nlist=16).collect()}
+    assign = ivf_assign(emb, C, nprobe=1).groupBy("cell").count().collect()
+    want = {r["cell"]: r["count"] for r in assign}
+    assert prof == want
+    total = sum(prof.values())
+    assert total == emb.count()

@@ -641,3 +641,172 @@ def cosine_near_dup_pairs(
             )
 
     return df.select(idc, vc).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup + cluster profiling
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float = 0.4,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    max_cell_rows: int = 2_000_000,
+    block: int = 4096,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication in the SemDeDup
+    shape (Abbas et al. 2023): cluster the corpus with k-means cells,
+    then mark near-duplicates ONLY within each cluster — the cluster
+    assignment replaces the O(N²) corpus-wide pair search with
+    per-cell work, which is the property that survives 100 TB.
+
+    Drop rule (id-greedy, matching every other dedup operator here):
+    a vector is ``is_dup`` iff SOME lower-id member of the same cell
+    has cosine ≥ ``eps`` with it — no transitive closure, so the rule
+    is a plain self-join in the DuckDB twin. (The SemDeDup paper
+    keeps the member farthest from the centroid; min-id is the
+    deterministic, engine-portable equivalent and keeps exactly as
+    many representatives.)
+
+    Scale shape: centroids come from `seed_centroids` (deterministic,
+    SQL-replayable; swap in `ivf_centroids` for trained quality) and
+    BROADCAST into the narrow assignment matmul; the only shuffle is
+    the groupBy(cell). Within a cell the pair scan is a blocked BLAS
+    matmul — memory is O(cell × block), never O(cell²) — and the
+    recall/efficiency trade is governed by nlist exactly as in IVF:
+    at 100 TB you grow nlist with N to keep cells bounded (cells
+    above ``max_cell_rows`` fail loudly with that advice rather than
+    OOM-ing the executor). Cross-cell near-dups are invisible by
+    design — that is SemDeDup's documented approximation; the exact
+    `cosine_near_dup_pairs` path is the recall oracle in tests.
+
+    Returns one row per vector: ``(id_col, cell, is_dup)``.
+    """
+    from pyspark.sql.types import BooleanType
+
+    if not 0.0 < eps <= 1.0:
+        raise ValueError(f"eps must be in (0, 1]: {eps}")
+    C = (
+        centroids
+        if centroids is not None
+        else seed_centroids(df, nlist, id_col, vec_col)
+    )
+    assign = ivf_assign(df, C, nprobe=1, id_col=id_col, vec_col=vec_col)
+    members = assign.select(id_col, "cell").join(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        id_col,
+    )
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cell", IntegerType()),
+            StructField("is_dup", BooleanType()),
+        ]
+    )
+    tau, cap, blk = eps, max_cell_rows, block
+
+    def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > cap:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{m} vectors (> max_cell_rows={cap}); raise nlist so "
+                "cells stay bounded (IVF sizing: nlist ~ N / target_cell)"
+            )
+        pdf = pdf.sort_values("__id_sort")
+        M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        M = M / n
+        dropped = np.zeros(m, dtype=bool)
+        # blocked upper-triangle scan: block j is compared against ALL
+        # lower-id members (incl. already-dropped ones — the id-greedy
+        # rule, not a survivor chain) in one matmul per block
+        for j0 in range(1, m, blk):
+            j1 = min(j0 + blk, m)
+            S = M[:j1] @ M[j0:j1].T
+            for off in range(j1 - j0):
+                j = j0 + off
+                dropped[j] = bool((S[:j, off] >= tau).any())
+        return pd.DataFrame(
+            {
+                id_col: pdf["__id_sort"].to_numpy(dtype=np.int64),
+                "cell": pdf["cell"].to_numpy(dtype=np.int32),
+                "is_dup": dropped,
+            }
+        )
+
+    return (
+        members.withColumn("__id_sort", F.col(id_col))
+        .groupBy("cell")
+        .applyInPandas(lambda pdf: cell_dedup(pdf), schema)
+    )
+
+
+def cluster_profile(
+    df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus diversity map: assign every vector to its nearest cell
+    and report per-cell ``(cell, n_members, avg_cos)`` where avg_cos
+    is the mean cosine of members to their own centroid — low means a
+    diffuse/heterogeneous cluster, high means a tight (dedup-worthy)
+    one. The curation dashboard query run before choosing SemDeDup
+    thresholds.
+
+    Scale shape: broadcast centroids, one narrow Arrow matmul to
+    score (id, cell, cos), then ONE combinable groupBy(cell) — the
+    aggregate is mergeable so 100 TB reduces map-side. avg rounds to
+    ``round_dp`` on both engines for hash stability.
+    """
+    C = (
+        centroids
+        if centroids is not None
+        else seed_centroids(df, nlist, id_col, vec_col)
+    )
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(C)
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = np.linalg.norm(V, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            V = V / n
+            S = V @ C_.T
+            cell = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cell": cell.astype(np.int32),
+                    "cos": S[np.arange(len(V)), cell],
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(score, schema)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cos"), round_dp).alias("avg_cos"),
+        )
+    )

@@ -1744,6 +1744,101 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b")
 
 
+# Shared twin of the deterministic seed-centroid assignment
+# (similarity.seed_centroids + ivf_assign nprobe=1): cell j = the
+# normalized position-wise mean of normalized vectors with id%16==j,
+# components rounded to 12 dp pre-normalization on both engines; each
+# vector lands in its argmax-cosine cell (s DESC, cell ASC tiebreak) —
+# the same CTE chain ann_ivf_fixed's oracle proved exact in r3.
+_SEED_ASSIGN_CTE = """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS e,
+             CAST(vec_id % 16 AS INT) AS seed_cell
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT seed_cell AS cell, pos, ROUND(AVG(x), 12) AS cx
+      FROM (SELECT seed_cell, unnest(e) AS x,
+                   generate_subscripts(e, 1) AS pos FROM n)
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT cell, list(cx ORDER BY pos) AS c FROM comp GROUP BY 1),
+    centn AS (
+      SELECT cell,
+             list_transform(c, x -> x / sqrt(list_sum(
+               list_transform(c, y -> y * y)))) AS c
+      FROM cent
+    ),
+    sims AS (
+      SELECT n.vec_id, cn.cell, list_dot_product(n.e, cn.c) AS s
+      FROM n CROSS JOIN centn cn
+    ),
+    ranked AS (
+      SELECT vec_id, cell, s,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC)
+               AS rn
+      FROM sims
+    ),
+    assigned AS (SELECT vec_id, cell, s FROM ranked WHERE rn = 1)
+"""
+
+
+@query(
+    "dedup_semantic",
+    _SEED_ASSIGN_CTE
+    + """,
+    mem AS (SELECT a.vec_id, a.cell, n.e
+            FROM assigned a JOIN n ON n.vec_id = a.vec_id),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM mem a JOIN mem b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+       AND list_dot_product(a.e, b.e) >= 0.4
+    )
+    SELECT m.vec_id, m.cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+    FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (`similarity.semantic_dedup`):
+    k-means-cell assignment (deterministic seed centroids so the
+    whole pipeline sits in the hash gate) then an id-greedy cosine
+    ≥ 0.4 drop WITHIN each cell — cluster-gating replaces the O(N²)
+    corpus pair scan with bounded per-cell blocked matmuls, the shape
+    that survives 100 TB. Cross-cell recall vs the exact pair scan is
+    measured in tests (SemDeDup's documented approximation)."""
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, eps=0.4, nlist=16)
+    return out.select(
+        "vec_id", "cell", F.col("is_dup").cast("int").alias("is_dup")
+    )
+
+
+@query(
+    "ann_cluster_profile",
+    _SEED_ASSIGN_CTE
+    + """
+    SELECT cell, COUNT(*) AS n_members, ROUND(AVG(s), 6) AS avg_cos
+    FROM assigned GROUP BY cell
+    """,
+)
+def ann_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity map (`similarity.cluster_profile`): per-cell
+    member count + mean member→centroid cosine — the dashboard run
+    before choosing SemDeDup thresholds. One narrow broadcast matmul
+    + one combinable groupBy(cell); 100 TB reduces map-side."""
+    from .operators.similarity import cluster_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_profile(emb, nlist=16)
+
+
 @query(
     "text_token_count",
     f"""
