@@ -317,3 +317,199 @@ def test_compact_bucketed_store_merges_append_fragments(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cstore2")
         spark.sql("DROP TABLE IF EXISTS cstore2__compacting")
+
+
+# ---------------------------------------------------------------------------
+# Crash-safety contracts of the persisted store (ADVICE r5 #1/#2)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_bucketed_sink_hook_fires_before_store_append(spark, tmp_path):
+    """ADVICE r5 (medium): the on_survivors hook must run BEFORE any
+    store append — a caller sinking survivors in the hook gets
+    at-least-once on crash+replay, never loss. Asserted by checking,
+    inside the hook, that the store does not yet hold the batch."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_near_dup_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(8)))
+            for i in range(6)
+        ],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS hook__bands")
+    spark.sql("DROP TABLE IF EXISTS hook__sigs")
+    seen = {}
+    try:
+        incremental_near_dup_bucketed(
+            docs.filter("doc_id < 3"), "hook", buckets=4,
+            path=str(tmp_path / "s1"),
+        )
+        n_store = spark.table("hook__sigs").count()
+
+        def hook(surv):
+            seen["rows"] = surv.count()
+            seen["store_at_hook"] = spark.table("hook__sigs").count()
+
+        incremental_near_dup_bucketed(
+            docs.filter("doc_id >= 3"), "hook", buckets=4,
+            on_survivors=hook,
+        )
+        assert seen["rows"] == 3
+        assert seen["store_at_hook"] == n_store  # batch NOT yet appended
+        assert spark.table("hook__sigs").count() == n_store + 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hook__bands")
+        spark.sql("DROP TABLE IF EXISTS hook__sigs")
+
+
+def test_incremental_bucketed_replay_after_sink_is_at_least_once(spark, tmp_path):
+    """Simulated crash AFTER the corpus sink but BEFORE the store
+    appends, then a foreachBatch-style replay: the corpus must end up
+    with duplicate rows (at-least-once) — never missing the batch —
+    and the replayed store stays consistent for the next batch."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_near_dup_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"s{i}y{j}" for j in range(8)))
+            for i in range(4)
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "corpus")
+    spark.sql("DROP TABLE IF EXISTS replay__bands")
+    spark.sql("DROP TABLE IF EXISTS replay__sigs")
+
+    class Crash(RuntimeError):
+        pass
+
+    def sink_then_crash(surv):
+        surv.write.mode("append").parquet(out)
+        raise Crash()
+
+    try:
+        import pytest as _pt
+
+        with _pt.raises(Crash):
+            incremental_near_dup_bucketed(
+                docs, "replay", buckets=4, on_survivors=sink_then_crash,
+                path=str(tmp_path / "s2"),
+            )
+        # store never got the batch; corpus did
+        assert not spark.catalog.tableExists("replay__bands")
+        # replay of the same batch (normal path)
+        incremental_near_dup_bucketed(
+            docs, "replay", buckets=4,
+            path=str(tmp_path / "s2"),
+            on_survivors=lambda s: s.write.mode("append").parquet(out),
+        )
+        corpus = spark.read.parquet(out)
+        assert corpus.count() == 8  # duplicated, at-least-once
+        assert corpus.select("doc_id").distinct().count() == 4  # nothing lost
+        # next batch still dedups against the (replayed) store
+        nxt = incremental_near_dup_bucketed(
+            docs.withColumn("doc_id", F.col("doc_id") + 100), "replay",
+            buckets=4,
+        )
+        assert nxt.count() == 0  # all near-dup the stored docs
+    finally:
+        spark.sql("DROP TABLE IF EXISTS replay__bands")
+        spark.sql("DROP TABLE IF EXISTS replay__sigs")
+
+
+def test_incremental_bucketed_orphan_sigs_are_inert_and_healed(spark, tmp_path):
+    """ADVICE r5 #2: sigs are written BEFORE bands, so a crash between
+    the two leaves orphan sig rows with no band rows. Orphans must (a)
+    never produce candidates, and (b) heal when the batch replays."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_near_dup_bucketed,
+    )
+    from var_elasticnet_bigdata_spark.sources.bucketing import write_bucketed
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"o{i}z{j}" for j in range(8)))
+            for i in range(3)
+        ],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS orph__bands")
+    spark.sql("DROP TABLE IF EXISTS orph__sigs")
+    try:
+        # batch 1 committed normally
+        incremental_near_dup_bucketed(
+            docs, "orph", buckets=4, path=str(tmp_path / "s3")
+        )
+        # simulate the crash window of batch 2 (fresh content — must
+        # not near-dup batch 1): sigs appended, bands not
+        batch2 = spark.createDataFrame(
+            [
+                (i + 10, " ".join(f"q{i}k{j}" for j in range(8)))
+                for i in range(3)
+            ],
+            "doc_id long, text string",
+        )
+        extra = spark.table("orph__sigs").limit(0)  # schema template
+        from var_elasticnet_bigdata_spark.operators.dedup import (
+            _sig_expr,
+            with_shingle_hashes,
+        )
+
+        sig2 = with_shingle_hashes(batch2, 3).select(
+            F.col("doc_id"),
+            F.expr(_sig_expr(16)).alias("sig"),
+            F.col("__sh").alias("sh"),
+        )
+        assert extra.columns == sig2.columns
+        write_bucketed(
+            sig2, "orph__sigs", "doc_id", buckets=4, sort_cols="doc_id",
+            mode="append",
+        )
+        # replay batch 2: orphan sigs must not self-drop the batch
+        surv = incremental_near_dup_bucketed(batch2, "orph", buckets=4)
+        assert surv.count() == batch2.count()
+        # store is healed: bands now cover batch 2, so batch 3 (same
+        # content as batch 2, higher ids) dedups against it
+        batch3 = batch2.withColumn("doc_id", F.col("doc_id") + 20)
+        surv3 = incremental_near_dup_bucketed(batch3, "orph", buckets=4)
+        assert surv3.count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orph__bands")
+        spark.sql("DROP TABLE IF EXISTS orph__sigs")
+
+
+def test_compact_bucketed_recovers_from_crashed_swap(spark, tmp_path):
+    """ADVICE r5 #5: the DROP+RENAME swap is not atomic. A crash
+    between the two leaves only the __compacting staging table (which
+    holds the full rewritten content). compact_bucketed must recover
+    it on the next run instead of failing on the missing table."""
+    from var_elasticnet_bigdata_spark.sources.bucketing import write_bucketed
+    from var_elasticnet_bigdata_spark.sources.compaction import compact_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS crashc")
+    spark.sql("DROP TABLE IF EXISTS crashc__compacting")
+    try:
+        df = spark.range(40).select(
+            (F.col("id") % 8).alias("k"), F.col("id").alias("v")
+        )
+        write_bucketed(
+            df, "crashc", "k", buckets=4, sort_cols="k",
+            path=str(tmp_path / "crashc"), mode="overwrite",
+        )
+        rows = {(r.k, r.v) for r in spark.table("crashc").collect()}
+        # simulate the post-DROP, pre-RENAME crash state: only the
+        # staging table exists, holding the full content
+        spark.sql("ALTER TABLE crashc RENAME TO crashc__compacting")
+        assert not spark.catalog.tableExists("crashc")
+        before, after = compact_bucketed(spark, "crashc")
+        assert spark.catalog.tableExists("crashc")
+        assert {(r.k, r.v) for r in spark.table("crashc").collect()} == rows
+    finally:
+        spark.sql("DROP TABLE IF EXISTS crashc")
+        spark.sql("DROP TABLE IF EXISTS crashc__compacting")

@@ -466,3 +466,33 @@ def test_all_package_persists_are_registry_bounded():
             if ".persist()" in line and "cachereg" not in str(py):
                 offenders.append(f"{py.relative_to(root)}:{i}")
     assert len(offenders) == 1 and offenders[0].startswith("queries.py:"), offenders
+
+
+def test_release_session_drops_live_slots(spark):
+    """ADVICE r5 #4: the cache registry must offer a session release
+    hook so churning drivers (tests, notebooks) don't accumulate one
+    pinned frame per slot per dead session; after release, the slot
+    re-fills normally."""
+    from var_elasticnet_bigdata_spark.plans.cachereg import (
+        live_cache_count,
+        release_session,
+        swap_cache,
+    )
+
+    spark.catalog.clearCache()
+    df = swap_cache(
+        "test.release_session", spark.range(50).selectExpr("id", "id*2 AS v")
+    )
+    df.count()
+    assert live_cache_count("test.release_session") == 1
+    assert release_session(spark) >= 1
+    assert live_cache_count("test.release_session") == 0
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    # slot re-fills after release
+    df2 = swap_cache(
+        "test.release_session", spark.range(50).selectExpr("id", "id*3 AS v")
+    )
+    df2.count()
+    assert live_cache_count("test.release_session") == 1
+    release_session(spark)
+    spark.catalog.clearCache()

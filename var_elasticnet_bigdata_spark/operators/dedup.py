@@ -752,6 +752,7 @@ def incremental_near_dup_bucketed(
     star_over: int | None = 1024,
     buckets: int = 32,
     path: str | None = None,
+    on_survivors=None,
 ) -> DataFrame:
     """``incremental_near_dup`` against a PERSISTED, BUCKETED
     signature store (VERDICT r4 next-round #3): the append-only store
@@ -780,11 +781,33 @@ def incremental_near_dup_bucketed(
     DataFrame-store variant this call is EAGER: the append is an
     action, so the survivors are computed exactly once and the
     returned frame re-reads nothing from the batch lineage.
+
+    ``on_survivors``, if given, is called with the survivors frame
+    AFTER the drop set is pinned but BEFORE anything is appended to
+    the store — the hook is where a caller must commit survivors to
+    its own downstream sink (see ``streaming.dedup``). Ordering is
+    the crash-safety contract: a caller that sinks AFTER this call
+    returns has a window where the store already holds the batch's
+    rows but the sink does not; a replay of that batch would then
+    self-match the store (Jaccard 1.0) and silently drop the
+    documents from the sink forever. With the hook, a crash anywhere
+    after the sink write degrades to at-least-once (duplicate sink
+    rows on replay), never to loss.
+
+    Crash-recovery invariant for the store itself: sigs are appended
+    BEFORE bands. A crash between the two leaves orphan signature
+    rows with no band rows — inert (candidates are generated from
+    the bands table, so orphans never match anything) and healed on
+    replay (the batch re-runs, finds no band rows to self-match,
+    re-appends; duplicate sig/band rows only fan out candidate pairs,
+    which the verify stage's ``distinct`` collapses). The existence
+    probe therefore keys on the LAST-written table (bands): bands
+    present implies sigs present.
     """
     spark = batch.sparkSession
     bands_t = f"{store_name}__bands"
     sigs_t = f"{store_name}__sigs"
-    exists = spark.catalog.tableExists(sigs_t)
+    exists = spark.catalog.tableExists(bands_t)
 
     sigged = swap_cache(
         "dedup.incremental_bucketed_sigs",
@@ -858,10 +881,26 @@ def incremental_near_dup_bucketed(
         .localCheckpoint(eager=True)
     )
     surv_rows = sigged.join(drops, id_col, "left_anti")
+    survivors = batch.join(drops, id_col, "left_anti")
+    if on_survivors is not None:
+        # sink-before-store: see docstring crash-safety contract
+        on_survivors(survivors)
 
     from ..sources.bucketing import write_bucketed
 
     mode = "append" if exists else "overwrite"
+    # sigs BEFORE bands (recovery invariant in the docstring): bands
+    # rows are the candidate source, so they must never exist without
+    # their verify-side sig rows
+    write_bucketed(
+        surv_rows.select(id_col, "sig", "sh"),
+        sigs_t,
+        id_col,
+        buckets=buckets,
+        sort_cols=id_col,
+        path=None if path is None else f"{path}/{sigs_t}",
+        mode=mode,
+    )
     write_bucketed(
         surv_rows.select(id_col, F.explode(F.expr(bk)).alias("bk")).select(
             "bk", id_col
@@ -873,16 +912,7 @@ def incremental_near_dup_bucketed(
         path=None if path is None else f"{path}/{bands_t}",
         mode=mode,
     )
-    write_bucketed(
-        surv_rows.select(id_col, "sig", "sh"),
-        sigs_t,
-        id_col,
-        buckets=buckets,
-        sort_cols=id_col,
-        path=None if path is None else f"{path}/{sigs_t}",
-        mode=mode,
-    )
-    return batch.join(drops, id_col, "left_anti")
+    return survivors
 
 
 def _sig_expr(num_hashes: int) -> str:

@@ -667,7 +667,10 @@ def semantic_dedup(
     Drop rule (id-greedy, matching every other dedup operator here):
     a vector is ``is_dup`` iff SOME lower-id member of the same cell
     has cosine ≥ ``eps`` with it — no transitive closure, so the rule
-    is a plain self-join in the DuckDB twin. (The SemDeDup paper
+    is a plain self-join in the DuckDB twin. The cosine is rounded to
+    6 dp before the comparison (the repo-wide thresholding
+    convention, same as the Jaccard verify) so both engines compare
+    on the same grid. (The SemDeDup paper
     keeps the member farthest from the centroid; min-id is the
     deterministic, engine-portable equivalent and keeps exactly as
     many representatives.)
@@ -731,6 +734,12 @@ def semantic_dedup(
         for j0 in range(1, m, blk):
             j1 = min(j0 + blk, m)
             S = M[:j1] @ M[j0:j1].T
+            # snap to the repo-wide 6-dp thresholding grid (half-up,
+            # matching Spark/DuckDB ROUND for the positive values a
+            # >= tau comparison can turn on) so summation-order ULP
+            # differences between numpy's blocked matmul and an
+            # oracle engine can never flip a borderline comparison
+            S = np.floor(S * 1e6 + 0.5) / 1e6
             for off in range(j1 - j0):
                 j = j0 + off
                 dropped[j] = bool((S[:j, off] >= tau).any())

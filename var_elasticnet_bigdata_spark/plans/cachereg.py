@@ -16,6 +16,14 @@ sessions in one driver process cannot evict each other's live frame;
 the dict itself is guarded by a lock so concurrent threads on the SAME
 session race down to "one of the two caches survives" — the correct
 bound, since both plans stay correct via lineage.
+
+Session lifetime (ADVICE r5): the registry's DataFrames strongly
+reference their SparkSession, so entries for a stopped session would
+pin it (and one frame per slot) forever in a session-churning driver
+(tests, notebooks). Every ``swap_cache`` call therefore sweeps
+entries whose session has been stopped (``sparkContext._jsc is
+None`` after ``stop()``), and ``release_session`` is the explicit
+hook to drop (and unpersist) a session's slots before stopping it.
 """
 
 from __future__ import annotations
@@ -27,6 +35,37 @@ from pyspark.sql import DataFrame
 
 _lock = threading.Lock()
 _live: dict[tuple[int, str], DataFrame] = {}
+
+
+def _session_stopped(frame: DataFrame) -> bool:
+    try:
+        return frame.sparkSession.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _sweep_stopped() -> None:
+    """Drop registry entries whose SparkSession was stopped (caller
+    holds ``_lock``). No unpersist: a stopped session's JVM-side
+    cache is already gone; this releases the Python references."""
+    for key in [k for k, v in _live.items() if _session_stopped(v)]:
+        _live.pop(key, None)
+
+
+def release_session(spark) -> int:
+    """Unpersist and drop every live slot belonging to ``spark`` —
+    call before ``spark.stop()`` in session-churning drivers. Returns
+    the number of slots released."""
+    sid = id(spark)
+    with _lock:
+        mine = [k for k in _live if k[0] == sid]
+        frames = [_live.pop(k) for k in mine]
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    return len(frames)
 
 
 def swap_cache(slot: str, df: DataFrame) -> DataFrame:
@@ -47,6 +86,7 @@ def swap_cache(slot: str, df: DataFrame) -> DataFrame:
     key = (id(df.sparkSession), slot)
     df = df.persist()
     with _lock:
+        _sweep_stopped()
         old = _live.get(key)
         _live[key] = df
     if old is not None and old is not df:

@@ -1796,7 +1796,7 @@ _SEED_ASSIGN_CTE = """
       SELECT DISTINCT b.vec_id
       FROM mem a JOIN mem b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-       AND list_dot_product(a.e, b.e) >= 0.4
+       AND ROUND(list_dot_product(a.e, b.e), 6) >= 0.4
     )
     SELECT m.vec_id, m.cell,
            CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup

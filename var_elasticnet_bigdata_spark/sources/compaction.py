@@ -107,14 +107,32 @@ def compact_bucketed(spark: SparkSession, table: str) -> tuple[int, int]:
     bucket. This rewrites the table through a staging table with the
     SAME bucket spec — the bucketing contract (and therefore the
     exchange-free store-side joins) survives, verified by plan
-    assertion in tests — then atomically swaps it in via catalog
-    rename. Rows are pre-partitioned on the bucket columns into
+    assertion in tests — then swaps it in via DROP + catalog rename.
+    Rows are pre-partitioned on the bucket columns into
     ``num_buckets`` tasks so the rewrite emits ~one file per bucket.
+
+    The swap is NOT atomic: Spark's catalog has no single-statement
+    table swap, so there is a window between ``DROP TABLE {table}``
+    and ``ALTER TABLE ... RENAME`` where a concurrent reader sees no
+    table, and a crash inside it leaves only the ``__compacting``
+    staging table registered. Run compaction only while the table's
+    readers/writers are quiesced (the incremental-store batch loop
+    satisfies this — one batch at a time). Crash recovery is
+    automatic: on entry, a registered staging table with no target
+    table (the crash signature — the staging table holds the full
+    rewritten content by that point) is renamed into place before
+    compaction proceeds; a staging table alongside a live target is
+    a pre-swap leftover and is dropped.
 
     Returns ``(data_files_before, data_files_after)``. External
     tables get a sibling location (alternating ``__c`` suffix);
     managed tables stay managed.
     """
+    staging = f"{table}__compacting"
+    if spark.catalog.tableExists(staging) and not spark.catalog.tableExists(
+        table
+    ):
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     info = {
         r.col_name: r.data_type
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()

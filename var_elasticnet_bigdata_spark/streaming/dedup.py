@@ -112,14 +112,23 @@ def stream_near_dup_against_store(
     this operator is its heavyweight sibling.
 
     Restart semantics: `foreachBatch` replays the last uncommitted
-    micro-batch after a crash, so the store append is at-least-once.
-    A replayed batch re-verifies against a store that may already
-    hold its survivors — they self-match (Jaccard 1.0) and drop, so
-    the SURVIVOR SET stays correct; only their store/corpus rows can
-    duplicate, which the store's own dedup semantics then mask (a
-    doc_id matching itself is dropped before anything else matches
-    it). Exactly-once needs an idempotent sink (MERGE on doc_id) —
-    out of scope for the parquet fixture sink, documented here.
+    micro-batch after a crash, so every write in the batch function
+    is at-least-once. Write ORDER is what decides whether replay
+    duplicates or LOSES data: survivors are committed to the parquet
+    corpus at ``out_path`` FIRST (via the operator's ``on_survivors``
+    hook, which fires before any store append). A crash after the
+    corpus write but before/inside the store appends replays the
+    batch against a store that does not yet (fully) hold it — the
+    same survivors re-emerge and re-append, so the corpus gains
+    duplicate rows (true at-least-once) but never loses a document.
+    A crash after both writes but before the checkpoint commit
+    replays against a store that already holds the survivors; they
+    self-match (Jaccard 1.0) and drop, so neither corpus nor store
+    duplicates further. Were the order reversed (store first), that
+    same replay would drop documents that never reached the corpus —
+    permanent loss. Exactly-once needs an idempotent sink (MERGE on
+    doc_id) — out of scope for the parquet fixture sink; downstream
+    readers dedup corpus rows by doc_id if replay duplicates matter.
 
     Returns the StreamingQuery; caller awaits termination.
     """
@@ -128,14 +137,16 @@ def stream_near_dup_against_store(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        survivors = incremental_near_dup_bucketed(
+        incremental_near_dup_bucketed(
             batch_df,
             store_name,
             threshold=threshold,
             buckets=buckets,
             path=store_path,
+            on_survivors=lambda surv: surv.write.mode("append").parquet(
+                out_path
+            ),
         )
-        survivors.write.mode("append").parquet(out_path)
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)
