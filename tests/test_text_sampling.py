@@ -473,3 +473,104 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[2].logprob == _pytest.approx(math.log(p_ab), rel=1e-9)
     with _pytest.raises(ValueError, match="lam"):
         bigram_logprob(df, lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: BPE merge round + classifier inference + distributed Lloyd step
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """Pair counts weighted by word frequency, ties broken by pair
+    asc, singleton chars excluded."""
+    from var_elasticnet_bigdata_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "abab ab"), (1, "ab Cd!"), (2, "x")],  # 'x' too short; Cd -> cd
+        "doc_id long, text string",
+    )
+    rows = bpe_pair_counts(df, top_n=10).collect()
+    got = {r.pair: r.cnt for r in rows}
+    # 'abab' x1 -> ab,ba,ab ; 'ab' x2 -> ab ; 'cd' x1 -> cd
+    assert got == {"ab": 4, "ba": 1, "cd": 1}
+    # ordering: cnt desc, pair asc
+    assert [r.pair for r in rows] == ["ab", "ba", "cd"]
+
+
+def test_bpe_pair_counts_vocab_sided(spark):
+    """Duplicating the corpus 10x must not grow the pair-expansion
+    input (it runs on DISTINCT words) — counts just scale by 10."""
+    from var_elasticnet_bigdata_spark.operators.text import bpe_pair_counts
+
+    base = [(i, "alpha beta gamma") for i in range(5)]
+    big = [(i, "alpha beta gamma") for i in range(50)]
+    d1 = spark.createDataFrame(base, "doc_id long, text string")
+    d10 = spark.createDataFrame(big, "doc_id long, text string")
+    c1 = {r.pair: r.cnt for r in bpe_pair_counts(d1, top_n=50).collect()}
+    c10 = {r.pair: r.cnt for r in bpe_pair_counts(d10, top_n=50).collect()}
+    assert c10 == {p: 10 * c for p, c in c1.items()}
+
+
+def test_classifier_score_exact_logit_and_no_shuffle(spark):
+    """The integer milli-logit must equal the hand-computed bucket-sum
+    and the plan must contain NO exchange (single narrow pass)."""
+    import hashlib
+
+    from var_elasticnet_bigdata_spark.operators.text import (
+        classifier_weights,
+        hashed_classifier_score,
+    )
+
+    w = classifier_weights()
+    docs = [(0, "hello world"), (1, "spark"), (2, "a b c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = hashed_classifier_score(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    got = {r.doc_id: r for r in out.collect()}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        logit = sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:2], 16)] for t in toks
+        )
+        assert got[doc_id].logit_milli == logit, (doc_id, text)
+        assert got[doc_id].n_tokens == len(toks)
+        import math
+
+        want = round(1.0 / (1.0 + math.exp(-(logit / (1000.0 * len(toks))))), 6)
+        assert abs(got[doc_id].score - want) < 1e-9
+
+
+def test_kmeans_refine_improves_centroid_fit(spark):
+    """One Lloyd step from the seed centroids must not DECREASE the
+    mean member->own-centroid cosine (Lloyd's monotonicity, modulo
+    the 12-dp rounding), and the refined centroids are unit-norm."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        cluster_profile,
+        kmeans_refine,
+        seed_centroids,
+    )
+    from var_elasticnet_bigdata_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    C0 = seed_centroids(emb, 8)
+    rows = kmeans_refine(emb, nlist=8).collect()
+    dim = max(r.pos for r in rows) + 1
+    C1 = np.zeros((8, dim))
+    seen = set()
+    for r in rows:
+        C1[r.cell, r.pos] = r.c
+        seen.add(r.cell)
+    for j in sorted(seen):
+        assert abs(np.linalg.norm(C1[j]) - 1.0) < 1e-4, j
+
+    def mean_cos(C):
+        rows = cluster_profile(emb, centroids=C).collect()
+        return sum(r.avg_cos * r.n_members for r in rows) / sum(
+            r.n_members for r in rows
+        )
+
+    assert mean_cos(C1[sorted(seen)]) >= mean_cos(C0) - 1e-6

@@ -819,3 +819,80 @@ def cluster_profile(
             F.round(F.avg("cos"), round_dp).alias("avg_cos"),
         )
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    round_dp: int = 12,
+    out_dp: int = 6,
+) -> DataFrame:
+    """One DISTRIBUTED Lloyd step of spherical k-means: assign every
+    vector to its argmax-cosine centroid (broadcast matmul), then
+    recompute each cell's centroid as the normalized mean of its
+    members. Returns the refined centroids as ``(cell, pos, c)`` rows
+    (component ``pos`` of cell's unit-norm centroid, rounded to
+    ``out_dp``); cells that captured no members are absent, matching
+    the SQL twin.
+
+    This is the train loop `ivf_centroids` runs on a driver-side
+    sample, expressed distributed so the index can be trained on the
+    FULL corpus: per step, one broadcast Arrow matmul (narrow) + a
+    combinable groupBy(cell, pos) mean over exploded components —
+    at 100 TB each iteration is a single map-side-reducible pass;
+    the (nlist × d) result is the only thing that moves. Iterate by
+    feeding the result back via ``centroids``.
+
+    Float discipline (hash-gate twin contract, same as
+    `seed_centroids`): component means round to ``round_dp`` BEFORE
+    normalization; the per-cell norm uses a sequential ascending-pos
+    fold on both engines (`F.aggregate` left fold here, `list_reduce`
+    in DuckDB) so summation order cannot drift.
+    """
+    C = (
+        centroids
+        if centroids is not None
+        else seed_centroids(df, nlist, id_col, vec_col)
+    )
+    assign = ivf_assign(df, C, nprobe=1, id_col=id_col, vec_col=vec_col)
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
+    normed = v.select(
+        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
+    )
+    members = assign.select(id_col, "cell").join(normed, id_col)
+    comp = (
+        # lambda-bearing explode child: see seed_centroids on the
+        # InferFiltersFromGenerate pushdown tax
+        members.select(
+            "cell",
+            F.posexplode(F.expr("transform(e, x -> x)")).alias("pos", "x"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), round_dp).alias("cx"))
+    )
+    cellvec = comp.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("sv")
+    )
+    normed_cells = cellvec.withColumn(
+        "s2", F.expr("aggregate(sv, 0D, (a, s) -> a + s.cx * s.cx)")
+    )
+    return normed_cells.select(
+        "cell",
+        F.explode("sv").alias("comp"),
+        F.col("s2"),
+    ).select(
+        "cell",
+        F.col("comp.pos").alias("pos"),
+        F.round(
+            F.col("comp.cx")
+            / F.when(F.col("s2") == 0, F.lit(1.0)).otherwise(F.sqrt("s2")),
+            out_dp,
+        ).alias("c"),
+    )

@@ -826,3 +826,158 @@ def duck_vocab_coverage_sql(
                      / CAST(COUNT(*) AS DOUBLE), 6) AS oov_ratio
         FROM j GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: one distributed BPE merge round
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_n: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """One round of BPE tokenizer training at corpus scale: the
+    frequency of every adjacent CHARACTER pair, weighted by word
+    frequency, returning the ``top_n`` merge candidates —
+    ``(pair, cnt)`` ordered (cnt DESC, pair ASC).
+
+    This is the distributed-BPE layout (word-count once, merge rounds
+    on the vocabulary): the corpus is touched exactly once by a
+    narrow explode + ONE combinable groupBy(word) shuffle; the pair
+    expansion then runs on the DISTINCT vocabulary only — sublinear
+    in corpus size (Heaps' law), so 100 TB of text pays one
+    word-count aggregation and the per-round merge work never grows
+    with the corpus. Final selection is TakeOrderedAndProject, not a
+    global sort. Counts are exact integers — no float drift in the
+    oracle hash.
+    """
+    from .dedup import norm_sql_spark
+
+    norm = norm_sql_spark(text_col)
+    words = df.select(
+        F.explode(F.split(F.expr(norm), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count("*").alias("wcnt"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wcnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
+def duck_bpe_pair_sql(top_n: int = 32) -> str:
+    """DuckDB twin of `bpe_pair_counts`."""
+    from .dedup import NORM_SQL_DUCK
+
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split({NORM_SQL_DUCK}, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, COUNT(*) AS wcnt FROM words WHERE length(w) >= 2 GROUP BY 1
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                   i -> substring(w, i, 2))) AS pair,
+             wcnt
+      FROM wc
+    )
+    SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1
+    ORDER BY cnt DESC, pair ASC LIMIT {top_n}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier inference: hashed bag-of-words + logistic link
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_BUCKETS = 256
+
+
+def classifier_weights(buckets: int = CLASSIFIER_BUCKETS) -> list[int]:
+    """Deterministic per-bucket INTEGER milli-weights in [-1000, 1000]
+    (Knuth multiplicative scatter). Integer weights make the per-doc
+    logit an exact sum — order-independent across engines — so only
+    the final sigmoid touches floats. A trained classifier ships its
+    real weights through the same table/map shape."""
+    return [((i + 1) * 2654435761) % 2001 - 1000 for i in range(buckets)]
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = CLASSIFIER_BUCKETS,
+) -> DataFrame:
+    """fastText/CCNet-style quality-classifier INFERENCE over the
+    corpus: each token hashes to one of ``buckets`` feature buckets
+    (first 2 hex chars of md5 — the repo's portable bucket idiom),
+    the doc logit is the mean bucket weight, and the score is the
+    logistic link. Returns ``(id_col, n_tokens, logit_milli,
+    score)`` — ``logit_milli`` is the exact integer weight sum.
+
+    Scale shape: the weight vector folds into the expression as a
+    constant map (a real model would broadcast the same map), so
+    scoring is ONE narrow JVM pass over the corpus — no explode, no
+    join, NO shuffle at all. This is the cheapest possible plan for
+    classifier filtering at 100 TB: it composes onto any scan and
+    pushes the keep-filter straight down.
+    """
+    if buckets != CLASSIFIER_BUCKETS:
+        raise ValueError("bucket count is fixed by the 2-hex-char key")
+    from .dedup import norm_sql_spark
+
+    w = classifier_weights(buckets)
+    entries = ", ".join(
+        f"'{i:02x}', {w[i]}L" for i in range(buckets)
+    )
+    norm = norm_sql_spark(text_col)
+    words = f"split({norm}, ' ')"
+    logit = (
+        f"aggregate({words}, 0L,"
+        f" (acc, t) -> acc + element_at(map({entries}), substring(md5(t), 1, 2)))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({words})").alias("n_tokens"),
+        F.expr(logit).alias("logit_milli"),
+        F.expr(
+            f"round(1.0 / (1.0 + exp(-({logit} / (1000.0 * size({words}))))), 6)"
+        ).alias("score"),
+    )
+
+
+def duck_hashed_classifier_sql(buckets: int = CLASSIFIER_BUCKETS) -> str:
+    """DuckDB twin of `hashed_classifier_score` (weights as a VALUES
+    table joined on the bucket key — the join form a SQL engine would
+    use for a real weight table)."""
+    from .dedup import NORM_SQL_DUCK
+
+    w = classifier_weights(buckets)
+    vals = ", ".join(f"('{i:02x}', {w[i]})" for i in range(buckets))
+    return f"""
+    WITH wt(b, w) AS (VALUES {vals}),
+    toks AS (
+      SELECT doc_id, len(string_split({NORM_SQL_DUCK}, ' ')) AS n_tokens,
+             unnest(string_split({NORM_SQL_DUCK}, ' ')) AS tok
+      FROM documents
+    ),
+    j AS (
+      SELECT doc_id, n_tokens, w
+      FROM toks JOIN wt ON substr(md5(tok), 1, 2) = wt.b
+    )
+    SELECT doc_id, n_tokens,
+           CAST(SUM(w) AS BIGINT) AS logit_milli,
+           ROUND(1.0 / (1.0 + exp(-(SUM(w) / (1000.0 * n_tokens)))), 6) AS score
+    FROM j GROUP BY doc_id, n_tokens
+    """

@@ -5905,6 +5905,91 @@ def _register_vocab_coverage_oracle() -> None:
 _register_vocab_coverage_oracle()
 
 
+@query("text_bpe_top_pairs", None)
+def text_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE tokenizer-training merge round
+    (`text.bpe_pair_counts`): adjacent character-pair frequencies
+    weighted by word frequency, top-32 merge candidates. Corpus is
+    touched by ONE combinable word-count shuffle; pair expansion runs
+    on the distinct vocabulary only (sublinear, Heaps' law); final
+    selection is TakeOrderedAndProject. Counts are exact integers."""
+    from .operators.text import bpe_pair_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, top_n=32)
+
+
+def _register_bpe_oracle() -> None:
+    from .operators.text import duck_bpe_pair_sql
+
+    ORACLE["text_bpe_top_pairs"] = duck_bpe_pair_sql(top_n=32)
+
+
+_register_bpe_oracle()
+
+
+@query("text_classifier_score", None)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words quality-classifier inference
+    (`text.hashed_classifier_score`): fastText/CCNet-shaped logistic
+    scoring where the weight vector folds into the expression as a
+    constant map — ONE narrow JVM pass, no explode, no join, NO
+    shuffle. The integer milli-logit keeps the hash gate exact; only
+    the final sigmoid is float (rounded 6 dp both engines)."""
+    from .operators.text import hashed_classifier_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_classifier_score(d)
+
+
+def _register_classifier_oracle() -> None:
+    from .operators.text import duck_hashed_classifier_sql
+
+    ORACLE["text_classifier_score"] = duck_hashed_classifier_sql()
+
+
+_register_classifier_oracle()
+
+
+@query(
+    "ann_kmeans_refine",
+    _SEED_ASSIGN_CTE
+    + """,
+    mem AS (SELECT n.vec_id, a.cell, n.e
+            FROM n JOIN assigned a ON a.vec_id = n.vec_id),
+    comp2 AS (
+      SELECT cell, pos, ROUND(AVG(x), 12) AS cx
+      FROM (SELECT cell, unnest(e) AS x,
+                   generate_subscripts(e, 1) AS pos FROM mem)
+      GROUP BY 1, 2
+    ),
+    cv AS (SELECT cell, list(cx ORDER BY pos) AS c FROM comp2 GROUP BY 1),
+    cn AS (
+      SELECT cell, c,
+             list_reduce(list_transform(c, y -> y * y), (a, b) -> a + b) AS s2
+      FROM cv
+    )
+    SELECT cell, pos - 1 AS pos,
+           ROUND(x / CASE WHEN s2 = 0 THEN 1.0 ELSE sqrt(s2) END, 6) AS c
+    FROM (SELECT cell, unnest(c) AS x,
+                 generate_subscripts(c, 1) AS pos, s2 FROM cn)
+    """,
+)
+def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd step of spherical k-means
+    (`similarity.kmeans_refine`) from the deterministic seed
+    centroids: broadcast-matmul assignment + a combinable
+    groupBy(cell, pos) mean, so index training runs on the FULL
+    corpus — per iteration one map-side-reducible pass; only the
+    (nlist × d) centroid frame moves. The whole step (assign + mean +
+    sequential-fold normalization) replays in SQL and sits in the
+    hash gate."""
+    from .operators.similarity import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine(emb, nlist=16)
+
+
 # The driver's per-round correctness sweep caps how many queries it
 # reaches (50 of 99 in r4). Order the registry so the sweep window
 # rotates: the FRESHEST driver-green queries go LAST, the stalest (or
