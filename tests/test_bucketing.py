@@ -513,3 +513,58 @@ def test_compact_bucketed_recovers_from_crashed_swap(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS crashc")
         spark.sql("DROP TABLE IF EXISTS crashc__compacting")
+
+
+def test_incremental_exact_dedup_bucketed_store(spark, tmp_path):
+    """Persisted content-key store: (a) batch-by-batch survivors must
+    equal a full min-id exact dedup over the union (append-only id
+    order); (b) the store side of the anti-join reads exchange-free;
+    (c) the sink hook fires before the key append."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        content_key,
+        exact_dedup,
+        incremental_exact_dedup_bucketed,
+    )
+    from var_elasticnet_bigdata_spark.plans.inspect import scan_ancestry
+
+    rows = [
+        (0, "Alpha Beta!"), (1, "alpha beta"), (2, "gamma delta"),
+        (3, "unique zero"), (4, "gamma  DELTA"), (5, "epsilon nine"),
+        (6, "alpha beta"), (7, "fresh content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark.sql("DROP TABLE IF EXISTS exs__keys")
+    try:
+        hook_state = {}
+
+        def hook(surv):
+            hook_state["store_exists"] = spark.catalog.tableExists("exs__keys")
+
+        s1 = incremental_exact_dedup_bucketed(
+            docs.filter("doc_id < 4"), "exs", buckets=4,
+            path=str(tmp_path / "exs"), on_survivors=hook,
+        )
+        got1 = sorted(r.doc_id for r in s1.collect())
+        assert hook_state["store_exists"] is False  # sink before create
+        s2 = incremental_exact_dedup_bucketed(
+            docs.filter("doc_id >= 4"), "exs", buckets=4
+        )
+        got = got1 + sorted(r.doc_id for r in s2.collect())
+        want = sorted(
+            r.doc_id for r in exact_dedup(docs).collect()
+        )
+        assert sorted(got) == want == [0, 2, 3, 5, 7]
+
+        # store-side scan reaches the anti-join with no Exchange
+        old = _no_broadcast(spark)
+        try:
+            probe = spark.createDataFrame([(99, "zz")], "doc_id long, ck string")
+            j = probe.join(
+                read_bucketed(spark, "exs__keys").select("ck"), "ck", "left_anti"
+            )
+            anc = scan_ancestry(j, r"exs__keys")
+            assert not any(a.startswith("Exchange") for a in anc), anc
+        finally:
+            _restore(spark, old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS exs__keys")

@@ -716,3 +716,38 @@ def test_cluster_profile_matches_assignment(spark, emb):
     assert prof == want
     total = sum(prof.values())
     assert total == emb.count()
+
+
+def test_cell_knn_label_vote_hand_computed(spark):
+    """Majority label of in-cell cosine neighbors, ties by label asc;
+    singleton cells emit nothing."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        cell_knn_label_vote,
+    )
+
+    # two tight clusters on orthogonal axes + one lone vector
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (1, [0.9, 0.1, 0.0], 7),
+        (2, [0.8, 0.2, 0.0], 3),
+        (10, [0.0, 1.0, 0.0], 5),
+        (11, [0.0, 0.9, 0.1], 5),
+        (20, [0.0, 0.0, 1.0], 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    C = np.eye(3)
+    out = {
+        r.vec_id: (r.pred_label, r.n_votes)
+        for r in cell_knn_label_vote(df, k=2, nlist=3, centroids=C).collect()
+    }
+    # deterministic rule: cnt DESC then label ASC — id0's neighbors are
+    # {1:7, 2:3}: 1-1 tie, label 3 wins
+    assert out[0] == (3, 1)
+    assert out[1] == (3, 1)  # neighbors {0:7, 2:3} tie -> 3
+    assert out[2] == (7, 2)  # neighbors {0:7, 1:7} -> 7 with 2 votes
+    assert out[10] == (5, 1) and out[11] == (5, 1)
+    assert 20 not in out  # singleton cell

@@ -35,6 +35,10 @@ FAMILY = [
     "ann_ivf_fixed", "pipeline_corpus_curation", "pipeline_training_data",
     # r5 persisted-store paths: store build + batch join both scale
     "dedup_incremental_bucketed", "split_contamination_store",
+    # r6: tokenizer round (vocab-sided), zero-shuffle classifier,
+    # full-corpus Lloyd step, exact key store, in-cell kNN vote
+    "text_bpe_top_pairs", "text_classifier_score", "ann_kmeans_refine",
+    "dedup_incremental_exact", "ann_knn_label_vote",
 ]
 
 

@@ -925,3 +925,80 @@ def _sig_expr(num_hashes: int) -> str:
         f"zip_with(array({a}), array({b}),"
         f" (a, b) -> array_min(transform(__sh, h -> ((a * h + b) % {MINHASH_P}L))))"
     )
+
+
+def incremental_exact_dedup_bucketed(
+    batch: DataFrame,
+    store_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+    path: str | None = None,
+    on_survivors=None,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against ALL accepted history via a
+    persisted content-key store — the lightweight sibling of
+    `incremental_near_dup_bucketed` and the most common production
+    dedup at 100 TB (URL / normalized-content keys): the accepted
+    corpus's keys live in ONE catalog table ``{store_name}__keys``
+    ``(ck, id_col)`` bucketed on ``ck``, so the per-batch anti-join
+    reads the store already partitioned on the join key — zero
+    store-side Exchange, only the (small) batch shuffles. The batch
+    shuffles on ``ck`` ONCE: the in-batch min-id window and the
+    store anti-join share the same key, so the exchange is reused.
+
+    Survivor rule: the min-``id_col`` row per content key within the
+    batch, excluding keys already in the store — identical to running
+    `exact_dedup` over store ∪ batch when batch ids exceed store ids
+    (the append-only case; pinned in tests).
+
+    ``on_survivors`` fires after the drop set is pinned and BEFORE
+    the store append — same crash-safety contract as the near-dup
+    store (sink first ⇒ at-least-once, never loss; a replayed batch
+    self-matches the store and drops, so the survivor set stays
+    correct).
+    """
+    spark = batch.sparkSession
+    keys_t = f"{store_name}__keys"
+    exists = spark.catalog.tableExists(keys_t)
+
+    keyed = swap_cache(
+        "dedup.incremental_exact_keys",
+        batch.select(F.col(id_col), content_key(text_col).alias("ck")),
+    )
+    w = Window.partitionBy("ck")
+    dup_in_batch = (
+        keyed.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("__min_id"))
+        .select(id_col)
+    )
+    if exists:
+        vs_store = (
+            keyed.join(
+                spark.table(keys_t).select("ck"),
+                "ck",
+            ).select(id_col)
+        )
+        dropped = dup_in_batch.unionByName(vs_store)
+    else:
+        dropped = dup_in_batch
+    # pinned BEFORE the append: the survivors/anti-join plan reads the
+    # store table and the append adds this batch's keys to it — lazy
+    # re-evaluation after the write would self-match and drop all
+    drops = dropped.distinct().localCheckpoint(eager=True)
+    survivors = batch.join(drops, id_col, "left_anti")
+    if on_survivors is not None:
+        on_survivors(survivors)
+
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        keyed.join(drops, id_col, "left_anti").select("ck", id_col),
+        keys_t,
+        "ck",
+        buckets=buckets,
+        sort_cols="ck",
+        path=None if path is None else f"{path}/{keys_t}",
+        mode="append" if exists else "overwrite",
+    )
+    return survivors

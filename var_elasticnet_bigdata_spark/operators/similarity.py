@@ -896,3 +896,100 @@ def kmeans_refine(
             out_dp,
         ).alias("c"),
     )
+
+
+def cell_knn_label_vote(
+    df: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: np.ndarray | None = None,
+    max_cell_rows: int = 2_000_000,
+) -> DataFrame:
+    """Embedding-quality evaluation by IVF-gated kNN label voting:
+    each vector's label is predicted as the majority label of its k
+    nearest neighbors (cosine) WITHIN its centroid cell — the
+    standard "do my embeddings cluster my labels" probe, run before
+    trusting an embedding column for semantic dedup or mixing.
+    Returns ``(id_col, pred_label, n_votes)``; vectors alone in
+    their cell have no neighbors and are absent.
+
+    Scale shape: identical to `semantic_dedup` — broadcast-centroid
+    assignment (narrow Arrow matmul), ONE groupBy(cell) shuffle,
+    per-cell BLAS matmuls bounded by ``max_cell_rows`` (grow nlist
+    with N). Never a corpus×corpus pair scan.
+
+    Determinism (hash-gate twin contract): cosines round to 6 dp
+    before ranking; neighbor rank ties break by neighbor id ASC,
+    majority ties by label ASC.
+    """
+    C = (
+        centroids
+        if centroids is not None
+        else seed_centroids(df, nlist, id_col, vec_col)
+    )
+    assign = ivf_assign(df, C, nprobe=1, id_col=id_col, vec_col=vec_col)
+    members = assign.select(id_col, "cell").join(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.col(label_col).cast("int").alias("__lbl"),
+        ),
+        id_col,
+    )
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("pred_label", IntegerType()),
+            StructField("n_votes", IntegerType()),
+        ]
+    )
+    kk, cap = k, max_cell_rows
+
+    def vote(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {id_col: [], "pred_label": [], "n_votes": []}
+            ).astype({id_col: np.int64, "pred_label": np.int32, "n_votes": np.int32})
+        if m > cap:
+            raise ValueError(
+                f"cell_knn_label_vote: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{m} vectors (> max_cell_rows={cap}); raise nlist"
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        lbl = pdf["__lbl"].to_numpy(dtype=np.int64)
+        M = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        M = M / n
+        S = M @ M.T
+        S = np.floor(S * 1e6 + 0.5) / 1e6  # 6-dp grid, half-up (twin)
+        out_id, out_lb, out_nv = [], [], []
+        kn = min(kk, m - 1)
+        for i in range(m):
+            s = S[i].copy()
+            s[i] = -np.inf  # never own neighbor
+            # rank: s DESC, id ASC  (lexsort: last key primary)
+            order = np.lexsort((ids, -s))[:kn]
+            votes: dict[int, int] = {}
+            for j in order:
+                votes[lbl[j]] = votes.get(lbl[j], 0) + 1
+            best = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0]
+            out_id.append(ids[i])
+            out_lb.append(best[0])
+            out_nv.append(best[1])
+        return pd.DataFrame(
+            {
+                id_col: np.array(out_id, dtype=np.int64),
+                "pred_label": np.array(out_lb, dtype=np.int32),
+                "n_votes": np.array(out_nv, dtype=np.int32),
+            }
+        )
+
+    return members.groupBy("cell").applyInPandas(
+        lambda pdf: vote(pdf), schema
+    )

@@ -5990,6 +5990,99 @@ def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refine(emb, nlist=16)
 
 
+@query("dedup_incremental_exact", None)  # oracle registered below
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup against a PERSISTED bucketed content-key store
+    (`operators/dedup.incremental_exact_dedup_bucketed`): each crawl
+    batch anti-joins the accepted corpus's md5-key table — bucketed
+    on the key, so the store side reads exchange-free and only the
+    batch shuffles (once; the in-batch min-id window shares the key).
+    Two id-ordered batches here ≡ one full-corpus min-id exact dedup,
+    which is the DuckDB twin."""
+    import tempfile
+
+    from .operators.dedup import incremental_exact_dedup_bucketed
+
+    store = "q_dedup_exact_store"
+    spark.sql(f"DROP TABLE IF EXISTS {store}__keys")
+    path = tempfile.mkdtemp(prefix="spark_graft_exact_store_")
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = incremental_exact_dedup_bucketed(
+        docs.filter(F.col("doc_id") < 250), store, buckets=8, path=path
+    )
+    s2 = incremental_exact_dedup_bucketed(
+        docs.filter(F.col("doc_id") >= 250), store, buckets=8, path=path
+    )
+    from .operators.dedup import content_key
+
+    return (
+        s1.unionByName(s2)
+        .select("doc_id", content_key().alias("ck"))
+    )
+
+
+def _register_dedup_incremental_exact_oracle() -> None:
+    from .operators.dedup import NORM_SQL_DUCK
+
+    ORACLE["dedup_incremental_exact"] = f"""
+        WITH keyed AS (
+          SELECT doc_id, md5({NORM_SQL_DUCK}) AS ck FROM documents)
+        SELECT doc_id, ck FROM keyed
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id) = 1
+    """
+
+
+_register_dedup_incremental_exact_oracle()
+
+
+@query(
+    "ann_knn_label_vote",
+    _SEED_ASSIGN_CTE
+    + """,
+    mem AS (SELECT a.vec_id, a.cell, n.e, e2.label
+            FROM assigned a
+            JOIN n ON n.vec_id = a.vec_id
+            JOIN embeddings e2 ON e2.vec_id = a.vec_id),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS nb, b.label,
+             ROUND(list_dot_product(a.e, b.e), 6) AS s
+      FROM mem a JOIN mem b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    nb_ranked AS (
+      SELECT vec_id, nb, label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, nb ASC) AS rn
+      FROM pairs
+    ),
+    votes AS (
+      SELECT vec_id, label, COUNT(*) AS cnt
+      FROM nb_ranked WHERE rn <= 5 GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT vec_id, label, cnt,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cnt DESC, label ASC) AS rn
+      FROM votes
+    )
+    SELECT vec_id, CAST(label AS INT) AS pred_label,
+           CAST(cnt AS INT) AS n_votes
+    FROM pred WHERE rn = 1
+    """,
+)
+def ann_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe (`similarity.cell_knn_label_vote`):
+    majority label of the 5 nearest in-cell neighbors per vector —
+    IVF-gated kNN, so the pair scan stays bounded per cell (the
+    SemDeDup scale shape) instead of corpus×corpus. Cosines snap to
+    the 6-dp grid before ranking; all ties id/label-ordered, so the
+    whole prediction sits in the hash gate."""
+    from .operators.similarity import cell_knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cell_knn_label_vote(emb, k=5, nlist=16)
+
+
 # The driver's per-round correctness sweep caps how many queries it
 # reaches (50 of 99 in r4). Order the registry so the sweep window
 # rotates: the FRESHEST driver-green queries go LAST, the stalest (or
