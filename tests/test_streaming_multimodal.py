@@ -367,3 +367,70 @@ def test_stream_near_dup_against_store_matches_incremental_chain(spark, tmp_path
     finally:
         spark.sql("DROP TABLE IF EXISTS sstore__bands")
         spark.sql("DROP TABLE IF EXISTS sstore__sigs")
+
+
+def test_stream_exact_dedup_against_store_with_compaction(spark, tmp_path):
+    """The lightweight crawl loop: exact dedup against the persisted
+    key store over micro-batches must equal one full min-id exact
+    dedup (id-ordered arrival), the store must end holding exactly
+    the survivor keys, and compact_every must reduce the key table's
+    file count without changing either."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from var_elasticnet_bigdata_spark.operators.dedup import exact_dedup
+    from var_elasticnet_bigdata_spark.sources.compaction import (
+        data_file_count,
+    )
+    from var_elasticnet_bigdata_spark.streaming.dedup import (
+        stream_exact_dedup_against_store,
+    )
+
+    rows = [
+        (0, "Alpha Beta"), (1, "alpha beta!"), (2, "gamma delta"),
+        (3, "unique zero"), (4, "GAMMA delta"), (5, "epsilon nine"),
+        (6, "alpha  beta"), (7, "fresh content"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = docs.filter(F.col("doc_id") < 4)
+    b2 = docs.filter(F.col("doc_id") >= 4)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    spark.sql("DROP TABLE IF EXISTS estore__keys")
+    try:
+        q = stream_exact_dedup_against_store(
+            stream,
+            "estore",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            out_path=str(tmp_path / "out"),
+            buckets=4,
+            store_path=str(tmp_path / "store"),
+            compact_every=2,  # fires after the 2nd micro-batch
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        ref = sorted(r.doc_id for r in exact_dedup(docs).collect())
+        assert got == ref == [0, 2, 3, 5, 7]
+        keys = spark.table("estore__keys")
+        assert sorted(r.doc_id for r in keys.collect()) == ref
+        # compaction ran inside the loop: ~one file per non-empty
+        # bucket, not one per (batch, task, bucket)
+        loc = dict(
+            (r.col_name, r.data_type)
+            for r in spark.sql("DESCRIBE TABLE EXTENDED estore__keys").collect()
+        )["Location"].removeprefix("file:")
+        assert data_file_count(loc) <= 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS estore__keys")
+        spark.sql("DROP TABLE IF EXISTS estore__keys__compacting")

@@ -156,3 +156,65 @@ def stream_near_dup_against_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_exact_dedup_against_store(
+    docs: DataFrame,
+    store_name: str,
+    checkpoint_dir: str,
+    out_path: str,
+    buckets: int = 32,
+    store_path: str | None = None,
+    compact_every: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous EXACT dedup against the persisted content-key store
+    (`operators/dedup.incremental_exact_dedup_bucketed`) — the
+    lightweight sibling of `stream_near_dup_against_store` and the
+    most common production crawl loop (URL / normalized-content
+    keys): each micro-batch anti-joins the accepted corpus's key
+    table (exchange-free on the store side), survivors append to the
+    parquet corpus FIRST (the operator's ``on_survivors`` hook — same
+    sink-before-store crash contract: replay duplicates corpus rows,
+    never loses documents) and their keys append to the store so the
+    next batch sees them.
+
+    ``compact_every``: every N batches the key table is compacted
+    in place (`sources/compaction.compact_bucketed`) — append-only
+    bucketed stores gain one file per task per bucket per batch, so
+    a long-running ingest would otherwise degrade every subsequent
+    anti-join into a many-tiny-files scan. Compaction runs INSIDE
+    foreachBatch (the stream is the table's only writer, so the
+    quiesced-readers requirement holds by construction) and keeps
+    the bucket spec, so the exchange-free join shape survives.
+
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    from ..operators.dedup import incremental_exact_dedup_bucketed
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        incremental_exact_dedup_bucketed(
+            batch_df,
+            store_name,
+            buckets=buckets,
+            path=store_path,
+            on_survivors=lambda surv: surv.write.mode("append").parquet(
+                out_path
+            ),
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..sources.compaction import compact_bucketed
+
+            compact_bucketed(spark, f"{store_name}__keys")
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
