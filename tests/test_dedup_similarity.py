@@ -751,3 +751,33 @@ def test_cell_knn_label_vote_hand_computed(spark):
     assert out[2] == (7, 2)  # neighbors {0:7, 1:7} -> 7 with 2 votes
     assert out[10] == (5, 1) and out[11] == (5, 1)
     assert 20 not in out  # singleton cell
+
+
+def test_kmeans_train_monotone_and_bounded_driver(spark):
+    """Iterated distributed Lloyd: per-iteration fit (mean member->
+    own-centroid cosine) must be non-decreasing (modulo the 12-dp
+    rounding), and training must beat the seed centroids."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        cluster_profile,
+        kmeans_train,
+        seed_centroids,
+    )
+    from var_elasticnet_bigdata_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def fit(C):
+        rows = cluster_profile(emb, centroids=C).collect()
+        return sum(r.avg_cos * r.n_members for r in rows) / sum(
+            r.n_members for r in rows
+        )
+
+    C0 = seed_centroids(emb, 8)
+    f_prev = fit(C0)
+    C = C0
+    for _ in range(3):
+        C = kmeans_train(emb, nlist=8, iters=1, centroids=C)
+        f_now = fit(C)
+        assert f_now >= f_prev - 1e-6
+        f_prev = f_now
+    assert f_prev >= fit(C0)

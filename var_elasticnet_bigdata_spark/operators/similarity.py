@@ -993,3 +993,48 @@ def cell_knn_label_vote(
     return members.groupBy("cell").applyInPandas(
         lambda pdf: vote(pdf), schema
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    tol: float = 0.0,
+) -> np.ndarray:
+    """Train spherical-k-means centroids on the FULL corpus by
+    iterating the distributed Lloyd step (`kmeans_refine`): the
+    driver sees only the (nlist × d) centroid frame per iteration —
+    never member vectors — so this is the scale path that replaces
+    `ivf_centroids`' bounded-sample recipe when the sample would
+    misrepresent the distribution (heavy multi-modal corpora). Cells
+    that lose all members keep their previous centroid (standard
+    empty-cluster handling; `kmeans_refine` omits them). Stops early
+    when the max absolute component change falls to ``tol``.
+    Deterministic: seed centroids + argmax assignment + rounded
+    means, same contract as the hash-gated single step.
+    """
+    C = (
+        centroids
+        if centroids is not None
+        else seed_centroids(df, nlist, id_col, vec_col)
+    ).copy()
+    for _ in range(iters):
+        rows = kmeans_refine(
+            df, nlist, id_col=id_col, vec_col=vec_col, centroids=C
+        ).collect()
+        C_new = C.copy()
+        touched = set()
+        for r in rows:
+            C_new[r["cell"], r["pos"]] = r["c"]
+            touched.add(r["cell"])
+        for j in range(nlist):
+            if j not in touched:
+                C_new[j] = C[j]
+        delta = float(np.max(np.abs(C_new - C)))
+        C = C_new
+        if delta <= tol:
+            break
+    return C
