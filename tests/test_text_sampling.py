@@ -574,3 +574,74 @@ def test_kmeans_refine_improves_centroid_fit(spark):
         )
 
     assert mean_cos(C1[sorted(seen)]) >= mean_cos(C0) - 1e-6
+
+
+def test_bpe_train_matches_local_reference(spark):
+    """Full distributed BPE vs a local string-BPE reference (greedy
+    left-to-right merge scan) on the same corpus: identical merge
+    sequence (count desc, pair asc tiebreak) and identical final
+    symbolized vocabulary."""
+    from collections import Counter
+
+    from var_elasticnet_bigdata_spark.operators.text import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "aaaa aab abab low new",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # local reference
+    wc = Counter(w for t in texts for w in t.split())
+    vocab = {tuple(w): c for w, c in wc.items()}
+
+    def ref_round(vocab):
+        counts = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            return None, vocab
+        (a, b), c = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        new = Counter()
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += cnt
+        return (a, b, c), dict(new)
+
+    ref_merges = []
+    v = vocab
+    for _ in range(6):
+        m, v = ref_round(v)
+        if m is None or m[2] < 2:
+            break
+        ref_merges.append(m)
+
+    merges, final = bpe_train(df, rounds=6, min_pair_count=2)
+    assert merges == ref_merges and len(merges) >= 4
+
+    got_vocab = Counter()
+    for r in final.collect():
+        got_vocab[tuple(r.syms)] += r.cnt
+    assert got_vocab == Counter(v)
+
+
+def test_bpe_train_stops_below_min_count(spark):
+    from var_elasticnet_bigdata_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "ab cd ef")], "doc_id long, text string"
+    )
+    merges, _ = bpe_train(df, rounds=5, min_pair_count=2)
+    assert merges == []  # every pair occurs once

@@ -981,3 +981,78 @@ def duck_hashed_classifier_sql(buckets: int = CLASSIFIER_BUCKETS) -> str:
            ROUND(1.0 / (1.0 + exp(-(SUM(w) / (1000.0 * n_tokens)))), 6) AS score
     FROM j GROUP BY doc_id, n_tokens
     """
+
+
+def bpe_train(
+    df: DataFrame,
+    rounds: int = 8,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """FULL distributed BPE tokenizer training (the loop
+    `bpe_pair_counts` is one round of): learn ``rounds`` merges over
+    the corpus. Classic distributed-BPE layout — the corpus is read
+    ONCE into a (word, count) vocabulary; every subsequent round
+    works on the vocabulary only (sublinear in corpus, Heaps' law):
+
+    per round: adjacent symbol-pair counts (one combinable
+    vocab-sized groupBy) → argmax pair (ONE row to the driver; ties
+    count DESC, pair ASC) → greedy left-to-right merge of that pair
+    inside each word's symbol array (narrow fold, no shuffle).
+
+    Returns ``(merges, vocab)``: the learned ``(a, b, count)`` merge
+    list (stops early when the best pair falls below
+    ``min_pair_count``) and the final symbolized vocabulary frame
+    ``(syms array<string>, cnt)``. The per-round vocabulary is held
+    as ONE live cache via the registry (each round releases the
+    previous round's frame).
+
+    The greedy fold (merge when the accumulator's last symbol is
+    ``a`` and the next is ``b``) is exactly reference BPE's
+    left-to-right non-overlapping scan — pinned against a local
+    reference implementation in tests.
+    """
+    from .dedup import norm_sql_spark
+
+    norm = norm_sql_spark(text_col)
+    vocab = (
+        df.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.expr("split(w, '')").alias("syms"), "cnt")
+    )
+    cur = swap_cache("text.bpe_vocab", vocab)
+    merges: list[tuple[str, str, int]] = []
+    pair_expr = (
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+    )
+    for _ in range(rounds):
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select(F.explode(F.expr(pair_expr)).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((a, b, c))
+        # greedy left-to-right merge of (a, b) within each word: fold
+        # over the tail with the head as init (typed non-empty init —
+        # array() alone is array<null>)
+        merged = F.expr(
+            "aggregate(slice(syms, 2, size(syms) - 1),"
+            " array(element_at(syms, 1)),"
+            f" (acc, x) -> CASE WHEN element_at(acc, -1) = '{a}' AND x = '{b}'"
+            f" THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}'))"
+            " ELSE concat(acc, array(x)) END)"
+        )
+        cur = swap_cache(
+            "text.bpe_vocab", cur.select(merged.alias("syms"), "cnt")
+        )
+    return merges, cur
