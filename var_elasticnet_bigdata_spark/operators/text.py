@@ -1056,3 +1056,43 @@ def bpe_train(
             "text.bpe_vocab", cur.select(merged.alias("syms"), "cnt")
         )
     return merges, cur
+
+
+def duck_bpe_train_sql(rounds: int = 3) -> str:
+    """DuckDB twin of ``bpe_train(rounds, min_pair_count=1)`` as an
+    UNROLLED CTE chain (SQL has no loop; each round = one pair-count
+    aggregate + argmax + a correlated list_reduce merge — the same
+    greedy fold the Spark side runs). Emits the learned merges
+    ``(merge_round, a, b, c)``."""
+    from .dedup import NORM_SQL_DUCK
+
+    parts = [
+        f"""
+    WITH v0(syms, cnt) AS (
+      SELECT string_split(w, ''), COUNT(*)
+      FROM (SELECT unnest(string_split({NORM_SQL_DUCK}, ' ')) AS w
+            FROM documents)
+      WHERE length(w) >= 1 GROUP BY 1
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                   i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS pr, cnt
+            FROM v{r - 1} WHERE len(syms) >= 2)
+      GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ),
+    v{r} AS (
+      SELECT list_reduce([[syms[1]]] || list_transform(syms[2:], x -> [x]),
+        (acc, x) -> CASE WHEN acc[-1] = p.a AND x[1] = p.b
+                    THEN list_append(acc[1:-2], p.a || p.b)
+                    ELSE list_append(acc, x[1]) END) AS syms, cnt
+      FROM v{r - 1} CROSS JOIN p{r} p
+    )""")
+        sel = " UNION ALL ".join(
+            f"SELECT {i} AS merge_round, a, b, c FROM p{i}"
+            for i in range(1, rounds + 1)
+        )
+    return ",".join(parts) + f"\n    {sel} ORDER BY merge_round"

@@ -5990,6 +5990,35 @@ def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refine(emb, nlist=16)
 
 
+@query("text_bpe_learned_merges", None)  # oracle registered below
+def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of FULL distributed BPE training
+    (`text.bpe_train`): the learned merge sequence
+    ``(merge_round, a, b, c)``, hash-gated against an UNROLLED DuckDB
+    twin that replays each round's pair-count argmax and correlated
+    greedy fold merge — an ITERATIVE distributed algorithm inside the
+    value-hash gate. Per round the corpus-sized work is zero (the
+    vocabulary frame carries everything after one word-count pass);
+    the driver sees one argmax row per round."""
+    from .operators.text import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, rounds=3, min_pair_count=1)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_round int, a string, b string, c long",
+    )
+
+
+def _register_bpe_train_oracle() -> None:
+    from .operators.text import duck_bpe_train_sql
+
+    ORACLE["text_bpe_learned_merges"] = duck_bpe_train_sql(rounds=3)
+
+
+_register_bpe_train_oracle()
+
+
 @query("dedup_incremental_exact", None)  # oracle registered below
 def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup against a PERSISTED bucketed content-key store
