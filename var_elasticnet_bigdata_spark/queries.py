@@ -5990,6 +5990,74 @@ def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refine(emb, nlist=16)
 
 
+@query(
+    "ann_ivf_trained_profile",
+    _SEED_ASSIGN_CTE
+    + """,
+    mem AS (SELECT n.vec_id, a.cell, n.e
+            FROM n JOIN assigned a ON a.vec_id = n.vec_id),
+    comp2 AS (
+      SELECT cell, pos, ROUND(AVG(x), 12) AS cx
+      FROM (SELECT cell, unnest(e) AS x,
+                   generate_subscripts(e, 1) AS pos FROM mem)
+      GROUP BY 1, 2
+    ),
+    cv AS (SELECT cell, list(cx ORDER BY pos) AS c FROM comp2 GROUP BY 1),
+    cn AS (
+      SELECT cell, c,
+             list_reduce(list_transform(c, y -> y * y), (a, b) -> a + b) AS s2
+      FROM cv
+    ),
+    centr AS (
+      SELECT cell,
+             list_transform(c, x -> ROUND(x /
+               CASE WHEN s2 = 0 THEN 1.0 ELSE sqrt(s2) END, 6)) AS c
+      FROM cn
+    ),
+    sims2 AS (
+      SELECT n.vec_id, cr.cell, list_dot_product(n.e, cr.c) AS s
+      FROM n CROSS JOIN centr cr
+    ),
+    rank2 AS (
+      SELECT vec_id, cell, s,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cell ASC) AS rn
+      FROM sims2
+    )
+    SELECT cell, COUNT(*) AS n_members, ROUND(AVG(s), 6) AS avg_cos
+    FROM rank2 WHERE rn = 1 GROUP BY cell
+    """,
+)
+def ann_ivf_trained_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END index training in the hash gate: one full-corpus
+    Lloyd step (`kmeans_refine`), re-assign the corpus to the REFINED
+    centroids, profile the trained cells — the train → index →
+    dashboard chain a production IVF build runs, with the whole
+    composition (seed assign, distributed mean, fold normalization,
+    6-dp centroid snap, argmax re-assign, per-cell aggregate)
+    replayed in one DuckDB CTE chain. Cells emptied by the refinement
+    simply don't reappear (same rule both engines)."""
+    import numpy as np
+
+    from .operators.similarity import cluster_profile, kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = kmeans_refine(emb, nlist=16).collect()
+    cells = sorted({r["cell"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    C = np.zeros((len(cells), dim), dtype=np.float64)
+    idx = {c: i for i, c in enumerate(cells)}
+    for r in rows:
+        C[idx[r["cell"]], r["pos"]] = r["c"]
+    prof = cluster_profile(emb, centroids=C)
+    cell_map = F.array(*[F.lit(c) for c in cells])
+    return prof.select(
+        F.element_at(cell_map, F.col("cell") + 1).alias("cell"),
+        "n_members",
+        "avg_cos",
+    )
+
+
 @query("text_bpe_learned_merges", None)  # oracle registered below
 def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rounds of FULL distributed BPE training
