@@ -988,7 +988,8 @@ def bpe_train(
     rounds: int = 8,
     text_col: str = "text",
     min_pair_count: int = 2,
-) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    keep_vocab: bool = True,
+) -> tuple[list[tuple[str, str, int]], DataFrame | None]:
     """FULL distributed BPE tokenizer training (the loop
     `bpe_pair_counts` is one round of): learn ``rounds`` merges over
     the corpus. Classic distributed-BPE layout — the corpus is read
@@ -1003,9 +1004,12 @@ def bpe_train(
     Returns ``(merges, vocab)``: the learned ``(a, b, count)`` merge
     list (stops early when the best pair falls below
     ``min_pair_count``) and the final symbolized vocabulary frame
-    ``(syms array<string>, cnt)``. The per-round vocabulary is held
-    as ONE live cache via the registry (each round releases the
-    previous round's frame).
+    ``(syms array<string>, cnt)``. Each round's vocabulary is an
+    EAGER localCheckpoint and the previous round's blocks are freed
+    once the new one is materialized (the connected-components
+    pattern): lineage is severed per round, so round R costs one
+    fold over the vocabulary — not an O(R) recompute chain — and the
+    session holds one round's blocks, not R.
 
     The greedy fold (merge when the accumulator's last symbol is
     ``a`` and the next is ``b``) is exactly reference BPE's
@@ -1013,6 +1017,8 @@ def bpe_train(
     reference implementation in tests.
     """
     from .dedup import norm_sql_spark
+
+    from ..plans.guards import release_local_checkpoint
 
     norm = norm_sql_spark(text_col)
     vocab = (
@@ -1022,7 +1028,7 @@ def bpe_train(
         .agg(F.count("*").alias("cnt"))
         .select(F.expr("split(w, '')").alias("syms"), "cnt")
     )
-    cur = swap_cache("text.bpe_vocab", vocab)
+    cur = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     pair_expr = (
         "transform(sequence(1, size(syms) - 1),"
@@ -1052,9 +1058,16 @@ def bpe_train(
             f" THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}'))"
             " ELSE concat(acc, array(x)) END)"
         )
-        cur = swap_cache(
-            "text.bpe_vocab", cur.select(merged.alias("syms"), "cnt")
+        nxt = cur.select(merged.alias("syms"), "cnt").localCheckpoint(
+            eager=True
         )
+        release_local_checkpoint(cur)
+        cur = nxt
+    if not keep_vocab:
+        # merges-only callers: free the final round's blocks too so a
+        # long-lived session holds nothing after the call
+        release_local_checkpoint(cur)
+        return merges, None
     return merges, cur
 
 

@@ -6071,7 +6071,7 @@ def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bpe_train
 
     d = load_table(spark, sf_dir, "documents")
-    merges, _ = bpe_train(d, rounds=3, min_pair_count=1)
+    merges, _ = bpe_train(d, rounds=3, min_pair_count=1, keep_vocab=False)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_round int, a string, b string, c long",
