@@ -840,24 +840,30 @@ def kmeans_refine(
 
     This is the train loop `ivf_centroids` runs on a driver-side
     sample, expressed distributed so the index can be trained on the
-    FULL corpus: per step, one broadcast Arrow matmul (narrow) + a
-    combinable groupBy(cell, pos) mean over exploded components —
-    at 100 TB each iteration is a single map-side-reducible pass;
-    the (nlist × d) result is the only thing that moves. Iterate by
-    feeding the result back via ``centroids``.
+    FULL corpus: the centroids fold into the assignment EXPRESSION as
+    a constant (nlist × d) literal, so normalize + assign + component
+    explode is ONE fully narrow JVM pass — no Arrow boundary, no
+    assignment-to-vector join (which would shuffle the whole corpus
+    by id at scale) — followed by a combinable groupBy(cell, pos)
+    mean whose map-side partials reduce the exchange to
+    tasks × nlist × d rows. The (nlist × d) result is the only thing
+    that moves. Iterate by feeding the result back via ``centroids``.
 
     Float discipline (hash-gate twin contract, same as
-    `seed_centroids`): component means round to ``round_dp`` BEFORE
-    normalization; the per-cell norm uses a sequential ascending-pos
-    fold on both engines (`F.aggregate` left fold here, `list_reduce`
-    in DuckDB) so summation order cannot drift.
+    `seed_centroids`): ``e`` is normalized by a sequential JVM fold
+    (exactly DuckDB's list_sum order — identical doubles, not just
+    close); component means round to ``round_dp`` BEFORE
+    normalization; the per-cell norm is likewise a sequential
+    ascending-pos fold on both engines. The assignment argmax
+    (first-max ≡ cosine DESC, cell ASC) tolerates engine ULP drift in
+    the dot product exactly like every other assignment gate here —
+    a flip needs two cells tied to ~1e-16.
     """
     C = (
         centroids
         if centroids is not None
         else seed_centroids(df, nlist, id_col, vec_col)
     )
-    assign = ivf_assign(df, C, nprobe=1, id_col=id_col, vec_col=vec_col)
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -866,7 +872,22 @@ def kmeans_refine(
     normed = v.select(
         F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
     )
-    members = assign.select(id_col, "cell").join(normed, id_col)
+    c_lit = "array(" + ", ".join(
+        "array("
+        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
+        + ")"
+        for row in C
+    ) + ")"
+    sims = (
+        f"transform({c_lit},"
+        " c -> aggregate(zip_with(e, c, (x, y) -> x * y), 0D, (a, b) -> a + b))"
+    )
+    members = normed.withColumn("__sims", F.expr(sims)).select(
+        F.expr(
+            "cast(array_position(__sims, array_max(__sims)) - 1 as int)"
+        ).alias("cell"),
+        "e",
+    )
     comp = (
         # lambda-bearing explode child: see seed_centroids on the
         # InferFiltersFromGenerate pushdown tax
