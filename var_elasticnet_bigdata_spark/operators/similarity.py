@@ -676,9 +676,11 @@ def semantic_dedup(
     many representatives.)
 
     Scale shape: centroids come from `seed_centroids` (deterministic,
-    SQL-replayable; swap in `ivf_centroids` for trained quality) and
-    BROADCAST into the narrow assignment matmul; the only shuffle is
-    the groupBy(cell). Within a cell the pair scan is a blocked BLAS
+    SQL-replayable; swap in `ivf_centroids`/`kmeans_train` for
+    trained quality) and fold into the assignment EXPRESSION as a
+    constant literal (`with_assigned_cell` — narrow JVM pass, no
+    join); the only shuffle in the whole operator is the
+    groupBy(cell). Within a cell the pair scan is a blocked BLAS
     matmul — memory is O(cell × block), never O(cell²) — and the
     recall/efficiency trade is governed by nlist exactly as in IVF:
     at 100 TB you grow nlist with N to keep cells bounded (cells
@@ -698,12 +700,14 @@ def semantic_dedup(
         if centroids is not None
         else seed_centroids(df, nlist, id_col, vec_col)
     )
-    assign = ivf_assign(df, C, nprobe=1, id_col=id_col, vec_col=vec_col)
-    members = assign.select(id_col, "cell").join(
+    # joinless assignment (r6): cell computed narrowly from the
+    # constant centroid literal — the only corpus shuffle left is the
+    # groupBy(cell) the per-cell scan needs anyway
+    members = with_assigned_cell(
         df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
         ),
-        id_col,
+        C,
     )
     schema = StructType(
         [
@@ -821,6 +825,46 @@ def cluster_profile(
     )
 
 
+def _centroid_lit(C: np.ndarray) -> str:
+    """Constant (nlist × d) SQL array-of-arrays literal; string-cast
+    doubles (repr round-trip) so the folded constant is bit-exact."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
+            + ")"
+            for row in C
+        )
+        + ")"
+    )
+
+
+def with_assigned_cell(
+    df: DataFrame, C: np.ndarray, vec_expr: str = "__v"
+) -> DataFrame:
+    """Append the argmax-dot ``cell`` column computed ENTIRELY in the
+    JVM from a constant centroid literal — no Arrow pass, no
+    assignment join, no shuffle. For assignment the dot products need
+    no vector normalization (argmax is invariant to the row's
+    positive scale), so ``vec_expr`` may be the raw double array;
+    first-max tiebreak ≡ cosine DESC, cell ASC, matching the SQL
+    twins and `ivf_assign`'s numpy argmax."""
+    sims = (
+        f"transform({_centroid_lit(C)},"
+        f" c -> aggregate(zip_with({vec_expr}, c, (x, y) -> x * y),"
+        " 0D, (a, b) -> a + b))"
+    )
+    return (
+        df.withColumn("__sims", F.expr(sims))
+        .withColumn(
+            "cell",
+            F.expr("cast(array_position(__sims, array_max(__sims)) - 1 as int)"),
+        )
+        .drop("__sims")
+    )
+
+
 def kmeans_refine(
     df: DataFrame,
     nlist: int = 16,
@@ -872,22 +916,7 @@ def kmeans_refine(
     normed = v.select(
         F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
     )
-    c_lit = "array(" + ", ".join(
-        "array("
-        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row)
-        + ")"
-        for row in C
-    ) + ")"
-    sims = (
-        f"transform({c_lit},"
-        " c -> aggregate(zip_with(e, c, (x, y) -> x * y), 0D, (a, b) -> a + b))"
-    )
-    members = normed.withColumn("__sims", F.expr(sims)).select(
-        F.expr(
-            "cast(array_position(__sims, array_max(__sims)) - 1 as int)"
-        ).alias("cell"),
-        "e",
-    )
+    members = with_assigned_cell(normed, C, vec_expr="e").select("cell", "e")
     comp = (
         # lambda-bearing explode child: see seed_centroids on the
         # InferFiltersFromGenerate pushdown tax
@@ -951,14 +980,14 @@ def cell_knn_label_vote(
         if centroids is not None
         else seed_centroids(df, nlist, id_col, vec_col)
     )
-    assign = ivf_assign(df, C, nprobe=1, id_col=id_col, vec_col=vec_col)
-    members = assign.select(id_col, "cell").join(
+    # joinless assignment (r6): see with_assigned_cell
+    members = with_assigned_cell(
         df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__v"),
             F.col(label_col).cast("int").alias("__lbl"),
         ),
-        id_col,
+        C,
     )
     schema = StructType(
         [
