@@ -6058,6 +6058,54 @@ def ann_ivf_trained_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_cluster_balanced",
+    _SEED_ASSIGN_CTE
+    + """,
+    dc AS (SELECT d.doc_id, a.cell
+           FROM documents d JOIN assigned a ON a.vec_id = d.doc_id),
+    c AS (SELECT cell, COUNT(*) AS n FROM dc GROUP BY 1),
+    z AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM c),
+    r AS (SELECT cell,
+                 LEAST(1.0, 200.0 * pow(CAST(n AS DOUBLE), 0.5)
+                       / z.z / CAST(n AS DOUBLE)) AS rate
+          FROM c, z)
+    SELECT t.doc_id, t.cell
+    FROM dc t JOIN r USING (cell)
+    WHERE CAST(('0x' || substr(md5('semtemp:' || CAST(t.doc_id AS VARCHAR)), 1, 4)) AS INT)
+          < CAST(round(r.rate * 65536) AS INT)
+    """,
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC-cluster-balanced corpus sampling: temperature-flatten
+    the mixture over embedding-space cells instead of a metadata
+    column — the diversity-balancing recipe when the skew you want to
+    flatten is topical, not source-labeled. Composition of two gated
+    operators: joinless cell assignment (`with_assigned_cell`, narrow
+    JVM pass over the embeddings) + `temperature_sample(group_col=
+    cell)` (one count shuffle, broadcast rates, salted-md5 bucket
+    membership — deterministic, nestable). The docs↔cells join is
+    id↔id co-keyed (bucket/colocate it at 100 TB)."""
+    from .operators.similarity import seed_centroids, with_assigned_cell
+    from .operators.split import temperature_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cells = with_assigned_cell(
+        emb.select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("__v"),
+        ),
+        seed_centroids(emb, 16),
+    ).select(F.col("vec_id").alias("doc_id"), "cell")
+    joined = docs.select("doc_id").join(cells, "doc_id")
+    out = temperature_sample(
+        joined, "cell", "doc_id", target_rows=200,
+        temperature=0.5, salt="semtemp",
+    )
+    return out.select("doc_id", "cell")
+
+
 @query("text_bpe_learned_merges", None)  # oracle registered below
 def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rounds of FULL distributed BPE training
