@@ -781,3 +781,29 @@ def test_kmeans_train_monotone_and_bounded_driver(spark):
         assert f_now >= f_prev - 1e-6
         f_prev = f_now
     assert f_prev >= fit(C0)
+
+
+def test_with_assigned_cell_matches_ivf_assign(spark, emb):
+    """The joinless JVM cell assignment must agree with the Arrow
+    numpy argmax path on every vector (same first-max tiebreak;
+    raw-dot argmax ≡ cosine argmax under positive row scale)."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivf_assign,
+        seed_centroids,
+        with_assigned_cell,
+    )
+
+    C = seed_centroids(emb, 16)
+    ref = {
+        r.vec_id: r.cell for r in ivf_assign(emb, C, nprobe=1).collect()
+    }
+    got = {
+        r.vec_id: r.cell
+        for r in with_assigned_cell(
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+            ),
+            C,
+        ).collect()
+    }
+    assert got == ref and len(got) == emb.count()
