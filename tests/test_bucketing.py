@@ -568,3 +568,64 @@ def test_incremental_exact_dedup_bucketed_store(spark, tmp_path):
             _restore(spark, old)
     finally:
         spark.sql("DROP TABLE IF EXISTS exs__keys")
+
+
+def test_incremental_semantic_dedup_bucketed_store(spark, tmp_path):
+    """Per-cell vector store: (a) id-ordered batches must reproduce
+    the one-shot semantic_dedup survivors exactly (seen-set store +
+    id-greedy rule); (b) the store holds EVERY seen vector; (c) the
+    store side of the cell join reads exchange-free."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        incremental_semantic_dedup_bucketed,
+        semantic_dedup,
+    )
+    from var_elasticnet_bigdata_spark.plans.inspect import scan_ancestry
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for i in range(6):  # original + near-dup (tiny noise) per vector
+        rows.append((vid, base[i].tolist())); vid += 1
+        rows.append((vid, (base[i] + rng.normal(scale=1e-3, size=8)).tolist()))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = np.eye(8)[:4]  # fixed centroids across batches
+    batches = [
+        emb.filter(F.col("vec_id") < 4),
+        emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)),
+        emb.filter(F.col("vec_id") >= 8),
+    ]
+    spark.sql("DROP TABLE IF EXISTS sem__vecs")
+    try:
+        got = []
+        for b in batches:
+            s = incremental_semantic_dedup_bucketed(
+                b, "sem", C, eps=0.9, buckets=4, path=str(tmp_path / "sem")
+            )
+            got.extend(r.vec_id for r in s.collect())
+        full = semantic_dedup(emb, eps=0.9, centroids=C)
+        ref = sorted(
+            r.vec_id for r in full.filter(~F.col("is_dup")).collect()
+        )
+        assert sorted(got) == ref
+        assert 0 < len(ref) < emb.count()  # near-dups actually dropped
+        # seen-set store: every vector appended, survivors or not
+        assert spark.table("sem__vecs").count() == emb.count()
+
+        old = _no_broadcast(spark)
+        try:
+            probe = spark.createDataFrame(
+                [(0, [1.0] * 8)], "vec_id long, e array<double>"
+            )
+            j = read_bucketed(spark, "sem__vecs").select(
+                "cell", "e"
+            ).join(probe.selectExpr("1 AS cell", "e AS e_b"), "cell")
+            anc = scan_ancestry(j, r"sem__vecs")
+            assert not any(a.startswith("Exchange") for a in anc), anc
+        finally:
+            _restore(spark, old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sem__vecs")

@@ -1088,3 +1088,115 @@ def kmeans_train(
         if delta <= tol:
             break
     return C
+
+
+def incremental_semantic_dedup_bucketed(
+    batch: DataFrame,
+    store_name: str,
+    centroids: np.ndarray,
+    eps: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 32,
+    path: str | None = None,
+    max_cell_rows: int = 2_000_000,
+    on_survivors=None,
+) -> DataFrame:
+    """Incremental SemDeDup against a persisted per-cell vector store
+    — the semantic member of the incremental-dedup trio (exact key
+    store, MinHash band store, and this): each new batch of vectors
+    is checked against ALL previously seen same-cell vectors without
+    ever re-reading old batches' source data.
+
+    The store ``{store_name}__vecs`` holds ``(cell, id_col, e)``
+    (JVM-fold-normalized vectors) BUCKETED on ``cell``, so the
+    per-batch candidate join reads the store already partitioned on
+    the join key — zero store-side Exchange; only the (small) batch
+    shuffles, on the same cell key its in-batch pass needs anyway.
+    Cosine verification is a narrow JVM fold (``zip_with`` dot,
+    6-dp-rounded like every thresholded similarity here).
+
+    SEEN-SET semantics (exact full-run equivalence): the id-greedy
+    SemDeDup rule drops a vector iff ANY lower-id same-cell vector —
+    dropped or kept — matches it, so the store appends EVERY batch
+    row, not just survivors. With append-only ascending ids,
+    batch-by-batch processing then produces exactly
+    ``semantic_dedup``'s survivors over the union (pinned in tests).
+    ``centroids`` must be FIXED across batches (train once up front
+    — `kmeans_train` or `seed_centroids` on a reference corpus).
+
+    ``on_survivors`` fires after the drop set is pinned and BEFORE
+    the store append — the same sink-before-store crash contract as
+    the other incremental stores (replay duplicates the sink,
+    self-matches the store, never loses a document).
+    """
+    spark = batch.sparkSession
+    vecs_t = f"{store_name}__vecs"
+    exists = spark.catalog.tableExists(vecs_t)
+
+    v = batch.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
+    staged = swap_cache(
+        "similarity.incremental_semantic",
+        with_assigned_cell(v, centroids).select(
+            F.col(id_col),
+            "cell",
+            F.transform("__v", lambda x: x / nrm).alias("e"),
+        ),
+    )
+    # in-batch drops: the id-greedy per-cell rule on the batch alone
+    in_batch = (
+        semantic_dedup(
+            batch,
+            eps=eps,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+            max_cell_rows=max_cell_rows,
+        )
+        .filter(F.col("is_dup"))
+        .select(id_col)
+    )
+    dropped = in_batch
+    if exists:
+        dot = F.round(
+            F.aggregate(
+                F.zip_with("e_a", "e_b", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        )
+        vs_store = (
+            spark.table(vecs_t)
+            .select("cell", F.col("e").alias("e_a"))
+            .join(
+                staged.select(
+                    "cell", F.col(id_col).alias("__id_b"), F.col("e").alias("e_b")
+                ),
+                "cell",
+            )
+            .filter(dot >= eps)
+            .select(F.col("__id_b").alias(id_col))
+        )
+        dropped = dropped.unionByName(vs_store)
+    drops = dropped.distinct().localCheckpoint(eager=True)
+    survivors = batch.join(drops, id_col, "left_anti")
+    if on_survivors is not None:
+        on_survivors(survivors)
+
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        staged.select("cell", id_col, "e"),
+        vecs_t,
+        "cell",
+        buckets=buckets,
+        sort_cols="cell",
+        path=None if path is None else f"{path}/{vecs_t}",
+        mode="append" if exists else "overwrite",
+    )
+    return survivors

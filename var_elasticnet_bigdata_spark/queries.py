@@ -6106,6 +6106,58 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cell")
 
 
+@query(
+    "dedup_semantic_incremental",
+    _SEED_ASSIGN_CTE
+    + """,
+    mem AS (SELECT a.vec_id, a.cell, n.e
+            FROM assigned a JOIN n ON n.vec_id = a.vec_id),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM mem a JOIN mem b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+       AND ROUND(list_dot_product(a.e, b.e), 6) >= 0.4
+    )
+    SELECT m.vec_id, m.cell
+    FROM mem m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over an id-ordered batch stream against the persisted
+    per-cell vector store (`similarity.
+    incremental_semantic_dedup_bucketed`): the store holds every SEEN
+    vector bucketed on its cell, so each batch's candidate join reads
+    the store exchange-free and never re-reads old batches — and the
+    id-greedy rule makes incremental survivors EXACTLY the one-shot
+    `dedup_semantic` survivors over the union, which is the twin."""
+    import tempfile
+
+    from .operators.similarity import (
+        incremental_semantic_dedup_bucketed,
+        seed_centroids,
+        with_assigned_cell,
+    )
+
+    store = "q_sem_store"
+    spark.sql(f"DROP TABLE IF EXISTS {store}__vecs")
+    path = tempfile.mkdtemp(prefix="spark_graft_sem_store_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = seed_centroids(emb, 16)
+    s1 = incremental_semantic_dedup_bucketed(
+        emb.filter(F.col("vec_id") < 250), store, C, eps=0.4,
+        buckets=8, path=path,
+    )
+    s2 = incremental_semantic_dedup_bucketed(
+        emb.filter(F.col("vec_id") >= 250), store, C, eps=0.4,
+        buckets=8, path=path,
+    )
+    surv = s1.unionByName(s2).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    return with_assigned_cell(surv, C).select("vec_id", "cell")
+
+
 @query("text_bpe_learned_merges", None)  # oracle registered below
 def text_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rounds of FULL distributed BPE training
