@@ -434,3 +434,65 @@ def test_stream_exact_dedup_against_store_with_compaction(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS estore__keys")
         spark.sql("DROP TABLE IF EXISTS estore__keys__compacting")
+
+
+def test_stream_semantic_dedup_against_store_matches_one_shot(spark, tmp_path):
+    """Streaming SemDeDup over micro-batches against the per-cell
+    seen-set store must emit exactly the one-shot semantic_dedup
+    survivors over the union (id-ordered arrival)."""
+    import time as _time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from var_elasticnet_bigdata_spark.streaming.dedup import (
+        stream_semantic_dedup_against_store,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(5, 8))
+    rows = []
+    vid = 0
+    for i in range(5):
+        rows.append((vid, base[i].tolist())); vid += 1
+        rows.append((vid, (base[i] + rng.normal(scale=1e-3, size=8)).tolist()))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = np.eye(8)[:4]
+    b1 = emb.filter(F.col("vec_id") < 5)
+    b2 = emb.filter(F.col("vec_id") >= 5)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    spark.sql("DROP TABLE IF EXISTS ssem__vecs")
+    try:
+        q = stream_semantic_dedup_against_store(
+            stream,
+            "ssem",
+            C,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            out_path=str(tmp_path / "out"),
+            eps=0.9,
+            buckets=4,
+            store_path=str(tmp_path / "store"),
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            r.vec_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        full = semantic_dedup(emb, eps=0.9, centroids=C)
+        ref = sorted(r.vec_id for r in full.filter(~F.col("is_dup")).collect())
+        assert got == ref and 0 < len(ref) < emb.count()
+        assert spark.table("ssem__vecs").count() == emb.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ssem__vecs")

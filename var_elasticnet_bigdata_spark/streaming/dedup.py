@@ -218,3 +218,53 @@ def stream_exact_dedup_against_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_semantic_dedup_against_store(
+    docs: DataFrame,
+    store_name: str,
+    centroids,
+    checkpoint_dir: str,
+    out_path: str,
+    eps: float = 0.4,
+    buckets: int = 32,
+    store_path: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous SemDeDup against the persisted per-cell vector
+    store (`similarity.incremental_semantic_dedup_bucketed`) — the
+    semantic member of the streaming crawl-loop trio (exact keys,
+    MinHash bands, semantic cells). ``centroids`` is the FIXED
+    trained matrix (train once up front — `kmeans_train`); survivors
+    commit to the parquet corpus FIRST via the operator's
+    ``on_survivors`` hook (sink-before-store: replay duplicates the
+    corpus, never loses a vector; note the store is a SEEN-SET, so a
+    replayed batch self-matches at cosine 1.0 and drops).
+
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    from ..operators.similarity import incremental_semantic_dedup_bucketed
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_semantic_dedup_bucketed(
+            batch_df,
+            store_name,
+            centroids,
+            eps=eps,
+            buckets=buckets,
+            path=store_path,
+            on_survivors=lambda surv: surv.write.mode("append").parquet(
+                out_path
+            ),
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
