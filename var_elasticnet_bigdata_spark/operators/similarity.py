@@ -657,6 +657,7 @@ def semantic_dedup(
     centroids: np.ndarray | None = None,
     max_cell_rows: int = 2_000_000,
     block: int = 4096,
+    members: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) deduplication in the SemDeDup
     shape (Abbas et al. 2023): cluster the corpus with k-means cells,
@@ -689,26 +690,33 @@ def semantic_dedup(
     design — that is SemDeDup's documented approximation; the exact
     `cosine_near_dup_pairs` path is the recall oracle in tests.
 
+    ``members`` short-circuits the assignment: a caller that already
+    staged ``(id_col, cell, __v)`` (e.g. the incremental store, which
+    needs the assignment for its own store join) passes it here so
+    the corpus isn't scanned twice.
+
     Returns one row per vector: ``(id_col, cell, is_dup)``.
     """
     from pyspark.sql.types import BooleanType
 
     if not 0.0 < eps <= 1.0:
         raise ValueError(f"eps must be in (0, 1]: {eps}")
-    C = (
-        centroids
-        if centroids is not None
-        else seed_centroids(df, nlist, id_col, vec_col)
-    )
-    # joinless assignment (r6): cell computed narrowly from the
-    # constant centroid literal — the only corpus shuffle left is the
-    # groupBy(cell) the per-cell scan needs anyway
-    members = with_assigned_cell(
-        df.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-        ),
-        C,
-    )
+    if members is None:
+        C = (
+            centroids
+            if centroids is not None
+            else seed_centroids(df, nlist, id_col, vec_col)
+        )
+        # joinless assignment (r6): cell computed narrowly from the
+        # constant centroid literal — the only corpus shuffle left is
+        # the groupBy(cell) the per-cell scan needs anyway
+        members = with_assigned_cell(
+            df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            C,
+        )
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -1144,18 +1152,20 @@ def incremental_semantic_dedup_bucketed(
         with_assigned_cell(v, centroids).select(
             F.col(id_col),
             "cell",
+            "__v",
             F.transform("__v", lambda x: x / nrm).alias("e"),
         ),
     )
-    # in-batch drops: the id-greedy per-cell rule on the batch alone
+    # in-batch drops: the id-greedy per-cell rule on the batch alone,
+    # reusing the staged assignment (one corpus scan, not two)
     in_batch = (
         semantic_dedup(
             batch,
             eps=eps,
             id_col=id_col,
             vec_col=vec_col,
-            centroids=centroids,
             max_cell_rows=max_cell_rows,
+            members=staged.select(id_col, "cell", "__v"),
         )
         .filter(F.col("is_dup"))
         .select(id_col)
