@@ -39,6 +39,7 @@ FAMILY = [
     # full-corpus Lloyd step, exact key store, in-cell kNN vote
     "text_bpe_top_pairs", "text_classifier_score", "ann_kmeans_refine",
     "dedup_incremental_exact", "ann_knn_label_vote",
+    "sample_cluster_balanced", "dedup_semantic_incremental",
 ]
 
 
