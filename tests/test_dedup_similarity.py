@@ -807,3 +807,24 @@ def test_with_assigned_cell_matches_ivf_assign(spark, emb):
         ).collect()
     }
     assert got == ref and len(got) == emb.count()
+
+
+def test_kmeans_train_tol_early_stop(spark, emb):
+    """tol high enough that the first refinement's max component
+    change clears it must stop after one iteration — identical to a
+    single kmeans_refine step."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        kmeans_refine,
+        kmeans_train,
+        seed_centroids,
+    )
+
+    C0 = seed_centroids(emb, 8)
+    one = kmeans_train(emb, nlist=8, iters=5, centroids=C0, tol=2.0)
+    rows = kmeans_refine(emb, nlist=8, centroids=C0).collect()
+    want = C0.copy()
+    for r in rows:
+        want[r.cell, r.pos] = r.c
+    np.testing.assert_array_equal(one, want)

@@ -5951,10 +5951,11 @@ def _register_classifier_oracle() -> None:
 _register_classifier_oracle()
 
 
-@query(
-    "ann_kmeans_refine",
-    _SEED_ASSIGN_CTE
-    + """,
+# Shared twin of one distributed Lloyd step over the seed assignment
+# (similarity.kmeans_refine): per-cell 12-dp-rounded component means of
+# the assigned members, with the sequential-fold squared norm staged in
+# `cn` — both kmeans queries build on this block.
+_REFINE_CTE = """,
     mem AS (SELECT n.vec_id, a.cell, n.e
             FROM n JOIN assigned a ON a.vec_id = n.vec_id),
     comp2 AS (
@@ -5968,7 +5969,14 @@ _register_classifier_oracle()
       SELECT cell, c,
              list_reduce(list_transform(c, y -> y * y), (a, b) -> a + b) AS s2
       FROM cv
-    )
+    )"""
+
+
+@query(
+    "ann_kmeans_refine",
+    _SEED_ASSIGN_CTE
+    + _REFINE_CTE
+    + """
     SELECT cell, pos - 1 AS pos,
            ROUND(x / CASE WHEN s2 = 0 THEN 1.0 ELSE sqrt(s2) END, 6) AS c
     FROM (SELECT cell, unnest(c) AS x,
@@ -5978,12 +5986,12 @@ _register_classifier_oracle()
 def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed Lloyd step of spherical k-means
     (`similarity.kmeans_refine`) from the deterministic seed
-    centroids: broadcast-matmul assignment + a combinable
-    groupBy(cell, pos) mean, so index training runs on the FULL
-    corpus — per iteration one map-side-reducible pass; only the
-    (nlist × d) centroid frame moves. The whole step (assign + mean +
-    sequential-fold normalization) replays in SQL and sits in the
-    hash gate."""
+    centroids: joinless expression assignment (constant centroid
+    literal, one narrow JVM pass) + a combinable groupBy(cell, pos)
+    mean, so index training runs on the FULL corpus — per iteration
+    one map-side-reducible pass; only the (nlist × d) centroid frame
+    moves. The whole step (assign + mean + sequential-fold
+    normalization) replays in SQL and sits in the hash gate."""
     from .operators.similarity import kmeans_refine
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -5993,21 +6001,8 @@ def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_trained_profile",
     _SEED_ASSIGN_CTE
+    + _REFINE_CTE
     + """,
-    mem AS (SELECT n.vec_id, a.cell, n.e
-            FROM n JOIN assigned a ON a.vec_id = n.vec_id),
-    comp2 AS (
-      SELECT cell, pos, ROUND(AVG(x), 12) AS cx
-      FROM (SELECT cell, unnest(e) AS x,
-                   generate_subscripts(e, 1) AS pos FROM mem)
-      GROUP BY 1, 2
-    ),
-    cv AS (SELECT cell, list(cx ORDER BY pos) AS c FROM comp2 GROUP BY 1),
-    cn AS (
-      SELECT cell, c,
-             list_reduce(list_transform(c, y -> y * y), (a, b) -> a + b) AS s2
-      FROM cv
-    ),
     centr AS (
       SELECT cell,
              list_transform(c, x -> ROUND(x /
