@@ -828,3 +828,50 @@ def test_kmeans_train_tol_early_stop(spark, emb):
     for r in rows:
         want[r.cell, r.pos] = r.c
     np.testing.assert_array_equal(one, want)
+
+
+def test_pq_encode_matches_numpy_and_no_shuffle(spark, emb):
+    """PQ codes/distortion vs a numpy reference on the same seeded
+    codebook; the encode plan must contain no Exchange (one narrow
+    pass)."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pq_encode,
+        pq_seed_codebook,
+    )
+
+    C = pq_seed_codebook(emb, k=16)
+    out = pq_encode(emb, m=4, k=16, codebook=C)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    rows = {r.vec_id: r for r in out.collect()}
+    pdf = emb.toPandas()
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    sub = 16
+    for i in np.random.default_rng(0).choice(len(ids), 20, replace=False):
+        vid = int(ids[i])
+        total = 0.0
+        for s in range(4):
+            d = ((C[:, s * sub:(s + 1) * sub] - V[i, s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+            code = int(np.argmin(d))
+            assert rows[vid].codes[s] == code, (vid, s)
+            total += d[code]
+        assert abs(rows[vid].distortion - round(total, 6)) < 1e-6
+
+    # compression sanity: m codes per vector, codes in [0, k)
+    assert all(
+        len(r.codes) == 4 and all(0 <= c < 16 for c in r.codes)
+        for r in rows.values()
+    )
+
+
+def test_pq_encode_rejects_indivisible_dim(spark, emb):
+    import pytest as _pt
+
+    from var_elasticnet_bigdata_spark.operators.similarity import pq_encode
+
+    with _pt.raises(ValueError, match="not divisible"):
+        pq_encode(emb, m=5, k=16)

@@ -1210,3 +1210,100 @@ def incremental_semantic_dedup_bucketed(
         mode="append" if exists else "overwrite",
     )
     return survivors
+
+
+def pq_seed_codebook(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 12,
+) -> np.ndarray:
+    """Deterministic, SQL-replayable PQ codebook seed: full-d
+    centroid j = the position-wise mean (rounded to ``round_dp``) of
+    the RAW vectors with ``id % k == j`` — the L2-space analogue of
+    `seed_centroids` (no normalization: PQ quantizes raw
+    coordinates). Each subspace's sub-codebook is the corresponding
+    column slice. Computed distributed (one narrow explode + a
+    combinable groupBy(cell, pos) mean); only the (k × d) matrix
+    reaches the driver."""
+    v = df.select(
+        (F.col(id_col) % k).cast("int").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    comp = (
+        v.select(
+            "cell",
+            F.posexplode(F.expr("transform(__v, x -> x)")).alias("pos", "x"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), round_dp).alias("cx"))
+        .collect()
+    )
+    if not comp:
+        raise ValueError("pq_seed_codebook: empty input")
+    dim = max(r["pos"] for r in comp) + 1
+    C = np.zeros((k, dim), dtype=np.float64)
+    for r in comp:
+        C[r["cell"], r["pos"]] = r["cx"]
+    return C
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product-quantization ENCODE — the embedding-compression pass a
+    100 TB vector corpus runs before storage/serving (d float32 →
+    ``m`` uint8-scale codes, here 64→4 ≈ 64× smaller): the vector is
+    split into ``m`` subspaces and each subvector is assigned its
+    nearest (squared-L2) sub-centroid. Returns
+    ``(id_col, codes array<int>, distortion)`` with distortion = the
+    summed min squared distance, rounded to ``round_dp``.
+
+    Scale shape: the sub-codebooks fold into the encode EXPRESSION as
+    constant literals (same trick as `with_assigned_cell`), so
+    encoding is ONE narrow JVM pass — no shuffle, no Arrow, composes
+    onto any scan. Ties: lowest code wins; all distance folds are
+    sequential on both engines, so the whole encode (codes AND
+    distortion) sits in the hash gate.
+    """
+    C = (
+        codebook
+        if codebook is not None
+        else pq_seed_codebook(df, k, id_col, vec_col)
+    )
+    d = C.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    dist_exprs = []
+    for s in range(m):
+        c_lit = _centroid_lit(C[:, s * sub : (s + 1) * sub])
+        dist_exprs.append(
+            f"transform({c_lit}, c -> aggregate("
+            f"zip_with(slice(__v, {s * sub + 1}, {sub}), c,"
+            " (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b))"
+        )
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    for s, e in enumerate(dist_exprs):
+        staged = staged.withColumn(f"__d{s}", F.expr(e))
+    codes = ", ".join(
+        f"cast(array_position(__d{s}, array_min(__d{s})) - 1 as int)"
+        for s in range(m)
+    )
+    # sequential s-ascending fold, mirrored by the twin's ordered
+    # list_reduce — never an unordered SUM
+    dtot = " + ".join(f"array_min(__d{s})" for s in range(m))
+    return staged.select(
+        F.col(id_col),
+        F.expr(f"array({codes})").alias("codes"),
+        F.expr(f"round({dtot}, {round_dp})").alias("distortion"),
+    )

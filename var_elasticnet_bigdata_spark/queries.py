@@ -6102,6 +6102,60 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_encode",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT CAST(vec_id % 16 AS INT) AS cell, pos, ROUND(AVG(x), 12) AS cx
+      FROM (SELECT vec_id, unnest(e) AS x,
+                   generate_subscripts(e, 1) AS pos FROM v)
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT cell, list(cx ORDER BY pos) AS c FROM comp GROUP BY 1),
+    ss(s) AS (VALUES (0), (1), (2), (3)),
+    dist AS (
+      SELECT v.vec_id, ss.s, ct.cell,
+             list_reduce(
+               list_transform(generate_series(1, 16),
+                 i -> (v.e[ss.s * 16 + i] - ct.c[ss.s * 16 + i])
+                      * (v.e[ss.s * 16 + i] - ct.c[ss.s * 16 + i])),
+               (a, b) -> a + b) AS dd
+      FROM v CROSS JOIN ss CROSS JOIN cent ct
+    ),
+    picked AS (
+      SELECT vec_id, s, cell AS code, dd,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY dd ASC, cell ASC) AS rn
+      FROM dist
+    )
+    SELECT vec_id,
+           list_transform(list(code ORDER BY s), x -> CAST(x AS INT)) AS codes,
+           ROUND(list_reduce(list(dd ORDER BY s), (a, b) -> a + b), 6)
+             AS distortion
+    FROM picked WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (`similarity.pq_encode`, m=4
+    subspaces x k=16 centroids): the embedding-compression pass a
+    100 TB vector corpus runs before storage (64 floats -> 4 codes).
+    Sub-codebooks seed deterministically (`pq_seed_codebook`,
+    L2-space analogue of the seed centroids) and fold into the encode
+    expression as constants -- ONE narrow JVM pass, zero shuffle. The
+    twin replays seeding, per-subspace squared-L2 argmin (dd ASC,
+    code ASC ties), and the s-ordered distortion fold, so codes AND
+    distortion sit in the hash gate."""
+    from .operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, m=4, k=16)
+
+
+@query(
     "dedup_semantic_incremental",
     _SEED_ASSIGN_CTE
     + """,
