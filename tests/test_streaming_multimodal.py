@@ -496,3 +496,36 @@ def test_stream_semantic_dedup_against_store_matches_one_shot(spark, tmp_path):
         assert spark.table("ssem__vecs").count() == emb.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS ssem__vecs")
+
+
+def test_stream_classifier_scoring_matches_batch(spark, tmp_path):
+    """hashed_classifier_score is a pure narrow expression, so it
+    composes onto readStream unchanged — stream == batch under
+    availableNow."""
+    from var_elasticnet_bigdata_spark.operators.text import (
+        hashed_classifier_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        hashed_classifier_score(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.logit_milli, r.score)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.logit_milli, r.score)
+        for r in hashed_classifier_score(docs).collect()
+    }
+    assert got == want and len(got) == docs.count()

@@ -1109,3 +1109,58 @@ def duck_bpe_train_sql(rounds: int = 3) -> str:
             for i in range(1, rounds + 1)
         )
     return ",".join(parts) + f"\n    {sel} ORDER BY merge_round"
+
+
+def quality_curriculum(
+    df: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum bucketing: EXACT global quality deciles (bucket 1 =
+    highest quality) for quality-ordered training schedules. The
+    global total order runs through `shard.global_rank` — the
+    two-phase distributed row_number (range partition + broadcast
+    count prefixes), never a single-partition window — so the exact
+    rank survives any corpus size. Bucket = ``ceil(n_buckets·rank/N)``
+    on (quality DESC, id ASC); the formula (not SQL NTILE, whose
+    remainder rule differs) is replicated verbatim in the twin.
+
+    Returns ``(id_col, quality, bucket)``.
+    """
+    from ..operators.shard import global_rank
+
+    scored = df.select(
+        F.col(id_col), F.expr(QUALITY_SQL_SPARK).alias("quality")
+    )
+    n = scored.count()
+    ranked = global_rank(
+        scored,
+        [F.col("quality").desc(), F.col(id_col).asc()],
+        out_col="__rank",
+    )
+    return ranked.select(
+        F.col(id_col),
+        "quality",
+        F.ceil(F.lit(n_buckets) * F.col("__rank") / F.lit(n))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+def duck_quality_curriculum_sql(n_buckets: int = 10) -> str:
+    """DuckDB twin of `quality_curriculum` (single-window form of the
+    same exact rank + ceil bucket formula)."""
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {QUALITY_SQL_DUCK} AS quality FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, quality,
+             ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS r,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, quality,
+           CAST(CEIL({n_buckets} * r / CAST(n AS DOUBLE)) AS INT) AS bucket
+    FROM ranked
+    """

@@ -6101,6 +6101,30 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cell")
 
 
+@query("text_quality_curriculum", None)  # oracle registered below
+def text_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quality deciles for curriculum schedules
+    (`text.quality_curriculum`): the global total order runs through
+    the two-phase distributed row_number (range partition + broadcast
+    count prefixes -- `shard.global_rank`, the same machinery as
+    packing/sharding), never a single-partition window; bucket =
+    ceil(10*rank/N) replicated verbatim in the twin (not NTILE, whose
+    remainder rule differs)."""
+    from .operators.text import quality_curriculum
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.transform(lambda x: quality_curriculum(x, n_buckets=10))
+
+
+def _register_curriculum_oracle() -> None:
+    from .operators.text import duck_quality_curriculum_sql
+
+    ORACLE["text_quality_curriculum"] = duck_quality_curriculum_sql(10)
+
+
+_register_curriculum_oracle()
+
+
 @query(
     "ann_pq_encode",
     """
