@@ -875,3 +875,45 @@ def test_pq_encode_rejects_indivisible_dim(spark, emb):
 
     with _pt.raises(ValueError, match="not divisible"):
         pq_encode(emb, m=5, k=16)
+
+
+def test_pq_adc_top1_matches_numpy_and_no_shuffle(spark, emb):
+    """ADC nearest probe vs a numpy reference (same codebook, same
+    codes, LUT arithmetic); plan must contain no Exchange."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pq_adc_top1,
+        pq_seed_codebook,
+    )
+
+    C = pq_seed_codebook(emb, k=16)
+    out = pq_adc_top1(emb, m=4, k=16, codebook=C, probe_mod=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    rows = {r.vec_id: r for r in out.collect()}
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    probes = ids[ids % 100 == 0]
+    sub = 16
+    for i in np.random.default_rng(1).choice(len(ids), 15, replace=False):
+        vid = int(ids[i])
+        # encode
+        codes = []
+        for s in range(4):
+            d = ((C[:, s*sub:(s+1)*sub] - V[i, s*sub:(s+1)*sub]) ** 2).sum(axis=1)
+            codes.append(int(np.argmin(d)))
+        # ADC per probe
+        best = None
+        for pid in probes:
+            pi = int(np.where(ids == pid)[0][0])
+            adc = 0.0
+            for s in range(4):
+                adc += ((V[pi, s*sub:(s+1)*sub] - C[codes[s], s*sub:(s+1)*sub]) ** 2).sum()
+            adc = round(adc, 6)
+            if best is None or adc < best[1] or (adc == best[1] and pid < best[0]):
+                best = (int(pid), adc)
+        assert rows[vid].nearest_probe == best[0], vid
+        assert abs(rows[vid].adc - best[1]) < 1e-6, vid

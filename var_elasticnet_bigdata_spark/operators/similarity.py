@@ -1307,3 +1307,98 @@ def pq_encode(
         F.expr(f"array({codes})").alias("codes"),
         F.expr(f"round({dtot}, {round_dp})").alias("distortion"),
     )
+
+
+def pq_adc_top1(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: np.ndarray | None = None,
+    probe_mod: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE search — the serving half of product
+    quantization: each corpus vector is represented only by its ``m``
+    codes, and its distance to a query is the sum of ``m`` lookup
+    table entries (LUT[s][code] = squared L2 between the query's
+    subvector and the sub-centroid), never touching the original
+    floats. Probes are the corpus vectors with
+    ``id % probe_mod == 0`` (a deterministic, SQL-replayable query
+    set); returns each vector's nearest probe
+    ``(id_col, nearest_probe, adc)``.
+
+    Scale shape: encode is the `pq_encode` narrow pass; the LUTs (one
+    per probe × subspace, built driver-side from the bounded probe
+    set) fold into the scoring expression as constants — so the
+    whole search is ZERO-shuffle over the corpus, the property that
+    makes PQ serving cheap at 100 TB.
+
+    Float discipline: LUT entries are built with the SAME sequential
+    ascending-component fold the twin's ``list_reduce`` runs, the
+    per-probe ADC adds subspace terms s-ascending, and the result
+    rounds to ``round_dp`` before the argmin (ties: lowest probe id).
+    """
+    C = (
+        codebook
+        if codebook is not None
+        else pq_seed_codebook(df, k, id_col, vec_col)
+    )
+    d = C.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    from ..plans.guards import guarded_collect
+
+    probes = guarded_collect(
+        df.filter((F.col(id_col) % probe_mod) == 0).select(id_col, vec_col),
+        "pq_adc_top1's probe set",
+        "a larger probe_mod (the probe set must stay bounded)",
+    )
+    probes = sorted(probes, key=lambda r: r[id_col])
+    if not probes:
+        raise ValueError("pq_adc_top1: empty probe set")
+    pids = [int(r[id_col]) for r in probes]
+    # LUT[p][s][c]: sequential fold identical to the twin's
+    # list_reduce (init = first term; left association)
+    lut = []
+    for r in probes:
+        pv = [float(x) for x in r[vec_col]]
+        per_s = []
+        for s in range(m):
+            row = []
+            for c in range(k):
+                total = None
+                for i in range(sub):
+                    diff = pv[s * sub + i] - float(C[c, s * sub + i])
+                    t = diff * diff  # never pow(): libm pow(z,2) can
+                    # differ from z*z in the last ulp
+                    total = t if total is None else total + t
+                row.append(total)
+            per_s.append(row)
+        lut.append(per_s)
+
+    coded = pq_encode(df, m=m, k=k, id_col=id_col, vec_col=vec_col, codebook=C)
+    dist_exprs = []
+    for p in range(len(pids)):
+        terms = " + ".join(
+            "element_at("
+            + "array("
+            + ", ".join(
+                f"CAST('{float(lut[p][s][c])!r}' AS DOUBLE)" for c in range(k)
+            )
+            + f"), element_at(codes, {s + 1}) + 1)"
+            for s in range(m)
+        )
+        dist_exprs.append(f"round({terms}, {round_dp})")
+    adcs = "array(" + ", ".join(dist_exprs) + ")"
+    pid_lit = "array(" + ", ".join(f"{p}L" for p in pids) + ")"
+    return coded.select(
+        F.col(id_col),
+        F.expr(
+            f"element_at({pid_lit},"
+            f" cast(array_position({adcs}, array_min({adcs})) as int))"
+        ).alias("nearest_probe"),
+        F.expr(f"array_min({adcs})").alias("adc"),
+    )

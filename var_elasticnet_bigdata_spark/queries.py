@@ -6101,6 +6101,80 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cell")
 
 
+@query(
+    "ann_pq_adc_top1",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT CAST(vec_id % 16 AS INT) AS cell, pos, ROUND(AVG(x), 12) AS cx
+      FROM (SELECT vec_id, unnest(e) AS x,
+                   generate_subscripts(e, 1) AS pos FROM v)
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT cell, list(cx ORDER BY pos) AS c FROM comp GROUP BY 1),
+    ss(s) AS (VALUES (0), (1), (2), (3)),
+    dist AS (
+      SELECT v.vec_id, ss.s, ct.cell,
+             list_reduce(
+               list_transform(generate_series(1, 16),
+                 i -> (v.e[ss.s * 16 + i] - ct.c[ss.s * 16 + i])
+                      * (v.e[ss.s * 16 + i] - ct.c[ss.s * 16 + i])),
+               (a, b) -> a + b) AS dd
+      FROM v CROSS JOIN ss CROSS JOIN cent ct
+    ),
+    picked AS (
+      SELECT vec_id, s, cell AS code, dd,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY dd ASC, cell ASC) AS rn
+      FROM dist
+    ),
+    codes AS (SELECT vec_id, s, code FROM picked WHERE rn = 1),
+    probes AS (SELECT vec_id AS pid, e FROM v WHERE vec_id % 100 = 0),
+    pd AS (
+      SELECT cd.vec_id, pr.pid, cd.s,
+             list_reduce(
+               list_transform(generate_series(1, 16),
+                 i -> (pr.e[cd.s * 16 + i] - ct.c[cd.s * 16 + i])
+                      * (pr.e[cd.s * 16 + i] - ct.c[cd.s * 16 + i])),
+               (a, b) -> a + b) AS dsub
+      FROM codes cd JOIN cent ct ON ct.cell = cd.code
+      CROSS JOIN probes pr
+    ),
+    adc AS (
+      SELECT vec_id, pid,
+             ROUND(list_reduce(list(dsub ORDER BY s), (a, b) -> a + b), 6)
+               AS adc
+      FROM pd GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT vec_id, pid, adc,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY adc ASC, pid ASC) AS rn
+      FROM adc
+    )
+    SELECT vec_id, pid AS nearest_probe, adc FROM best WHERE rn = 1
+    """,
+)
+def ann_pq_adc_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (`similarity.pq_adc_top1`) --
+    the serving half of product quantization: every corpus vector is
+    represented ONLY by its 4 codes; its distance to each probe
+    (vec_id % 100 == 0) is 4 lookup-table adds. LUTs fold into the
+    scoring expression as constants, so the whole search is one
+    narrow ZERO-shuffle pass over the coded corpus -- the property
+    that makes PQ serving cheap at 100 TB. Codes, LUT arithmetic
+    (sequential folds both engines), rounded ADC, and the
+    probe-ascending argmin all replay in the twin."""
+    from .operators.similarity import pq_adc_top1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_top1(emb, m=4, k=16, probe_mod=100)
+
+
 @query("text_quality_curriculum", None)  # oracle registered below
 def text_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global quality deciles for curriculum schedules
