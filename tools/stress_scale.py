@@ -40,6 +40,7 @@ FAMILY = [
     "text_bpe_top_pairs", "text_classifier_score", "ann_kmeans_refine",
     "dedup_incremental_exact", "ann_knn_label_vote",
     "sample_cluster_balanced", "dedup_semantic_incremental",
+    "ann_pq_encode", "ann_pq_adc_top1", "text_quality_curriculum",
 ]
 
 
