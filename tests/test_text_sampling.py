@@ -645,3 +645,35 @@ def test_bpe_train_stops_below_min_count(spark):
     )
     merges, _ = bpe_train(df, rounds=5, min_pair_count=2)
     assert merges == []  # every pair occurs once
+
+
+def test_token_drift_hand_computed(spark):
+    """KL contributions on a tiny planted drift: a token only in the
+    even slice must rank first with the hand-computed contribution."""
+    import math
+
+    from var_elasticnet_bigdata_spark.operators.text import token_drift
+
+    df = spark.createDataFrame(
+        [
+            (0, "aaa aaa bbb"),
+            (2, "aaa bbb"),
+            (1, "bbb ccc"),
+            (3, "bbb"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = token_drift(df, top_n=10).collect()
+    # counts: aaa (3, 0), bbb (2, 2), ccc (0, 1); Na=5, Nb=3, V=3
+    na, nb, v = 5, 3, 3
+
+    def contrib(ca, cb):
+        p = (ca + 1) / (na + v)
+        q = (cb + 1) / (nb + v)
+        return round(p * math.log(p / q), 6)
+
+    got = {r.token: (r.cnt_a, r.cnt_b, r.contrib) for r in rows}
+    assert got["aaa"] == (3, 0, contrib(3, 0))
+    assert got["bbb"] == (2, 2, contrib(2, 2))
+    assert got["ccc"] == (0, 1, contrib(0, 1))
+    assert rows[0].token == "aaa"  # largest positive drift first

@@ -1164,3 +1164,88 @@ def duck_quality_curriculum_sql(n_buckets: int = 10) -> str:
            CAST(CEIL({n_buckets} * r / CAST(n AS DOUBLE)) AS INT) AS bucket
     FROM ranked
     """
+
+
+def token_drift(
+    df: DataFrame,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distribution-drift report between two corpus slices (here the
+    deterministic doc-id parity split — in production, two crawl
+    snapshots or time windows): per-token contribution to
+    KL(P_even ‖ P_odd) under add-one smoothing over the union
+    vocabulary, top ``top_n`` over-represented tokens
+    ``(token, cnt_a, cnt_b, contrib)``. The report run before mixing
+    a new crawl into a training corpus — a large positive contrib
+    marks tokens the new slice is missing or the old slice
+    over-weights.
+
+    Scale shape: ONE token shuffle builds both slices' counts in the
+    same combinable groupBy (conditional sums, no second pass); the
+    scalar totals broadcast back onto the vocab-sized frame; final
+    selection is TakeOrderedAndProject. Counts are exact integers;
+    the contribution rounds to 6 dp before ranking (token-asc ties).
+    """
+    from .dedup import norm_sql_spark
+
+    norm = norm_sql_spark(text_col)
+    toks = df.select(
+        (F.col(id_col) % 2 == 0).alias("__a"),
+        F.explode(F.split(F.expr(norm), " ")).alias("token"),
+    ).filter(F.length("token") >= 1)
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("cnt_b"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_a").alias("__na"),
+        F.sum("cnt_b").alias("__nb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        F.round(
+            ((F.col("cnt_a") + 1) / (F.col("__na") + F.col("__v")))
+            * F.log(
+                ((F.col("cnt_a") + 1) / (F.col("__na") + F.col("__v")))
+                / ((F.col("cnt_b") + 1) / (F.col("__nb") + F.col("__v")))
+            ),
+            6,
+        ).alias("contrib"),
+    )
+    return scored.orderBy(
+        F.col("contrib").desc(), F.col("token").asc()
+    ).limit(top_n)
+
+
+def duck_token_drift_sql(top_n: int = 20) -> str:
+    """DuckDB twin of `token_drift`."""
+    from .dedup import NORM_SQL_DUCK
+
+    return f"""
+    WITH toks AS (
+      SELECT (doc_id % 2 = 0) AS a,
+             unnest(string_split({NORM_SQL_DUCK}, ' ')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token,
+             SUM(CASE WHEN a THEN 1 ELSE 0 END) AS cnt_a,
+             SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cnt_b
+      FROM toks WHERE length(token) >= 1 GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb, COUNT(*) AS v
+            FROM counts)
+    SELECT token, CAST(cnt_a AS BIGINT) AS cnt_a,
+           CAST(cnt_b AS BIGINT) AS cnt_b,
+           ROUND(((cnt_a + 1) / CAST(na + v AS DOUBLE))
+                 * ln(((cnt_a + 1) / CAST(na + v AS DOUBLE))
+                      / ((cnt_b + 1) / CAST(nb + v AS DOUBLE))), 6)
+             AS contrib
+    FROM counts, tot
+    ORDER BY contrib DESC, token ASC LIMIT {top_n}
+    """

@@ -6175,6 +6175,29 @@ def ann_pq_adc_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_top1(emb, m=4, k=16, probe_mod=100)
 
 
+@query("text_token_drift", None)  # oracle registered below
+def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report (`text.token_drift`): per-token KL
+    contribution between two slices (deterministic parity split
+    standing in for two crawl snapshots), top-20 over-represented
+    tokens. ONE combinable token shuffle builds both slices' counts
+    (conditional sums); scalar totals broadcast back; exact integer
+    counts + 6dp contributions keep the gate stable."""
+    from .operators.text import token_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_drift(d, top_n=20)
+
+
+def _register_token_drift_oracle() -> None:
+    from .operators.text import duck_token_drift_sql
+
+    ORACLE["text_token_drift"] = duck_token_drift_sql(20)
+
+
+_register_token_drift_oracle()
+
+
 @query("text_quality_curriculum", None)  # oracle registered below
 def text_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global quality deciles for curriculum schedules
