@@ -124,3 +124,90 @@ def test_compact_partitioned_global_file_budget(spark, tmp_path):
     assert got <= 3 * per_dir, (n_target, got)
     a, b = spark.read.parquet(src), spark.read.parquet(dst)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_crash_window_recovery_before_exists_probe(spark, tmp_path):
+    """ADVICE r6 (medium): a crash inside compact_bucketed between
+    DROP TABLE and the staging RENAME leaves only the __compacting
+    table. The NEXT micro-batch's incremental operator used to probe
+    tableExists first, see no store, OVERWRITE it with just that
+    batch's keys — and the following compaction then dropped the
+    orphaned staging table holding the full history. The operators
+    now recover the orphan BEFORE the exists-probe, so a replayed
+    batch dedups against the full recovered history."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_exact_dedup_bucketed,
+    )
+    from var_elasticnet_bigdata_spark.sources.bucketing import write_bucketed
+    from var_elasticnet_bigdata_spark.sources.compaction import (
+        recover_orphaned_compaction,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "epsilon nine")],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS cwstore__keys")
+    spark.sql("DROP TABLE IF EXISTS cwstore__keys__compacting")
+    try:
+        incremental_exact_dedup_bucketed(
+            docs, "cwstore", buckets=4, path=str(tmp_path / "store")
+        )
+        # healthy store: recovery is a no-op
+        assert recover_orphaned_compaction(spark, "cwstore__keys") is False
+        # simulate the mid-compaction crash: full rewrite sits in the
+        # staging table, the target has been dropped, rename never ran
+        write_bucketed(
+            spark.table("cwstore__keys"),
+            "cwstore__keys__compacting",
+            "ck",
+            buckets=4,
+            sort_cols="ck",
+            path=str(tmp_path / "staging"),
+            mode="overwrite",
+        )
+        spark.sql("DROP TABLE cwstore__keys")
+        # replayed micro-batch: doc 10 duplicates doc 0's content key
+        batch2 = spark.createDataFrame(
+            [(10, "ALPHA beta!"), (11, "fresh content")],
+            "doc_id long, text string",
+        )
+        surv = incremental_exact_dedup_bucketed(
+            batch2, "cwstore", buckets=4, path=str(tmp_path / "store")
+        )
+        assert sorted(r.doc_id for r in surv.collect()) == [11]
+        # the recovered store holds the FULL history plus the survivor
+        keys = spark.table("cwstore__keys")
+        assert sorted(r.doc_id for r in keys.collect()) == [0, 1, 2, 11]
+        assert not spark.catalog.tableExists("cwstore__keys__compacting")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cwstore__keys")
+        spark.sql("DROP TABLE IF EXISTS cwstore__keys__compacting")
+
+
+def test_append_after_compaction_location_move(spark, tmp_path):
+    """Latent-bug pin (r7): compact_bucketed moves an external store
+    to a sibling ``__c`` location; a later append that still passes
+    the ORIGINAL path must follow the catalog's location instead of
+    dying with a location-mismatch AnalysisException — this is every
+    incremental store's steady-state (append → compact → append)."""
+    from var_elasticnet_bigdata_spark.sources.bucketing import write_bucketed
+    from var_elasticnet_bigdata_spark.sources.compaction import (
+        compact_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS mvstore")
+    spark.sql("DROP TABLE IF EXISTS mvstore__compacting")
+    p = str(tmp_path / "mvstore")
+    try:
+        df1 = spark.createDataFrame([(i, i % 3) for i in range(20)], "k long, v long")
+        write_bucketed(df1, "mvstore", "k", buckets=4, path=p, mode="overwrite")
+        df2 = spark.createDataFrame([(i, 9) for i in range(20, 30)], "k long, v long")
+        write_bucketed(df2, "mvstore", "k", buckets=4, path=p, mode="append")
+        compact_bucketed(spark, "mvstore")  # location -> mvstore__c
+        df3 = spark.createDataFrame([(i, 7) for i in range(30, 35)], "k long, v long")
+        write_bucketed(df3, "mvstore", "k", buckets=4, path=p, mode="append")
+        assert sorted(r.k for r in spark.table("mvstore").collect()) == list(range(35))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mvstore")
+        spark.sql("DROP TABLE IF EXISTS mvstore__compacting")

@@ -917,3 +917,88 @@ def test_pq_adc_top1_matches_numpy_and_no_shuffle(spark, emb):
                 best = (int(pid), adc)
         assert rows[vid].nearest_probe == best[0], vid
         assert abs(rows[vid].adc - best[1]) < 1e-6, vid
+
+
+def test_snap_half_away_matches_duckdb_round(duck):
+    """ADVICE r6: cell_knn_label_vote's 6-dp cosine snap must match
+    engine ROUND on BOTH signs — negative half-grid points round away
+    from zero, where the old half-up floor snap rounded toward +inf
+    and could flip the neighbor ranking / majority vote."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        snap_half_away,
+    )
+
+    vals = [
+        -1.5e-6, -2.5e-6, -5e-7, 1.5e-6, 2.5e-6, 5e-7,
+        -1.2345675, 1.2345675, -0.9999995, 0.9999995,
+        -0.1234565, 0.123456499, 0.0, -0.75, 0.75,
+    ]
+    got = snap_half_away(np.array(vals, dtype=np.float64))
+    for v, g in zip(vals, got):
+        want = duck.execute(
+            f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)"
+        ).fetchone()[0]
+        assert g == want, (v, g, want)
+
+
+def test_pq_adc_arrow_arm_matches_expression_arm(spark, emb):
+    """ADVICE r6: above ``expr_probes`` the LUT ships into an Arrow
+    pass instead of widening the constant-folded projection past the
+    codegen ceiling. Both arms must agree EXACTLY (same LUT floats,
+    same add order, same 6-dp snap, same tie rule) — forced here by
+    running the same probe set through each arm."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pq_adc_top1,
+        pq_seed_codebook,
+    )
+
+    C = pq_seed_codebook(emb, k=16)
+    # probe_mod=25 → ~20 probes on the sf0.001 fixture: one run keeps
+    # them in the expression arm, the other forces the Arrow arm
+    expr = pq_adc_top1(
+        emb, m=4, k=16, codebook=C, probe_mod=25, expr_probes=1000
+    )
+    arrow = pq_adc_top1(
+        emb, m=4, k=16, codebook=C, probe_mod=25, expr_probes=1
+    )
+    assert "mapInPandas" not in expr._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroups" not in expr._jdf.queryExecution().analyzed().toString()
+    a = {r.vec_id: (r.nearest_probe, r.adc) for r in expr.collect()}
+    b = {r.vec_id: (r.nearest_probe, r.adc) for r in arrow.collect()}
+    assert a == b  # bit-identical, not approx
+    # the Arrow arm still shuffles nothing over the corpus
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_pq_adc_probe_cap_raises(spark, emb):
+    """ADVICE r6: the probe set is hard-capped (bounds the
+    driver/closure LUT); an unbounded probe filter must raise the
+    guarded-collect ceiling error instead of silently building a
+    huge LUT."""
+    import pytest as _pt
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pq_adc_top1,
+        pq_seed_codebook,
+    )
+
+    C = pq_seed_codebook(emb, k=16)
+    with _pt.raises(Exception, match="probe"):
+        pq_adc_top1(emb, m=4, k=16, codebook=C, probe_mod=2, max_probes=10)
+
+
+def test_duck_bpe_train_sql_guards_rounds(spark):
+    """ADVICE r6: rounds=0 used to NameError from the loop-scoped
+    select; now it raises a clear ValueError."""
+    import pytest as _pt
+
+    from var_elasticnet_bigdata_spark.operators.text import (
+        duck_bpe_train_sql,
+    )
+
+    with _pt.raises(ValueError, match="rounds"):
+        duck_bpe_train_sql(rounds=0)
+    assert "merge_round" in duck_bpe_train_sql(rounds=1)

@@ -269,3 +269,33 @@ def test_ar1_relational_matches_generic_fanout(spark):
             assert rel[hh][1] == pytest.approx(
                 round(res.theils_u_rw[hh], 6), abs=1e-6
             )
+
+
+def test_theils_u_table_matches_scalar_m23(spark):
+    # the gated table form (RW model vs AR(1) benchmark) must equal
+    # the reference-shaped scalar theils_u_ar1 fed the same model MSFE
+    from var_elasticnet_bigdata_spark.harness.modeltrain import (
+        theils_u_ar1,
+        theils_u_ar1_relational,
+    )
+
+    rng = np.random.default_rng(23)
+    y = np.abs(rng.normal(size=(44, 1))).cumsum(axis=0)
+    wide, dates = make_wide(spark, y, ["a"])
+    start = dates[28]
+    tab = {
+        int(r["horizon"]): (
+            float(r["u_ar1"]),
+            float(r["msfe_model"]),
+            float(r["msfe_ar1"]),
+        )
+        for r in theils_u_ar1_relational(
+            spark, wide, "a", start_pred=start, h=4
+        ).collect()
+    }
+    assert set(tab) == {1, 2, 4}
+    for hh, (u, msfe_m, _) in tab.items():
+        u_scalar = theils_u_ar1(
+            spark, wide, ["a"], start_pred=start, mse_pred=msfe_m, horizon=hh
+        )
+        assert u == pytest.approx(round(u_scalar, 6), abs=2e-6)

@@ -54,3 +54,8 @@ def test_plans_match_lockfile(spark, monkeypatch):
         f"--update): {missing}"
     )
     assert not drifts, f"plan drift (locked, current): {drifts}"
+    # the lock must cover the registry EXACTLY (VERDICT r6 item 9:
+    # evidence docs lagged the registry) — no stale leftovers either
+    stale = sorted(set(locked) - set(Q.QUERIES))
+    assert not stale, f"plan lock holds entries for removed queries: {stale}"
+    assert len(locked) == len(Q.QUERIES)

@@ -38,6 +38,7 @@ ALLOW_GLOBAL_WINDOW = {
     "a3_msfe_by_horizon",
     "e5_pivot_reshape",
     "ml_modeltrain_msfe",  # cumulative AR(1) moments over one series
+    "ml_theils_u_ar1",  # same cumulative frame (M23 table form)
     "ml_ar1_coefs",
     "j1_align_join",
     "w7_reconstruct_levels",  # per-series via partitionBy; checked below

@@ -596,3 +596,102 @@ def theils_u_ar1(
     """RMSE(model)/RMSE(AR1) (enetVAR.R:847-855)."""
     ar1 = ar1_train(spark, wide_df, series, start_pred, date_col=date_col)
     return math.sqrt(mse_pred) / math.sqrt(ar1.msfe[horizon])
+
+
+def theils_u_ar1_relational(
+    spark: SparkSession,
+    wide_df: DataFrame,
+    target: str,
+    start_pred,
+    h: int = 8,
+    date_col: str = "obs_date",
+) -> DataFrame:
+    """Per-horizon Theil's U against the AR(1) benchmark (M23,
+    enetVAR.R:847-855: ``U = sqrt(mse_pred)/sqrt(ar1$msfe[h])``) as
+    ONE relational DAG — the table form of the scalar
+    `theils_u_ar1`, with the random-walk forecast ``ŷ_{o+h} = y_o``
+    (the W10 naive arm) standing in as the scored model so the WHOLE
+    statistic, numerator and denominator, replays in ANSI SQL. Both
+    models score the SAME aligned rolling-origin grid as
+    `ar1_rolling_relational` (same origins, same h*.ind alignment),
+    and both forecasts derive from the one cumulative-moment frame,
+    so the experiment stays a single pass: per-origin prefix moments
+    → φ_o, a broadcast horizon fan-out carrying BOTH ŷ columns, one
+    target-date join, one aggregate.
+
+    Returns a lazy ``(horizon, u_ar1, msfe_model, msfe_ar1)``
+    DataFrame. Float discipline: U = ROUND(SQRT(sse_m/cnt) /
+    SQRT(sse_a/cnt), 6) with identical op order in the DuckDB twin.
+
+    Scale note: same bounded time-axis frontier as
+    `ar1_rolling_relational` — the windows order over ONE
+    post-aggregation series (thousands of rows at 100 TB of raw
+    input), everything else is broadcast joins over that axis.
+    """
+    from pyspark.sql import Window
+
+    pred_ind = _pred_ind(h)
+    dates = _dates(wide_df, date_col)
+    n = len(dates)
+    try:
+        start_idx = dates.index(start_pred)
+    except ValueError as e:
+        raise ValueError(f"start_pred {start_pred!r} not in date index") from e
+    ws = start_idx - h
+    if ws < 1:
+        raise ValueError("not enough pre-sample for the first origin")
+
+    wo = Window.orderBy(date_col)
+    wc = Window.orderBy(date_col).rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        wide_df.select(
+            date_col, F.col(f"`{target}`").cast("double").alias("y")
+        )
+        .withColumn("rn", F.row_number().over(wo) - F.lit(1))
+        .withColumn("ylag", F.lag("y").over(wo))
+        .withColumn("num", F.sum(F.col("ylag") * F.col("y")).over(wc))
+        .withColumn("den", F.sum(F.col("ylag") * F.col("ylag")).over(wc))
+    )
+    phi = F.when(F.col("den") > 0, F.col("num") / F.col("den")).otherwise(
+        F.lit(0.0)
+    )
+    origins = d.filter((F.col("rn") >= ws) & (F.col("rn") <= n - 2)).select(
+        F.col("rn").alias("origin_idx"),
+        F.col("y").alias("y_o"),
+        phi.alias("phi"),
+    )
+    hz = spark.createDataFrame([(int(p),) for p in pred_ind], "horizon int")
+    fc = origins.join(F.broadcast(hz)).select(
+        "origin_idx",
+        "horizon",
+        (F.pow("phi", F.col("horizon")) * F.col("y_o")).alias("yhat_ar1"),
+        F.col("y_o").alias("yhat_rw"),
+        (F.col("origin_idx") + F.col("horizon")).alias("target_idx"),
+    )
+    truth = d.select(
+        F.col("rn").alias("target_idx"), F.col("y").alias("y_true")
+    )
+    aligned = (
+        fc.join(F.broadcast(truth), "target_idx", "left")
+        .filter(
+            (F.col("target_idx") >= start_idx)
+            & (F.col("target_idx") <= n - 1)
+        )
+        .withColumn("err_a", F.col("yhat_ar1") - F.col("y_true"))
+        .withColumn("err_m", F.col("yhat_rw") - F.col("y_true"))
+    )
+    agg = aligned.groupBy("horizon").agg(
+        F.sum(F.col("err_m") * F.col("err_m")).alias("sse_m"),
+        F.sum(F.col("err_a") * F.col("err_a")).alias("sse_a"),
+        F.count("err_a").alias("cnt"),
+    )
+    return agg.select(
+        "horizon",
+        F.round(
+            F.sqrt(F.col("sse_m") / F.col("cnt"))
+            / F.sqrt(F.col("sse_a") / F.col("cnt")),
+            6,
+        ).alias("u_ar1"),
+        F.round(F.col("sse_m") / F.col("cnt"), 6).alias("msfe_model"),
+        F.round(F.col("sse_a") / F.col("cnt"), 6).alias("msfe_ar1"),
+    ).orderBy("horizon")

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.cachereg import swap_cache
+from ..sources.compaction import recover_orphaned_compaction
 
 # fixed MinHash permutation coefficients (numpy default_rng(777))
 MINHASH_P = 2147483647  # 2^31 − 1
@@ -807,6 +808,10 @@ def incremental_near_dup_bucketed(
     spark = batch.sparkSession
     bands_t = f"{store_name}__bands"
     sigs_t = f"{store_name}__sigs"
+    # heal a mid-compaction crash BEFORE the exists-probe (see
+    # incremental_exact_dedup_bucketed for the loss scenario)
+    recover_orphaned_compaction(spark, sigs_t)
+    recover_orphaned_compaction(spark, bands_t)
     exists = spark.catalog.tableExists(bands_t)
 
     sigged = swap_cache(
@@ -960,6 +965,11 @@ def incremental_exact_dedup_bucketed(
     """
     spark = batch.sparkSession
     keys_t = f"{store_name}__keys"
+    # heal a mid-compaction crash BEFORE the exists-probe (ADVICE r6):
+    # otherwise this probe sees no keys table, overwrites the store
+    # with only this batch, and the orphaned staging table holding the
+    # full history is dropped by the next compaction.
+    recover_orphaned_compaction(spark, keys_t)
     exists = spark.catalog.tableExists(keys_t)
 
     keyed = swap_cache(

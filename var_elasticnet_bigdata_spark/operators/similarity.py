@@ -39,6 +39,24 @@ from pyspark.sql.types import (
 LSH_SEED = 20260813
 
 
+def snap_half_away(S, dp: int = 6):
+    """Numpy twin of Spark/DuckDB ``ROUND(x, dp)``: snap to the
+    ``dp``-decimal grid rounding halves AWAY FROM ZERO on BOTH signs
+    (ADVICE r6 — a plain ``floor(x·10^dp + 0.5)`` half-up snap agrees
+    on positives but rounds negative half-grid points toward +inf,
+    diverging from both engines; pinned against DuckDB ROUND in
+    tests/test_dedup_similarity.py)."""
+    scale = float(10**dp)
+    return (
+        np.where(
+            S >= 0,
+            np.floor(S * scale + 0.5),
+            np.ceil(S * scale - 0.5),
+        )
+        / scale
+    )
+
+
 def _normalized_matrix(rows: list, id_col: str, vec_col: str):
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.array([r[vec_col] for r in rows], dtype=np.float64)
@@ -1025,7 +1043,14 @@ def cell_knn_label_vote(
         n[n == 0] = 1.0
         M = M / n
         S = M @ M.T
-        S = np.floor(S * 1e6 + 0.5) / 1e6  # 6-dp grid, half-up (twin)
+        # 6-dp grid, half-AWAY-FROM-ZERO to match Spark/DuckDB ROUND
+        # on both signs (ADVICE r6: unlike semantic_dedup, where only
+        # positive >= eps comparisons matter, here the snapped value
+        # feeds the neighbor RANKING and negative cosines legitimately
+        # participate — a plain half-up floor-snap orders a negative
+        # half-grid cosine differently from the twin and can flip the
+        # majority vote)
+        S = snap_half_away(S)
         out_id, out_lb, out_nv = [], [], []
         kn = min(kk, m - 1)
         for i in range(m):
@@ -1140,6 +1165,11 @@ def incremental_semantic_dedup_bucketed(
     """
     spark = batch.sparkSession
     vecs_t = f"{store_name}__vecs"
+    # heal a mid-compaction crash BEFORE the exists-probe (see
+    # dedup.incremental_exact_dedup_bucketed for the loss scenario)
+    from ..sources.compaction import recover_orphaned_compaction
+
+    recover_orphaned_compaction(spark, vecs_t)
     exists = spark.catalog.tableExists(vecs_t)
 
     v = batch.select(
@@ -1318,6 +1348,8 @@ def pq_adc_top1(
     codebook: np.ndarray | None = None,
     probe_mod: int = 100,
     round_dp: int = 6,
+    expr_probes: int = 64,
+    max_probes: int = 4096,
 ) -> DataFrame:
     """PQ ASYMMETRIC-DISTANCE search — the serving half of product
     quantization: each corpus vector is represented only by its ``m``
@@ -1339,6 +1371,28 @@ def pq_adc_top1(
     ascending-component fold the twin's ``list_reduce`` runs, the
     per-probe ADC adds subspace terms s-ascending, and the result
     rounds to ``round_dp`` before the argmin (ties: lowest probe id).
+
+    Two serving arms, bit-identical results (pinned in tests), picked
+    by probe count (ADVICE r6 — the constant-folded projection
+    carries m·k double literals PER PROBE, so a few hundred probes
+    blows past Spark's codegen ceilings, 64 KB method / constant
+    pool, and falls back to interpreted eval or fails planning):
+
+    - ``<= expr_probes`` (default 64, ~4 K constants): LUTs fold into
+      the scoring projection as literals — pure JVM, whole-stage
+      codegen, composes onto the encode pass.
+    - ``> expr_probes``: the LUT (an ``n_probes × m × k`` float64
+      block, ~2 MB even at the 4096 cap) ships to executors in the
+      Arrow-pass closure and each batch scores via vectorized numpy
+      gathers — still ZERO corpus shuffle, one narrow pass. Float
+      parity holds because both arms add the same LUT float64s in the
+      same s-ascending left-associated order and snap to the same
+      6-dp grid before the argmin (ADC is a sum of squares, ≥ 0, so
+      half-up == ROUND's half-away-from-zero).
+
+    ``max_probes`` is the HARD cap on the probe set itself (bounds
+    the driver/closure LUT); beyond it, batch probes through repeated
+    calls — each arm is a zero-shuffle pass, so calls compose.
     """
     C = (
         codebook
@@ -1354,7 +1408,9 @@ def pq_adc_top1(
     probes = guarded_collect(
         df.filter((F.col(id_col) % probe_mod) == 0).select(id_col, vec_col),
         "pq_adc_top1's probe set",
-        "a larger probe_mod (the probe set must stay bounded)",
+        "a larger probe_mod or batched calls (the probe LUT must stay "
+        "bounded driver-side)",
+        max_rows=max_probes,
     )
     probes = sorted(probes, key=lambda r: r[id_col])
     if not probes:
@@ -1380,6 +1436,36 @@ def pq_adc_top1(
         lut.append(per_s)
 
     coded = pq_encode(df, m=m, k=k, id_col=id_col, vec_col=vec_col, codebook=C)
+    if len(pids) > expr_probes:
+        # Arrow LUT-broadcast arm: too many probes for a constant-
+        # folded projection — gather LUT entries per code with numpy,
+        # same s-ascending left-associated adds, same 6-dp snap.
+        L = np.array(lut, dtype=np.float64)  # (P, m, k)
+        pid_arr = np.array(pids, dtype=np.int64)
+        scale = float(10**round_dp)
+        mm = m
+
+        def score(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                adc = L[:, 0, codes[:, 0]]  # (P, n)
+                for s in range(1, mm):
+                    adc = adc + L[:, s, codes[:, s]]
+                adc = np.floor(adc * scale + 0.5) / scale
+                best = np.argmin(adc, axis=0)  # first min = lowest pid
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "nearest_probe": pid_arr[best],
+                        "adc": adc[best, np.arange(len(codes))],
+                    }
+                )
+
+        return coded.mapInPandas(
+            score, schema=f"{id_col} long, nearest_probe long, adc double"
+        )
     dist_exprs = []
     for p in range(len(pids)):
         terms = " + ".join(

@@ -1076,8 +1076,12 @@ def duck_bpe_train_sql(rounds: int = 3) -> str:
     UNROLLED CTE chain (SQL has no loop; each round = one pair-count
     aggregate + argmax + a correlated list_reduce merge — the same
     greedy fold the Spark side runs). Emits the learned merges
-    ``(merge_round, a, b, c)``."""
+    ``(merge_round, a, b, c)``. ``rounds`` must be >= 1 (an unrolled
+    twin of zero training rounds has no rows to emit)."""
     from .dedup import NORM_SQL_DUCK
+
+    if rounds < 1:
+        raise ValueError(f"duck_bpe_train_sql: rounds must be >= 1, got {rounds}")
 
     parts = [
         f"""
@@ -1104,10 +1108,10 @@ def duck_bpe_train_sql(rounds: int = 3) -> str:
                     ELSE list_append(acc, x[1]) END) AS syms, cnt
       FROM v{r - 1} CROSS JOIN p{r} p
     )""")
-        sel = " UNION ALL ".join(
-            f"SELECT {i} AS merge_round, a, b, c FROM p{i}"
-            for i in range(1, rounds + 1)
-        )
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS merge_round, a, b, c FROM p{i}"
+        for i in range(1, rounds + 1)
+    )
     return ",".join(parts) + f"\n    {sel} ORDER BY merge_round"
 
 

@@ -2541,6 +2541,56 @@ def ml_modeltrain_msfe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ml_theils_u_ar1",
+    f"""
+    WITH q AS ({_QPAIR_SQL}),
+    s AS (SELECT ROW_NUMBER() OVER (ORDER BY obs_date) - 1 AS i, revenue AS v
+          FROM q),
+    par AS (SELECT COUNT(*) AS n, COUNT(*)//2 + 4 AS si FROM s),
+    origins AS (SELECT i AS o FROM s, par WHERE i BETWEEN si - 4 AND n - 2),
+    phi AS (
+      SELECT o.o,
+             (SELECT SUM(a.v * b.v) FROM s a JOIN s b ON b.i = a.i - 1
+              WHERE a.i BETWEEN 1 AND o.o)
+             / NULLIF((SELECT SUM(b.v * b.v) FROM s b WHERE b.i <= o.o - 1), 0)
+             AS phi
+      FROM origins o),
+    fc AS (
+      SELECT p.o, h.h, POWER(p.phi, h.h) * yo.v AS yhat, yo.v AS yrw,
+             yt.v AS ytrue
+      FROM phi p
+      CROSS JOIN (VALUES (1), (2), (4)) h(h)
+      JOIN s yo ON yo.i = p.o
+      JOIN s yt ON yt.i = p.o + h.h),
+    aligned AS (SELECT fc.* FROM fc, par WHERE o + h BETWEEN si AND n - 1)
+    SELECT h AS horizon,
+           ROUND(SQRT(SUM(POWER(yrw - ytrue, 2)) / COUNT(*))
+                 / SQRT(SUM(POWER(yhat - ytrue, 2)) / COUNT(*)), 6) AS u_ar1,
+           ROUND(SUM(POWER(yrw - ytrue, 2)) / COUNT(*), 6) AS msfe_model,
+           ROUND(SUM(POWER(yhat - ytrue, 2)) / COUNT(*), 6) AS msfe_ar1
+    FROM aligned GROUP BY 1 ORDER BY 1
+    """,
+)
+def ml_theils_u_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M23: per-horizon Theil's U against the AR(1) benchmark
+    (`harness.theils_u_ar1_relational`; reference enetVAR.R:847-855
+    ``U = sqrt(mse_pred)/sqrt(ar1$msfe[h])``), scored over the SAME
+    aligned rolling-origin grid as `ml_modeltrain_msfe` with the
+    random-walk forecast as the scored model — so numerator AND
+    denominator (the whole harness error table, both models) replay
+    exactly in the twin. Closes the last §2 operator whose own output
+    had no hash-gated query (r6 VERDICT item 4)."""
+    from .harness.modeltrain import theils_u_ar1_relational
+
+    wide = _quarterly_pair(spark, sf_dir)
+    dates = [r["obs_date"] for r in wide.select("obs_date").orderBy("obs_date").collect()]
+    start = dates[len(dates) // 2 + 4]
+    return theils_u_ar1_relational(
+        spark, wide, "revenue", start_pred=start, h=4,
+    )
+
+
+@query(
     "ml_ar1_coefs",
     """
     WITH m AS (
@@ -6254,7 +6304,10 @@ _register_curriculum_oracle()
       FROM dist
     )
     SELECT vec_id,
-           list_transform(list(code ORDER BY s), x -> CAST(x AS INT)) AS codes,
+           CAST(MAX(CASE WHEN s = 0 THEN code END) AS INT) AS code_0,
+           CAST(MAX(CASE WHEN s = 1 THEN code END) AS INT) AS code_1,
+           CAST(MAX(CASE WHEN s = 2 THEN code END) AS INT) AS code_2,
+           CAST(MAX(CASE WHEN s = 3 THEN code END) AS INT) AS code_3,
            ROUND(list_reduce(list(dd ORDER BY s), (a, b) -> a + b), 6)
              AS distortion
     FROM picked WHERE rn = 1 GROUP BY vec_id
@@ -6269,11 +6322,23 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression as constants -- ONE narrow JVM pass, zero shuffle. The
     twin replays seeding, per-subspace squared-L2 argmin (dd ASC,
     code ASC ties), and the s-ordered distortion fold, so codes AND
-    distortion sit in the hash gate."""
+    distortion sit in the hash gate. The gated output flattens the
+    library's ``codes array<int>`` to scalar ``code_0..code_3``
+    columns (r6 VERDICT: the driver canonicalizer hashes scalar
+    columns only; `tests/test_queries_gate.py` now guards the whole
+    registry against complex-typed outputs)."""
     from .operators.similarity import pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_encode(emb, m=4, k=16)
+    coded = pq_encode(emb, m=4, k=16)
+    return coded.select(
+        "vec_id",
+        *[
+            F.element_at("codes", s + 1).alias(f"code_{s}")
+            for s in range(4)
+        ],
+        "distortion",
+    )
 
 
 @query(

@@ -38,13 +38,24 @@ def write_bucketed(
     """Write ``df`` as a bucketed (optionally bucket-sorted) parquet
     table registered in the session catalog. ``path`` makes it an
     external table at that location; otherwise it lands under
-    ``spark.sql.warehouse.dir``."""
+    ``spark.sql.warehouse.dir``.
+
+    On ``mode='append'`` to an EXISTING table the catalog's location
+    wins and ``path`` is ignored: compaction
+    (`sources/compaction.compact_bucketed`) legitimately moves an
+    external store to a sibling location (alternating ``__c``
+    suffix), and pinning the caller's original path would fail every
+    post-compaction append with a location-mismatch AnalysisException
+    (latent until the r7 crash-recovery test exercised an
+    append-after-move)."""
     bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     w = df.write.format("parquet").mode(mode).bucketBy(buckets, *bcols)
     if sort_cols is not None:
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*scols)
-    if path is not None:
+    if path is not None and not (
+        mode == "append" and df.sparkSession.catalog.tableExists(table)
+    ):
         w = w.option("path", path)
     w.saveAsTable(table)
 

@@ -99,6 +99,36 @@ def compact(
     return n_files
 
 
+def recover_orphaned_compaction(spark: SparkSession, table: str) -> bool:
+    """Heal the non-atomic swap window in `compact_bucketed`: a crash
+    between its ``DROP TABLE {table}`` and the staging rename leaves
+    only ``{table}__compacting`` registered — and the staging table
+    holds the FULL rewritten content by that point. Renaming it into
+    place restores the store byte-for-byte.
+
+    This must run BEFORE any incremental-store operator probes
+    ``tableExists(table)`` (ADVICE r6): the operators treat a missing
+    store table as "first batch" and OVERWRITE it, after which the
+    orphaned staging table (the entire accepted history) sits
+    alongside a live target and the next compaction drops it as a
+    pre-swap leftover — silent, permanent loss of every prior key.
+    The incremental store operators therefore call this helper at the
+    top of their exists-probe, so a replayed micro-batch after a
+    mid-compaction crash sees the recovered history instead of an
+    empty store.
+
+    Returns True iff a recovery rename happened. Cheap when healthy:
+    one catalog probe.
+    """
+    staging = f"{table}__compacting"
+    if spark.catalog.tableExists(staging) and not spark.catalog.tableExists(
+        table
+    ):
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        return True
+    return False
+
+
 def compact_bucketed(spark: SparkSession, table: str) -> tuple[int, int]:
     """In-place compaction of a BUCKETED catalog table: every append
     (`sources.bucketing.write_bucketed(mode='append')`, as used by
@@ -129,10 +159,7 @@ def compact_bucketed(spark: SparkSession, table: str) -> tuple[int, int]:
     managed tables stay managed.
     """
     staging = f"{table}__compacting"
-    if spark.catalog.tableExists(staging) and not spark.catalog.tableExists(
-        table
-    ):
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    recover_orphaned_compaction(spark, table)
     info = {
         r.col_name: r.data_type
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
