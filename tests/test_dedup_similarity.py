@@ -1002,3 +1002,117 @@ def test_duck_bpe_train_sql_guards_rounds(spark):
     with _pt.raises(ValueError, match="rounds"):
         duck_bpe_train_sql(rounds=0)
     assert "merge_round" in duck_bpe_train_sql(rounds=1)
+
+
+def test_incremental_semantic_store_cell_budget_enforced(spark, emb, tmp_path):
+    """VERDICT r6 item 5: the seen-set store side of incremental
+    SemDeDup carries the same loud max_cell_rows contract as
+    semantic_dedup — a hot store cell raises with the retrain remedy
+    instead of quietly degrading into giant in-cell joins."""
+    import pytest as _pt
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        incremental_semantic_dedup_bucketed,
+        seed_centroids,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS budg__vecs")
+    try:
+        C = seed_centroids(emb, 4)
+        b1 = emb.filter("vec_id < 120")
+        incremental_semantic_dedup_bucketed(
+            b1, "budg", C, buckets=4, path=str(tmp_path / "s")
+        )
+        b2 = emb.filter("vec_id >= 120 and vec_id < 160")
+        with _pt.raises(ValueError, match="max_cell_rows"):
+            incremental_semantic_dedup_bucketed(
+                b2, "budg", C, buckets=4, path=str(tmp_path / "s"),
+                max_cell_rows=10,
+            )
+        # generous budget: same batch passes
+        out = incremental_semantic_dedup_bucketed(
+            b2, "budg", C, buckets=4, path=str(tmp_path / "s"),
+            max_cell_rows=10_000,
+        )
+        assert out.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS budg__vecs")
+
+
+def test_ivfpq_search_matches_numpy_reference(spark, emb):
+    """Full IVF-PQ chain vs an independent numpy replication of every
+    serving stage (trained centroids taken from the already-gated
+    kmeans_refine): normalize -> trained assign -> residual ->
+    codebook group-means -> per-subspace argmin encode -> probe
+    routing (nprobe=2) -> LUT ADC -> rounded (adc, id) top-3.
+    Equality is exact, not approx."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivfpq_search,
+        kmeans_refine,
+    )
+
+    nlist, m, k, nprobe, topk, probe_mod = 16, 4, 16, 2, 3, 200
+    out = ivfpq_search(
+        emb, nlist=nlist, m=m, k=k, nprobe=nprobe, topk=topk,
+        probe_mod=probe_mod,
+    ).collect()
+
+    rows = kmeans_refine(emb, nlist).collect()
+    cells = sorted({r["cell"] for r in rows})
+    d = max(r["pos"] for r in rows) + 1
+    C = np.zeros((len(cells), d))
+    idx = {c: i for i, c in enumerate(cells)}
+    for r in rows:
+        C[idx[r["cell"]], r["pos"]] = r["c"]
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    nrm = np.sqrt((V * V).sum(axis=1, keepdims=True))
+    nrm[nrm == 0] = 1.0
+    E = V / nrm
+    cell = np.argmax(E @ C.T, axis=1)
+    R = E - C[cell]
+    sub = d // m
+    # codebook: group means by vec_id % k, rounded 12dp
+    cb = np.zeros((k, d))
+    for code in range(k):
+        cb[code] = np.round(R[ids % k == code].mean(axis=0), 12)
+    codes = np.zeros((len(ids), m), dtype=int)
+    for s in range(m):
+        diff = R[:, None, s * sub:(s + 1) * sub] - cb[None, :, s * sub:(s + 1) * sub]
+        codes[:, s] = np.argmin((diff * diff).sum(axis=2), axis=1)
+    qmask = ids % probe_mod == 0
+    want = {}
+    for qi in np.where(qmask)[0]:
+        qd = np.round(((E[qi] - C) ** 2).sum(axis=1), 6)
+        probed = np.argsort(qd, kind="stable")[:nprobe]
+        cand = np.where(np.isin(cell, probed))[0]
+        adc = np.zeros(len(cand))
+        for s in range(m):
+            lo, hi = s * sub, (s + 1) * sub
+            tgt = E[qi, lo:hi][None, :] - C[cell[cand], lo:hi] - cb[codes[cand, s], lo:hi]
+            adc += (tgt * tgt).sum(axis=1)
+        adc = np.floor(adc * 1e6 + 0.5) / 1e6
+        order = np.lexsort((ids[cand], adc))[:topk]
+        want[int(ids[qi])] = [
+            (rnk + 1, int(ids[cand[o]]), float(adc[o]))
+            for rnk, o in enumerate(order)
+        ]
+    got = {}
+    for r in out:
+        got.setdefault(int(r.qid), []).append(
+            (int(r.rank), int(r.vec_id), float(r.adc))
+        )
+    for q in got:
+        got[q].sort()
+    assert set(got) == set(want)
+    for q in want:
+        # ranks and ids must match exactly; adc to 1e-9 (numpy sums
+        # here are pairwise, the operator's are sequential folds)
+        assert [(a, b) for a, b, _ in got[q]] == [
+            (a, b) for a, b, _ in want[q]
+        ], q
+        for (_, _, ga), (_, _, wa) in zip(got[q], want[q]):
+            assert abs(ga - wa) < 1e-9

@@ -41,6 +41,8 @@ FAMILY = [
     "dedup_incremental_exact", "ann_knn_label_vote",
     "sample_cluster_balanced", "dedup_semantic_incremental",
     "ann_pq_encode", "ann_pq_adc_top1", "text_quality_curriculum",
+    # r7: full IVF-PQ chain (train -> residual encode -> probed ADC)
+    "ann_ivfpq_search",
 ]
 
 

@@ -6225,6 +6225,126 @@ def ann_pq_adc_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_top1(emb, m=4, k=16, probe_mod=100)
 
 
+@query(
+    "ann_ivfpq_search",
+    _SEED_ASSIGN_CTE
+    + _REFINE_CTE
+    + """,
+    centr AS (
+      SELECT cell,
+             list_transform(c, x -> ROUND(x /
+               CASE WHEN s2 = 0 THEN 1.0 ELSE sqrt(s2) END, 6)) AS c
+      FROM cn
+    ),
+    sims2 AS (
+      SELECT n.vec_id, cr.cell, list_dot_product(n.e, cr.c) AS s
+      FROM n CROSS JOIN centr cr
+    ),
+    rank2 AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cell ASC) AS rn
+      FROM sims2
+    ),
+    asg2 AS (SELECT vec_id, cell FROM rank2 WHERE rn = 1),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(generate_series(1, 64),
+                            i -> n.e[i] - cr.c[i]) AS r
+      FROM asg2 a JOIN n ON n.vec_id = a.vec_id
+      JOIN centr cr ON cr.cell = a.cell
+    ),
+    pcomp AS (
+      SELECT CAST(vec_id % 16 AS INT) AS code, pos, ROUND(AVG(x), 12) AS cx
+      FROM (SELECT vec_id, unnest(r) AS x,
+                   generate_subscripts(r, 1) AS pos FROM resid)
+      GROUP BY 1, 2
+    ),
+    pcb AS (SELECT code, list(cx ORDER BY pos) AS c FROM pcomp GROUP BY 1),
+    ss(s) AS (VALUES (0), (1), (2), (3)),
+    pdist AS (
+      SELECT rs.vec_id, ss.s, pb.code,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> (rs.r[ss.s * 16 + i] - pb.c[ss.s * 16 + i])
+                  * (rs.r[ss.s * 16 + i] - pb.c[ss.s * 16 + i])),
+               (a, b) -> a + b) AS dd
+      FROM resid rs CROSS JOIN ss CROSS JOIN pcb pb
+    ),
+    pcode AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dd ASC, code ASC) AS rn
+        FROM pdist) WHERE rn = 1
+    ),
+    qp AS (SELECT vec_id AS qid, e FROM n WHERE vec_id % 200 = 0),
+    qcell AS (
+      SELECT q.qid, cr.cell,
+             ROUND(list_reduce(list_transform(generate_series(1, 64),
+               i -> (q.e[i] - cr.c[i]) * (q.e[i] - cr.c[i])),
+               (a, b) -> a + b), 6) AS d
+      FROM qp q CROSS JOIN centr cr
+    ),
+    probed AS (
+      SELECT qid, cell FROM (
+        SELECT qid, cell,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d ASC, cell ASC) AS rn
+        FROM qcell) WHERE rn <= 2
+    ),
+    cand AS (SELECT pr.qid, a.vec_id, a.cell
+             FROM probed pr JOIN asg2 a ON a.cell = pr.cell),
+    term AS (
+      SELECT c.qid, c.vec_id, pc.s,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> (q.e[pc.s * 16 + i] - cr.c[pc.s * 16 + i]
+                       - pb.c[pc.s * 16 + i])
+                  * (q.e[pc.s * 16 + i] - cr.c[pc.s * 16 + i]
+                       - pb.c[pc.s * 16 + i])),
+               (a, b) -> a + b) AS t
+      FROM cand c
+      JOIN qp q ON q.qid = c.qid
+      JOIN centr cr ON cr.cell = c.cell
+      JOIN pcode pc ON pc.vec_id = c.vec_id
+      JOIN pcb pb ON pb.code = pc.code
+    ),
+    adcv AS (
+      SELECT qid, vec_id,
+             ROUND(list_reduce(list(t ORDER BY s), (a, b) -> a + b), 6)
+               AS adc
+      FROM term GROUP BY 1, 2
+    )
+    SELECT qid, rank, vec_id, adc FROM (
+      SELECT qid, vec_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adc ASC, vec_id ASC) AS INT)
+               AS rank
+      FROM adcv) WHERE rank <= 3
+    """,
+)
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ index chain in ONE hash gate (VERDICT r6 item
+    7; `similarity.ivfpq_search`): train the coarse quantizer with a
+    distributed Lloyd step, assign + take residuals against the
+    trained cells, seed + encode a residual PQ codebook, then serve
+    probe queries (vec_id % 200 == 0) through IVF cell routing
+    (nprobe=2) and asymmetric-distance scoring over the 4-byte codes
+    — top-3 per query. The twin unrolls the ENTIRE composition
+    (seeded assign -> Lloyd mean -> 6-dp centroid snap -> re-assign
+    -> residual -> codebook seed -> per-subspace argmin encode ->
+    probe routing -> LUT ADC -> rounded (adc, id) top-k) in one CTE
+    chain — the `ann_ivf_trained_profile` pattern extended through
+    the serving path. Corpus-side cost: one narrow JVM pass (train
+    moves nlist×d; the serving LUT rides the Arrow closure; batches
+    emit local top-k only)."""
+    from .operators.similarity import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_search(
+        emb, nlist=16, m=4, k=16, nprobe=2, topk=3, probe_mod=200
+    )
+
+
 @query("text_token_drift", None)  # oracle registered below
 def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift report (`text.token_drift`): per-token KL
