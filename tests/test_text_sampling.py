@@ -677,3 +677,52 @@ def test_token_drift_hand_computed(spark):
     assert got["bbb"] == (2, 2, contrib(2, 2))
     assert got["ccc"] == (0, 1, contrib(0, 1))
     assert rows[0].token == "aaa"  # largest positive drift first
+
+
+def test_bpe_encode_matches_local_reference(spark):
+    """Tokenizing with learned merges (`bpe_encode_token_counts`) vs a
+    local greedy-scan reference applying the same merge list in order:
+    identical token frequencies — the train -> encode loop closed."""
+    from collections import Counter
+
+    from var_elasticnet_bigdata_spark.operators.text import (
+        bpe_encode_token_counts,
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide wide",
+        "a ab abab low new lowest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, _ = bpe_train(df, rounds=4, min_pair_count=1, keep_vocab=False)
+    assert len(merges) == 4
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    ref = Counter()
+    for t in texts:
+        for w in t.split():
+            syms = list(w)
+            for a, b, _c in merges:
+                syms = apply_merge(syms, a, b)
+            ref.update(syms)
+
+    got = {
+        r.token: r.cnt
+        for r in bpe_encode_token_counts(df, merges, top_n=1000).collect()
+    }
+    assert got == dict(ref)

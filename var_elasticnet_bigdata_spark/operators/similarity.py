@@ -1716,3 +1716,87 @@ def ivfpq_search(
         .filter(F.col("rank") <= topk)
         .select("qid", "rank", id_col, "adc")
     )
+
+
+def pca_power_component(
+    df: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_dp: int = 12,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Top principal component of the embedding corpus via a
+    DISTRIBUTED Gram pass + driver-side power iteration — the
+    whitening/analysis step an embedding pipeline runs before
+    similarity work (dominant-direction removal, ABTT/all-but-the-top
+    style, or as the first column of a whitening basis).
+
+    Scale shape — the d×d reduction pattern: the corpus is read ONCE
+    by an Arrow pass whose batches each emit only a d² partial Gram
+    (numpy ``Mᵀ·M`` on the mean-centered batch, means broadcast in
+    the closure from one combinable per-pos AVG); one combinable
+    groupBy(i, j) sums the partials, so the ONLY thing that ever
+    moves is tasks × d² cells — at 100 TB the Gram costs one scan,
+    like the Lloyd step. The power iteration then runs on the d×d
+    driver-side frame (y ← G·y from the ones vector, ``iters``
+    rounds, normalize once at the end) — never on the corpus.
+
+    Float discipline: means round to ``mean_dp`` on both engines
+    BEFORE centering; Gram entries stay raw (engine sum-order drift
+    is ~1e-13 absolute, absorbed by the single final ``out_dp``
+    round); the twin replays the iteration as unrolled
+    SUM-join rounds. Returns ``(pos, loading)`` — the unit top
+    eigenvector, sign fixed by the deterministic ones start.
+    """
+    d0 = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    mu_rows = (
+        d0.select(
+            F.posexplode(F.expr("transform(__v, x -> x)")).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), mean_dp).alias("m"))
+        .collect()
+    )
+    if not mu_rows:
+        raise ValueError("pca_power_component: empty input")
+    d = max(r["pos"] for r in mu_rows) + 1
+    mu = np.zeros(d, dtype=np.float64)
+    for r in mu_rows:
+        mu[r["pos"]] = r["m"]
+
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+
+    def partial_gram(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["__v"].tolist(), dtype=np.float64) - mu
+            P = M.T @ M
+            yield pd.DataFrame(
+                {"i": ii, "j": jj, "g": P.ravel()}
+            )
+
+    g_rows = (
+        d0.mapInPandas(partial_gram, schema="i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in g_rows:
+        G[r["i"], r["j"]] = r["g"]
+    y = np.ones(d, dtype=np.float64)
+    for _ in range(iters):
+        y = G @ y
+    n = math.sqrt(float((y * y).sum()))
+    if n == 0:
+        n = 1.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(p), round(float(y[p] / n), out_dp)) for p in range(d)],
+        "pos int, loading double",
+    )

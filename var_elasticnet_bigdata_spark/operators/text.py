@@ -1071,17 +1071,15 @@ def bpe_train(
     return merges, cur
 
 
-def duck_bpe_train_sql(rounds: int = 3) -> str:
-    """DuckDB twin of ``bpe_train(rounds, min_pair_count=1)`` as an
-    UNROLLED CTE chain (SQL has no loop; each round = one pair-count
-    aggregate + argmax + a correlated list_reduce merge — the same
-    greedy fold the Spark side runs). Emits the learned merges
-    ``(merge_round, a, b, c)``. ``rounds`` must be >= 1 (an unrolled
-    twin of zero training rounds has no rows to emit)."""
+def duck_bpe_cte(rounds: int = 3) -> str:
+    """The UNROLLED BPE-training CTE chain shared by the train and
+    encode twins: ``v0`` (symbolized word counts) then per round
+    ``p{r}`` (argmax pair) and ``v{r}`` (vocabulary after greedily
+    merging it) — ends after ``v{rounds}`` with no final SELECT."""
     from .dedup import NORM_SQL_DUCK
 
     if rounds < 1:
-        raise ValueError(f"duck_bpe_train_sql: rounds must be >= 1, got {rounds}")
+        raise ValueError(f"duck_bpe_cte: rounds must be >= 1, got {rounds}")
 
     parts = [
         f"""
@@ -1108,11 +1106,35 @@ def duck_bpe_train_sql(rounds: int = 3) -> str:
                     ELSE list_append(acc, x[1]) END) AS syms, cnt
       FROM v{r - 1} CROSS JOIN p{r} p
     )""")
+    return ",".join(parts)
+
+
+def duck_bpe_train_sql(rounds: int = 3) -> str:
+    """DuckDB twin of ``bpe_train(rounds, min_pair_count=1)`` as an
+    UNROLLED CTE chain (SQL has no loop; each round = one pair-count
+    aggregate + argmax + a correlated list_reduce merge — the same
+    greedy fold the Spark side runs). Emits the learned merges
+    ``(merge_round, a, b, c)``. ``rounds`` must be >= 1 (an unrolled
+    twin of zero training rounds has no rows to emit)."""
     sel = " UNION ALL ".join(
         f"SELECT {i} AS merge_round, a, b, c FROM p{i}"
         for i in range(1, rounds + 1)
     )
-    return ",".join(parts) + f"\n    {sel} ORDER BY merge_round"
+    return duck_bpe_cte(rounds) + f"\n    {sel} ORDER BY merge_round"
+
+
+def duck_bpe_encode_sql(rounds: int = 3, top_n: int = 20) -> str:
+    """DuckDB twin of ``bpe_encode_token_counts`` over merges learned
+    by the same ``rounds``-round training: the post-merge vocabulary
+    ``v{rounds}`` IS the encoded corpus (every word's symbol array,
+    weighted by its count), so corpus token frequencies are one
+    unnest + weighted sum over it."""
+    return duck_bpe_cte(rounds) + f""",
+    enc AS (SELECT unnest(syms) AS token, cnt FROM v{rounds})
+    SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM enc GROUP BY 1
+    ORDER BY cnt DESC, token ASC LIMIT {top_n}
+    """
 
 
 def quality_curriculum(
@@ -1253,3 +1275,68 @@ def duck_token_drift_sql(top_n: int = 20) -> str:
     FROM counts, tot
     ORDER BY contrib DESC, token ASC LIMIT {top_n}
     """
+
+
+def bpe_merge_expr(a: str, b: str, syms_col: str = "syms") -> "Column":
+    """The greedy left-to-right non-overlapping merge of pair
+    ``(a, b)`` inside a symbol array — the SAME fold `bpe_train` runs
+    per training round, exposed for ENCODING with an already-learned
+    merge list."""
+    a_sql = a.replace("'", "''")
+    b_sql = b.replace("'", "''")
+    return F.expr(
+        f"aggregate(slice({syms_col}, 2, size({syms_col}) - 1),"
+        f" array(element_at({syms_col}, 1)),"
+        f" (acc, x) -> CASE WHEN element_at(acc, -1) = '{a_sql}'"
+        f" AND x = '{b_sql}'"
+        f" THEN concat(slice(acc, 1, size(acc) - 1), array('{a_sql}{b_sql}'))"
+        " ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_encode_token_counts(
+    df: DataFrame,
+    merges: list,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKENIZE the corpus with an already-learned BPE merge list
+    (the serving half of `bpe_train` — train once, encode every
+    shard) and return the resulting token frequencies, top ``top_n``
+    by (count DESC, token ASC).
+
+    Scale shape — the same vocabulary-sided layout as training: the
+    corpus pays ONE word-count shuffle; every merge is then a narrow
+    per-word fold applied on the DISTINCT vocabulary (sublinear in
+    corpus, Heaps' law), in learned order, exactly reference BPE's
+    greedy left-to-right scan; token counts are one more vocab-sized
+    aggregate weighted by word count — the corpus is never re-read
+    and no doc×merge work exists anywhere. Counts are exact integers
+    (no float in the gate). A per-document encode (when token STREAMS
+    are the product, not counts) applies `bpe_merge_expr` to the
+    exploded words directly — same fold, corpus-sized.
+
+    ``merges``: ``(a, b[, count])`` tuples as returned by
+    `bpe_train`.
+    """
+    from .dedup import norm_sql_spark
+
+    norm = norm_sql_spark(text_col)
+    vocab = (
+        df.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.expr("split(w, '')").alias("syms"), "cnt")
+    )
+    cur = vocab
+    for m in merges:
+        a, b = m[0], m[1]
+        cur = cur.select(bpe_merge_expr(a, b).alias("syms"), "cnt")
+    return (
+        cur.select(F.explode("syms").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_n)
+    )

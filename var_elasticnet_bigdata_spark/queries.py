@@ -6345,6 +6345,53 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_pca_power",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    upos AS (
+      SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS pos
+      FROM v
+    ),
+    mu AS (SELECT pos, ROUND(AVG(x), 12) AS m FROM upos GROUP BY 1),
+    cpos AS (
+      SELECT u.vec_id, u.pos, u.x - mu.m AS c
+      FROM upos u JOIN mu ON mu.pos = u.pos
+    ),
+    g AS (
+      SELECT a.pos AS i, b.pos AS j, SUM(a.c * b.c) AS g
+      FROM cpos a JOIN cpos b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    x1 AS (SELECT j, SUM(g) AS x FROM g GROUP BY 1),
+    x2 AS (SELECT g.j AS j, SUM(g.g * x1.x) AS x
+           FROM g JOIN x1 ON x1.j = g.i GROUP BY 1),
+    x3 AS (SELECT g.j AS j, SUM(g.g * x2.x) AS x
+           FROM g JOIN x2 ON x2.j = g.i GROUP BY 1),
+    nrm AS (SELECT sqrt(SUM(x * x)) AS n FROM x3)
+    SELECT j - 1 AS pos, ROUND(x / n, 6) AS loading
+    FROM x3, nrm ORDER BY pos
+    """,
+)
+def ann_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus
+    (`similarity.pca_power_component`, r7): distributed mean-centered
+    Gram (one Arrow scan emitting d^2 partials per batch, one
+    combinable groupBy(i,j)) + 3 unrolled power-iteration rounds from
+    the ones vector — the dominant-direction/whitening analysis an
+    embedding pipeline runs before similarity work. Only tasks x d^2
+    cells ever move; the twin replays centering, the full Gram, each
+    SUM-join iteration round, and the final unit normalization."""
+    from .operators.similarity import pca_power_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_component(emb, iters=3)
+
+
 @query("text_token_drift", None)  # oracle registered below
 def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift report (`text.token_drift`): per-token KL
@@ -6540,6 +6587,33 @@ def _register_bpe_train_oracle() -> None:
 
 
 _register_bpe_train_oracle()
+
+
+@query("text_bpe_encode", None)  # oracle registered below
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING half of the tokenizer (r7): train 3 BPE merges
+    (`text.bpe_train`), then TOKENIZE the corpus with them
+    (`text.bpe_encode_token_counts`) — top-20 token frequencies after
+    encoding. Same vocabulary-sided layout as training: one
+    word-count shuffle, merges applied in learned order as narrow
+    per-word folds on the DISTINCT vocabulary, one vocab-sized
+    weighted count — train → encode closes the tokenizer loop the way
+    a 100 TB pretokenization pass runs it. Exact integer counts; the
+    twin replays training AND encoding in one CTE chain."""
+    from .operators.text import bpe_encode_token_counts, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, rounds=3, min_pair_count=1, keep_vocab=False)
+    return bpe_encode_token_counts(d, merges, top_n=20)
+
+
+def _register_bpe_encode_oracle() -> None:
+    from .operators.text import duck_bpe_encode_sql
+
+    ORACLE["text_bpe_encode"] = duck_bpe_encode_sql(rounds=3, top_n=20)
+
+
+_register_bpe_encode_oracle()
 
 
 @query("dedup_incremental_exact", None)  # oracle registered below
