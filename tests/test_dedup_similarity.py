@@ -1116,3 +1116,44 @@ def test_ivfpq_search_matches_numpy_reference(spark, emb):
         ], q
         for (_, _, ga), (_, _, wa) in zip(got[q], want[q]):
             assert abs(ga - wa) < 1e-9
+
+
+def test_pca_power_component_matches_numpy(spark, emb):
+    """Distributed Gram + power iteration vs a straight numpy
+    replication (same rounded means, same ones start, same 3 G@y
+    rounds, same final normalization)."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pca_power_component,
+    )
+
+    got = {
+        r.pos: r.loading for r in pca_power_component(emb, iters=3).collect()
+    }
+    pdf = emb.toPandas()
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    mu = np.round(V.mean(axis=0), 12)
+    M = V - mu
+    G = M.T @ M
+    y = np.ones(V.shape[1])
+    for _ in range(3):
+        y = G @ y
+    y = y / np.sqrt((y * y).sum())
+    assert set(got) == set(range(V.shape[1]))
+    for p in got:
+        assert abs(got[p] - round(float(y[p]), 6)) <= 1e-6, p
+    # it is a unit vector and a meaningful direction (the synthetic
+    # embedding spectrum is flat-ish — lambda_2/lambda_1 ~ 0.6 — so 3
+    # fixed rounds land well above a random direction's expected
+    # Rayleigh quotient ~ trace/d but not at full convergence; more
+    # rounds converge as usual, checked with iters=12)
+    ev = np.linalg.eigvalsh(G)[-1]
+    v = np.array([got[p] for p in range(V.shape[1])])
+    assert abs(v @ v - 1.0) < 1e-4
+    assert (v @ G @ v) > 1.2 * np.trace(G) / V.shape[1]
+    got12 = pca_power_component(emb, iters=12).collect()
+    v12 = np.zeros(V.shape[1])
+    for r in got12:
+        v12[r.pos] = r.loading
+    assert (v12 @ G @ v12) / ev > 0.95
