@@ -349,6 +349,7 @@ def test_stream_near_dup_against_store_matches_incremental_chain(spark, tmp_path
             threshold=0.5,
             buckets=4,
             store_path=str(tmp_path / "store"),
+            compact_every=2,  # fires after the final micro-batch (r7)
         )
         q.awaitTermination(180)
         got = sorted(
@@ -484,6 +485,7 @@ def test_stream_semantic_dedup_against_store_matches_one_shot(spark, tmp_path):
             eps=0.9,
             buckets=4,
             store_path=str(tmp_path / "store"),
+            compact_every=2,  # fires after the final micro-batch (r7)
         )
         q.awaitTermination(180)
         got = sorted(

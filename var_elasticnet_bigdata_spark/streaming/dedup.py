@@ -92,6 +92,7 @@ def stream_near_dup_against_store(
     threshold: float = 0.5,
     buckets: int = 32,
     store_path: str | None = None,
+    compact_every: int | None = None,
     trigger_available_now: bool = True,
 ):
     """Continuous near-dup curation against the PERSISTED bucketed
@@ -130,6 +131,15 @@ def stream_near_dup_against_store(
     doc_id) — out of scope for the parquet fixture sink; downstream
     readers dedup corpus rows by doc_id if replay duplicates matter.
 
+    ``compact_every``: every N batches BOTH store tables (sigs, then
+    bands — same order as the appends, so the bands-present ⟹
+    sigs-present recovery invariant survives a crash between the two
+    compactions) are rewritten in place
+    (`sources/compaction.compact_bucketed`) — same motivation as the
+    exact loop: append-only bucketed stores gain one file per task
+    per bucket per batch. A crash inside either compaction heals via
+    `recover_orphaned_compaction` at the next batch's exists-probe.
+
     Returns the StreamingQuery; caller awaits termination.
     """
     from ..operators.dedup import incremental_near_dup_bucketed
@@ -147,6 +157,12 @@ def stream_near_dup_against_store(
                 out_path
             ),
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..sources.compaction import compact_bucketed
+
+            spark = batch_df.sparkSession
+            compact_bucketed(spark, f"{store_name}__sigs")
+            compact_bucketed(spark, f"{store_name}__bands")
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)
@@ -229,6 +245,7 @@ def stream_semantic_dedup_against_store(
     eps: float = 0.4,
     buckets: int = 32,
     store_path: str | None = None,
+    compact_every: int | None = None,
     trigger_available_now: bool = True,
 ):
     """Continuous SemDeDup against the persisted per-cell vector
@@ -240,6 +257,12 @@ def stream_semantic_dedup_against_store(
     ``on_survivors`` hook (sink-before-store: replay duplicates the
     corpus, never loses a vector; note the store is a SEEN-SET, so a
     replayed batch self-matches at cosine 1.0 and drops).
+
+    ``compact_every``: every N batches the vector store is compacted
+    in place (`sources/compaction.compact_bucketed`; crash inside it
+    heals via `recover_orphaned_compaction` at the next batch's
+    exists-probe) — same small-files motivation as the exact/near-dup
+    loops.
 
     Returns the StreamingQuery; caller awaits termination.
     """
@@ -259,6 +282,10 @@ def stream_semantic_dedup_against_store(
                 out_path
             ),
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..sources.compaction import compact_bucketed
+
+            compact_bucketed(batch_df.sparkSession, f"{store_name}__vecs")
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)
