@@ -1157,3 +1157,65 @@ def test_pca_power_component_matches_numpy(spark, emb):
     for r in got12:
         v12[r.pos] = r.loading
     assert (v12 @ G @ v12) / ev > 0.95
+
+
+def test_remove_dominant_direction_matches_numpy(spark, emb):
+    """ABTT apply: projection + residual norm vs straight numpy with
+    the same (6-dp) loadings."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pca_power_component,
+        remove_dominant_direction,
+    )
+
+    rows = pca_power_component(emb, iters=3).collect()
+    u = np.zeros(len(rows))
+    for r in rows:
+        u[r.pos] = r.loading
+    got = {
+        r.vec_id: (r.proj, r.resid_norm)
+        for r in remove_dominant_direction(emb, u).collect()
+    }
+    pdf = emb.toPandas()
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    proj = V @ u
+    resid = np.linalg.norm(V - proj[:, None] * u[None, :], axis=1)
+    for i in np.random.default_rng(7).choice(len(ids), 25, replace=False):
+        gp, gr = got[int(ids[i])]
+        assert abs(gp - round(float(proj[i]), 6)) <= 1e-6
+        assert abs(gr - round(float(resid[i]), 6)) <= 1e-6
+    # the residual really dropped the dominant direction: residual
+    # projections onto u are proj*(1 - ||u||^2) ~ proj*1e-7 (u ships
+    # 6-dp-rounded, so ||u|| is unit only to ~1e-7)
+    R = V - proj[:, None] * u[None, :]
+    assert np.abs(R @ u).max() < 2e-6 * np.abs(proj).max() + 1e-9
+
+
+def test_ivfpq_recall_audit_shape_and_ratio(spark, emb):
+    """The IVF-PQ audit emits one row per probe with consistent
+    distances: d_exact is the true minimum (<= d_ivfpq), hit == 1
+    exactly when the ids agree, and the exact winner matches a
+    brute-force numpy scan."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivfpq_recall_top1,
+    )
+
+    out = ivfpq_recall_top1(emb, nlist=16, m=4, k=16, nprobe=2,
+                            probe_mod=100).collect()
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    E = V / np.linalg.norm(V, axis=1, keepdims=True)
+    assert len(out) == (ids % 100 == 0).sum()
+    for r in out:
+        assert r.d_exact <= r.d_ivfpq + 1e-9
+        assert r.hit == int(r.ivfpq_id == r.exact_id)
+        qi = int(np.where(ids == r.qid)[0][0])
+        d = ((E - E[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        want = ids[np.lexsort((ids, np.floor(d * 1e6 + 0.5) / 1e6))[0]]
+        assert r.exact_id == want, r.qid

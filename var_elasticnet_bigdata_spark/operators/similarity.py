@@ -1532,6 +1532,7 @@ def ivfpq_search(
     codebook: np.ndarray | None = None,
     max_probes: int = 512,
     round_dp: int = 6,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """The FULL IVF-PQ vector-index chain as one composition
     (VERDICT r6 item 7) — what a production 100 TB vector store
@@ -1684,6 +1685,8 @@ def ivfpq_search(
             out_q, out_v, out_a = [], [], []
             for qi in range(nq):
                 mask = np.isin(cc, probed_sets[qi])
+                if exclude_self:
+                    mask &= vv != pid_arr[qi]
                 if not mask.any():
                     continue
                 mc, md, mv = cc[mask], codes[mask], vv[mask]
@@ -1799,4 +1802,214 @@ def pca_power_component(
     return spark.createDataFrame(
         [(int(p), round(float(y[p] / n), out_dp)) for p in range(d)],
         "pos int, loading double",
+    )
+
+
+def ivfpq_recall_top1(
+    df: DataFrame,
+    nlist: int = 16,
+    m: int = 4,
+    k: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_mod: int = 200,
+    max_probes: int = 512,
+    round_dp: int = 6,
+) -> DataFrame:
+    """QUALITY gate for the IVF-PQ chain: per probe query, the
+    index's top-1 (via `ivfpq_search`, self excluded) against the
+    EXACT squared-L2 top-1 over the full normalized corpus — the
+    recall@1 audit every production vector index ships next to its
+    latency numbers (the `ann_ivf_top1` recall-floor pattern,
+    extended through quantization). Returns
+    ``(qid, ivfpq_id, exact_id, hit, d_ivfpq, d_exact)`` — hit ∈
+    {0, 1} plus the TRUE squared-L2 of both winners, so the
+    distance-approximation ratio ``d_ivfpq / d_exact`` sits in the
+    audit even when top-1 misses.
+
+    Honest expectation on the synthetic fixture: the embeddings are
+    near-uniform in 64-d, so pairwise distances CONCENTRATE — even a
+    perfectly trained 16-bit PQ code cannot separate the true top-1
+    from its neighborhood (measured: PQ-Lloyd training to convergence
+    leaves hit at 0 here), so hit ≈ 0 BY CONSTRUCTION while the
+    distance ratio stays small; the UNQUANTIZED audit `ann_ivf_top1`
+    holds recall 1.0 on the same corpus. The ratio, not the hit, is
+    the number that transfers to real (clustered) embedding
+    distributions.
+
+    The exact arm is the honest brute-force baseline, kept
+    scale-sane: ONE Arrow scan computes each batch's per-query top-1
+    (vectorized numpy; selection is associative), then a bounded
+    Window(qid) merges batch winners — n_q × n_batches rows, never
+    the corpus. Same 6-dp snap + (d ASC, id ASC) tie rule on both
+    engines and both arms; the two winners' true distances are then
+    recomputed driver-side over the bounded winner set with the same
+    sequential fold.
+    """
+    idx = ivfpq_search(
+        df, nlist=nlist, m=m, k=k, nprobe=nprobe, topk=1,
+        id_col=id_col, vec_col=vec_col, probe_mod=probe_mod,
+        max_probes=max_probes, round_dp=round_dp, exclude_self=True,
+    ).select(F.col("qid"), F.col(id_col).alias("ivfpq_id"))
+
+    from ..plans.guards import guarded_collect
+
+    probes = guarded_collect(
+        df.filter((F.col(id_col) % probe_mod) == 0).select(id_col, vec_col),
+        "ivfpq_recall_top1's probe set",
+        "a larger probe_mod (the probe block must stay bounded)",
+        max_rows=max_probes,
+    )
+    probes = sorted(probes, key=lambda r: r[id_col])
+    pids = [int(r[id_col]) for r in probes]
+    nq = len(pids)
+    dim = len(probes[0][vec_col])
+    Q = np.zeros((nq, dim), dtype=np.float64)
+    for qi, r in enumerate(probes):
+        x = [float(t) for t in r[vec_col]]
+        s = 0.0
+        for t in x:
+            s = s + t * t
+        n = math.sqrt(s) if s != 0 else 1.0
+        Q[qi] = [t / n for t in x]
+    pid_arr = np.array(pids, dtype=np.int64)
+    scale = float(10**round_dp)
+
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
+    normed = v.select(
+        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
+    )
+
+    def exact_top1(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)
+            vv = pdf[id_col].to_numpy(dtype=np.int64)
+            out_q, out_v, out_d = [], [], []
+            for qi in range(nq):
+                mask = vv != pid_arr[qi]
+                if not mask.any():
+                    continue
+                D = ((E[mask] - Q[qi]) ** 2).sum(axis=1)
+                D = np.floor(D * scale + 0.5) / scale
+                mv = vv[mask]
+                j = np.lexsort((mv, D))[0]
+                out_q.append(pid_arr[qi])
+                out_v.append(mv[j])
+                out_d.append(D[j])
+            yield pd.DataFrame(
+                {
+                    "qid": np.array(out_q, dtype=np.int64),
+                    "exact_id": np.array(out_v, dtype=np.int64),
+                    "d": np.array(out_d, dtype=np.float64),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    ex = normed.mapInPandas(
+        exact_top1, schema="qid long, exact_id long, d double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("d").asc(), F.col("exact_id").asc()
+    )
+    ex1 = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "exact_id")
+    )
+    pairs = guarded_collect(
+        idx.join(ex1, "qid"),
+        "ivfpq_recall_top1's winner set",
+        "a larger probe_mod (one row per probe query)",
+        max_rows=max_probes,
+    )
+    winner_ids = sorted(
+        {int(r["ivfpq_id"]) for r in pairs}
+        | {int(r["exact_id"]) for r in pairs}
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame([(i,) for i in winner_ids], f"{id_col} long")
+    wrows = guarded_collect(
+        normed.join(F.broadcast(wdf), id_col),
+        "ivfpq_recall_top1's winner vectors",
+        "a larger probe_mod (at most 2 vectors per probe query)",
+        max_rows=2 * max_probes,
+    )
+    evec = {int(r[id_col]): [float(x) for x in r["e"]] for r in wrows}
+    qvec = {pids[qi]: Q[qi] for qi in range(nq)}
+
+    def true_d(qid: int, vid: int) -> float:
+        q, e = qvec[qid], evec[vid]
+        t = None  # sequential ascending fold, the twin's list_reduce
+        for i in range(dim):
+            diff = q[i] - e[i]
+            dd = diff * diff
+            t = dd if t is None else t + dd
+        return math.floor(t * scale + 0.5) / scale
+
+    out = [
+        (
+            int(r["qid"]),
+            int(r["ivfpq_id"]),
+            int(r["exact_id"]),
+            int(r["ivfpq_id"] == r["exact_id"]),
+            true_d(int(r["qid"]), int(r["ivfpq_id"])),
+            true_d(int(r["qid"]), int(r["exact_id"])),
+        )
+        for r in sorted(pairs, key=lambda r: r["qid"])
+    ]
+    return spark.createDataFrame(
+        out,
+        "qid long, ivfpq_id long, exact_id long, hit int,"
+        " d_ivfpq double, d_exact double",
+    )
+
+
+def remove_dominant_direction(
+    df: DataFrame,
+    loadings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """APPLY the whitening direction (`pca_power_component`'s unit
+    top eigenvector): per vector, its projection onto the dominant
+    direction and the norm of the all-but-the-top residual
+    ``v − (v·u)u`` — the ABTT correction pass an embedding pipeline
+    runs corpus-wide after the PCA analysis. ONE narrow JVM pass: the
+    64 loadings fold in as constants; projection and residual norm
+    are sequential ascending-component folds, rounded to
+    ``round_dp`` — fully twin-replayable. Returns
+    ``(id_col, proj, resid_norm)``.
+    """
+    u = [float(x) for x in loadings]
+    u_lit = (
+        "array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in u)
+        + ")"
+    )
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn(
+        "__p",
+        F.expr(
+            f"aggregate(zip_with(__v, {u_lit}, (x, y) -> x * y), 0D,"
+            " (a, b) -> a + b)"
+        ),
+    )
+    resid_sq = (
+        f"aggregate(zip_with(__v, {u_lit}, (x, y) -> (x - __p * y)"
+        " * (x - __p * y)), 0D, (a, b) -> a + b)"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.expr(f"round(__p, {round_dp})").alias("proj"),
+        F.expr(f"round(sqrt({resid_sq}), {round_dp})").alias("resid_norm"),
     )

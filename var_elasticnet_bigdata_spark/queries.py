@@ -6225,11 +6225,10 @@ def ann_pq_adc_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_top1(emb, m=4, k=16, probe_mod=100)
 
 
-@query(
-    "ann_ivfpq_search",
-    _SEED_ASSIGN_CTE
-    + _REFINE_CTE
-    + """,
+# the full IVF-PQ composition through per-candidate rounded ADC —
+# shared by the serving query (top-k over it) and the recall audit
+# (top-1 vs the exact arm)
+_IVFPQ_CTE = """,
     centr AS (
       SELECT cell,
              list_transform(c, x -> ROUND(x /
@@ -6313,7 +6312,15 @@ def ann_pq_adc_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(list_reduce(list(t ORDER BY s), (a, b) -> a + b), 6)
                AS adc
       FROM term GROUP BY 1, 2
-    )
+    )"""
+
+
+@query(
+    "ann_ivfpq_search",
+    _SEED_ASSIGN_CTE
+    + _REFINE_CTE
+    + _IVFPQ_CTE
+    + """
     SELECT qid, rank, vec_id, adc FROM (
       SELECT qid, vec_id, adc,
              CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -6346,8 +6353,67 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ann_pca_power",
-    """
+    "ann_ivfpq_recall",
+    _SEED_ASSIGN_CTE
+    + _REFINE_CTE
+    + _IVFPQ_CTE
+    + """,
+    ex AS (
+      SELECT q.qid, n2.vec_id,
+             ROUND(list_reduce(list_transform(generate_series(1, 64),
+               i -> (q.e[i] - n2.e[i]) * (q.e[i] - n2.e[i])),
+               (a, b) -> a + b), 6) AS d
+      FROM qp q JOIN n n2 ON n2.vec_id <> q.qid
+    ),
+    exr AS (
+      SELECT qid, vec_id AS exact_id, d,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d ASC, vec_id ASC) AS rn
+      FROM ex
+    ),
+    ivf1 AS (
+      SELECT qid, vec_id AS ivfpq_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc ASC, vec_id ASC) AS rnk
+        FROM adcv WHERE vec_id <> qid) WHERE rnk = 1
+    )
+    SELECT i.qid, i.ivfpq_id, e.exact_id,
+           CAST(i.ivfpq_id = e.exact_id AS INT) AS hit,
+           di.d AS d_ivfpq, e.d AS d_exact
+    FROM ivf1 i
+    JOIN exr e ON e.qid = i.qid AND e.rn = 1
+    JOIN ex di ON di.qid = i.qid AND di.vec_id = i.ivfpq_id
+    ORDER BY i.qid
+    """,
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@1 + distance-ratio AUDIT of the IVF-PQ index
+    (`similarity.ivfpq_recall_top1`, r7): per probe query, the
+    index's top-1 (self excluded), the EXACT squared-L2 top-1 over
+    the full normalized corpus, the hit flag, and BOTH winners' true
+    distances — the quality metrics a production vector store ships
+    next to its latency numbers (the `ann_ivf_top1` recall-floor
+    pattern extended through quantization). On this synthetic
+    near-uniform corpus, distances concentrate so hit ≈ 0 by
+    construction even for a fully trained PQ (measured; the
+    unquantized `ann_ivf_top1` holds recall 1.0 here) — the
+    d_ivfpq/d_exact ratio is the transferable number. The exact arm
+    stays scale-sane: one Arrow scan emitting per-batch per-query
+    winners, a bounded Window(qid) merge — never corpus x corpus.
+    Both arms and both engines share the 6-dp snap and the
+    (distance ASC, id ASC) tie rule, so every column is exact."""
+    from .operators.similarity import ivfpq_recall_top1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_recall_top1(
+        emb, nlist=16, m=4, k=16, nprobe=2, probe_mod=200
+    )
+
+
+# mean-centered Gram + 3 unrolled power-iteration rounds — shared by
+# the PCA analysis query and the whitening-apply query
+_PCA_CTE = """
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -6372,7 +6438,13 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM g JOIN x1 ON x1.j = g.i GROUP BY 1),
     x3 AS (SELECT g.j AS j, SUM(g.g * x2.x) AS x
            FROM g JOIN x2 ON x2.j = g.i GROUP BY 1),
-    nrm AS (SELECT sqrt(SUM(x * x)) AS n FROM x3)
+    nrm AS (SELECT sqrt(SUM(x * x)) AS n FROM x3)"""
+
+
+@query(
+    "ann_pca_power",
+    _PCA_CTE
+    + """
     SELECT j - 1 AS pos, ROUND(x / n, 6) AS loading
     FROM x3, nrm ORDER BY pos
     """,
@@ -6390,6 +6462,49 @@ def ann_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_component(emb, iters=3)
+
+
+@query(
+    "ann_whiten_norms",
+    _PCA_CTE
+    + """,
+    lvec AS (
+      SELECT list(ROUND(x / n, 6) ORDER BY j) AS u FROM x3, nrm
+    ),
+    pv AS (
+      SELECT v.vec_id, v.e,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> v.e[i] * l.u[i]), (a, b) -> a + b) AS p
+      FROM v CROSS JOIN lvec l
+    )
+    SELECT vec_id, ROUND(p, 6) AS proj,
+           ROUND(sqrt(list_reduce(list_transform(generate_series(1, 64),
+             i -> (pv.e[i] - pv.p * l.u[i]) * (pv.e[i] - pv.p * l.u[i])),
+             (a, b) -> a + b)), 6) AS resid_norm
+    FROM pv CROSS JOIN lvec l ORDER BY vec_id
+    """,
+)
+def ann_whiten_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the whitening direction corpus-wide
+    (`similarity.remove_dominant_direction`, r7): per vector, its
+    projection onto `ann_pca_power`'s unit top component and the
+    all-but-the-top residual norm ``‖v − (v·u)u‖`` — the ABTT
+    correction pass that follows the PCA analysis. The 64 (6-dp)
+    loadings fold into ONE narrow JVM expression pass (no join, no
+    shuffle); the twin re-derives the same rounded loadings through
+    the shared Gram/power CTE and replays projection + residual with
+    the same sequential folds."""
+    from .operators.similarity import (
+        pca_power_component,
+        remove_dominant_direction,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = pca_power_component(emb, iters=3).collect()
+    u = [0.0] * len(rows)
+    for r in rows:
+        u[r["pos"]] = r["loading"]
+    return remove_dominant_direction(emb, u)
 
 
 @query("text_token_drift", None)  # oracle registered below
