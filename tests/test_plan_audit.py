@@ -57,3 +57,18 @@ def test_production_queries_sample_clean(spark):
         df = Q.QUERIES[name](spark, SF_ORACLE)
         violations, _ = audit(name, df)
         assert violations == [], (name, violations)
+
+
+def test_stress_family_subset_of_registry():
+    """Every stress-harness query name must exist in the registry —
+    a rename can't silently turn a SCALING.md row into a no-op."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.stress_scale import FAMILY
+
+    from var_elasticnet_bigdata_spark.queries import QUERIES
+
+    missing = [q for q in FAMILY if q not in QUERIES]
+    assert not missing, missing

@@ -41,8 +41,10 @@ FAMILY = [
     "dedup_incremental_exact", "ann_knn_label_vote",
     "sample_cluster_balanced", "dedup_semantic_incremental",
     "ann_pq_encode", "ann_pq_adc_top1", "text_quality_curriculum",
-    # r7: full IVF-PQ chain (train -> residual encode -> probed ADC)
-    "ann_ivfpq_search",
+    # r7: full IVF-PQ chain (train -> residual encode -> probed ADC),
+    # its recall audit, the PCA/whitening pair, tokenizer encode
+    "ann_ivfpq_search", "ann_ivfpq_recall", "ann_pca_power",
+    "ann_whiten_norms", "text_bpe_encode",
 ]
 
 
