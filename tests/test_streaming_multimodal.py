@@ -531,3 +531,59 @@ def test_stream_classifier_scoring_matches_batch(spark, tmp_path):
         for r in hashed_classifier_score(docs).collect()
     }
     assert got == want and len(got) == docs.count()
+
+
+def test_stream_pq_adc_serving_matches_batch(spark, tmp_path):
+    """PQ ADC serving composes onto readStream: with the trained
+    codebook + probe set passed explicitly (probe_rows — a stream
+    cannot be collected), the scoring pass is the same narrow
+    expression, so stream == batch under availableNow. This is the
+    vector-family member of the streaming-serving trio (classifier,
+    quality, ADC)."""
+    import time as _time
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pq_adc_top1,
+        pq_seed_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = pq_seed_codebook(emb, k=16)
+    probe_rows = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    batch = {
+        r.vec_id: (r.nearest_probe, r.adc)
+        for r in pq_adc_top1(
+            emb, m=4, k=16, codebook=C, probe_rows=probe_rows
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    b1 = emb.filter(F.col("vec_id") < 250)
+    b2 = emb.filter(F.col("vec_id") >= 250)
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    scored = pq_adc_top1(stream, m=4, k=16, codebook=C, probe_rows=probe_rows)
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.vec_id: (r.nearest_probe, r.adc)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == batch and len(got) == emb.count()

@@ -1378,6 +1378,7 @@ def pq_adc_top1(
     round_dp: int = 6,
     expr_probes: int = 64,
     max_probes: int = 4096,
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """PQ ASYMMETRIC-DISTANCE search — the serving half of product
     quantization: each corpus vector is represented only by its ``m``
@@ -1433,13 +1434,32 @@ def pq_adc_top1(
     sub = d // m
     from ..plans.guards import guarded_collect
 
-    probes = guarded_collect(
-        df.filter((F.col(id_col) % probe_mod) == 0).select(id_col, vec_col),
-        "pq_adc_top1's probe set",
-        "a larger probe_mod or batched calls (the probe LUT must stay "
-        "bounded driver-side)",
-        max_rows=max_probes,
-    )
+    if probe_rows is not None:
+        # explicit bounded probe set — REQUIRED for streaming serving
+        # (a readStream frame cannot be collected; the caller passes
+        # the query batch and the trained codebook, and the scoring
+        # expression/Arrow pass composes onto the stream unchanged)
+        if codebook is None:
+            raise ValueError(
+                "pq_adc_top1: probe_rows requires an explicit codebook "
+                "(a streaming frame cannot seed one)"
+            )
+        if len(probe_rows) > max_probes:
+            raise ValueError(
+                f"pq_adc_top1: {len(probe_rows)} probe_rows exceed "
+                f"max_probes={max_probes}"
+            )
+        probes = list(probe_rows)
+    else:
+        probes = guarded_collect(
+            df.filter((F.col(id_col) % probe_mod) == 0).select(
+                id_col, vec_col
+            ),
+            "pq_adc_top1's probe set",
+            "a larger probe_mod or batched calls (the probe LUT must stay "
+            "bounded driver-side)",
+            max_rows=max_probes,
+        )
     probes = sorted(probes, key=lambda r: r[id_col])
     if not probes:
         raise ValueError("pq_adc_top1: empty probe set")
