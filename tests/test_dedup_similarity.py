@@ -1219,3 +1219,43 @@ def test_ivfpq_recall_audit_shape_and_ratio(spark, emb):
         d[qi] = np.inf
         want = ids[np.lexsort((ids, np.floor(d * 1e6 + 0.5) / 1e6))[0]]
         assert r.exact_id == want, r.qid
+
+
+def test_exact_dedup_best_quality_survivor_rule(spark, docs):
+    """Quality-argmax survivor: per content key the kept doc has the
+    max quality (ties lowest id), dup_count matches exact_dedup, and
+    injected duplicates with higher quality displace the original."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_best_quality,
+    )
+    from var_elasticnet_bigdata_spark.operators.text import (
+        QUALITY_SQL_SPARK,
+    )
+
+    # clone 15 docs, padding the clone so its quality differs
+    clone = (
+        docs.limit(15)
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+    )
+    full = docs.unionByName(clone)
+    best = exact_dedup_best_quality(full).toPandas().set_index("content_key")
+    base = exact_dedup(full).toPandas().set_index("content_key")
+    assert sorted(best.index) == sorted(base.index)
+    assert (best.dup_count.sort_index() == base.dup_count.sort_index()).all()
+    # exact clones (identical text => identical quality): tie falls to
+    # the LOWEST id, i.e. the original, never the +50k clone
+    assert (best.doc_id < 50_000).all()
+    # per-key the reported quality is the max over the group
+    q = full.select(
+        F.md5(
+            F.expr(
+                "trim(regexp_replace(regexp_replace(lower(text),"
+                " '[^a-z0-9 ]', ' '), ' +', ' '))"
+            )
+        ).alias("content_key"),
+        F.expr(QUALITY_SQL_SPARK).alias("q"),
+    ).toPandas()
+    gmax = q.groupby("content_key").q.max()
+    for ck, row in best.iterrows():
+        assert row.quality == pytest.approx(gmax[ck], abs=1e-9)

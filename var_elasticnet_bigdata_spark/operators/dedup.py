@@ -181,6 +181,43 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def exact_dedup_best_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup keeping the HIGHEST-QUALITY duplicate instead of
+    the min-id one — the survivor rule real curation pipelines want
+    (crawl snapshots of the same page differ in boilerplate; keep the
+    cleanest copy). Survivor = argmax(quality, ties to the LOWEST
+    id), expressed as ONE lexicographic struct ``max`` inside the
+    same single content-key groupBy as `exact_dedup` — map-side
+    combinable, no per-group window, no second shuffle. Quality is
+    the 6-dp composite score (`text.QUALITY_SQL_SPARK`), so the
+    argmax compares on the same grid as the twin. Returns
+    ``(content_key, doc_id, quality, dup_count)``.
+    """
+    from .text import QUALITY_SQL_SPARK  # local: text.py imports dedup
+
+    keyed = df.select(
+        F.col(id_col),
+        content_key(text_col).alias("content_key"),
+        F.expr(QUALITY_SQL_SPARK).alias("__q"),
+    )
+    agg = keyed.groupBy("content_key").agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.max(
+            F.struct(
+                F.col("__q").alias("q"), (-F.col(id_col)).alias("nid")
+            )
+        ).alias("best"),
+    )
+    return agg.select(
+        "content_key",
+        (-F.col("best.nid")).alias(id_col),
+        F.col("best.q").alias("quality"),
+        "dup_count",
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1407,6 +1407,47 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@query("dedup_best_of_cluster", None)  # oracle registered below
+def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the QUALITY-ARGMAX survivor rule
+    (`dedup.exact_dedup_best_quality`, r7): keep the cleanest copy of
+    each duplicate cluster, not the lowest id — what a real curation
+    pipeline does with repeated crawl snapshots. One content-key
+    groupBy with a lexicographic struct max (quality DESC, id ASC) —
+    map-side combinable, no per-group window, no second shuffle; the
+    twin replays the same rule as a window rank over the same
+    6-dp-rounded quality."""
+    from .operators.dedup import exact_dedup_best_quality
+
+    return exact_dedup_best_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _register_best_of_cluster_oracle() -> None:
+    from .operators.text import QUALITY_SQL_DUCK
+
+    ORACLE["dedup_best_of_cluster"] = f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_key,
+             {QUALITY_SQL_DUCK} AS q
+      FROM documents
+    ),
+    r AS (
+      SELECT content_key, doc_id, q,
+             COUNT(*) OVER (PARTITION BY content_key) AS dup_count,
+             ROW_NUMBER() OVER (PARTITION BY content_key
+                                ORDER BY q DESC, doc_id ASC) AS rn
+      FROM d
+    )
+    SELECT content_key, doc_id, ROUND(q, 6) AS quality, dup_count
+    FROM r WHERE rn = 1
+    """
+
+
+_register_best_of_cluster_oracle()
+
+
 @query(
     "dedup_minhash_signature",
     None,  # filled below after imports
@@ -1977,6 +2018,75 @@ def _register_pii_oracle() -> None:
 
 
 _register_pii_oracle()
+
+
+@query("text_pii_by_lang", None)  # oracle registered below
+def text_pii_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language PII exposure report (r7): the compliance
+    dashboard a corpus owner actually reads — documents, PII-bearing
+    documents, and total spans per detected language. Composes two
+    oracled narrow expressions (`text.lang_id_expr`,
+    `text.pii_counts` — chained-redaction counting, spans counted
+    once) over the same deterministic PII plant as
+    `text_pii_redaction`, then ONE combinable groupBy(lang). Exact
+    integer outputs."""
+    from .operators.text import lang_id_expr, pii_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact "),
+            F.col("source"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    per = aug.select(
+        lang_id_expr().alias("lang_guess"),
+        pii_counts("text").cast("long").alias("n_pii"),
+    )
+    return per.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_pii") > 0).cast("long")).alias("docs_with_pii"),
+        F.sum("n_pii").alias("pii_spans"),
+    )
+
+
+def _register_pii_by_lang_oracle() -> None:
+    from .operators.text import PII_PATTERNS, duck_lang_id_sql
+
+    terms = []
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        terms.append(f"len(regexp_extract_all({red}, '{pat}'))")
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = " + ".join(terms)
+    ORACLE["text_pii_by_lang"] = f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 substr(text, 1, 40) || ' contact ' || source ||
+                 CAST(doc_id AS VARCHAR) || '@example.com host 10.0.' ||
+                 CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-' ||
+                 CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+          FROM documents),
+        per AS (
+          SELECT {duck_lang_id_sql()} AS lang_guess,
+                 CAST({counts} AS BIGINT) AS n_pii
+          FROM aug)
+        SELECT lang_guess, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_with_pii,
+               CAST(SUM(n_pii) AS BIGINT) AS pii_spans
+        FROM per GROUP BY 1
+    """
+
+
+_register_pii_by_lang_oracle()
 
 
 # --------------------------------------------------------------------------
