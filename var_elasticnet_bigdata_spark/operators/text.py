@@ -1048,19 +1048,14 @@ def bpe_train(
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((a, b, c))
-        # greedy left-to-right merge of (a, b) within each word: fold
-        # over the tail with the head as init (typed non-empty init —
-        # array() alone is array<null>)
-        merged = F.expr(
-            "aggregate(slice(syms, 2, size(syms) - 1),"
-            " array(element_at(syms, 1)),"
-            f" (acc, x) -> CASE WHEN element_at(acc, -1) = '{a}' AND x = '{b}'"
-            f" THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}'))"
-            " ELSE concat(acc, array(x)) END)"
-        )
-        nxt = cur.select(merged.alias("syms"), "cnt").localCheckpoint(
-            eager=True
-        )
+        # greedy left-to-right merge of (a, b) within each word
+        # (`bpe_merge_expr`); the eager localCheckpoint per round is
+        # ALSO what keeps this a single fold per round — chained
+        # un-materialized merge projections collapse into O(4^k)
+        # duplicated evaluations (see bpe_encode_token_counts)
+        nxt = cur.select(
+            bpe_merge_expr(a, b).alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
         release_local_checkpoint(cur)
         cur = nxt
     if not keep_vocab:
