@@ -44,7 +44,8 @@ FAMILY = [
     # r7: full IVF-PQ chain (train -> residual encode -> probed ADC),
     # its recall audit, the PCA/whitening pair, tokenizer encode
     "ann_ivfpq_search", "ann_ivfpq_recall", "ann_pca_power",
-    "ann_whiten_norms", "text_bpe_encode",
+    "ann_whiten_norms", "text_bpe_encode", "dedup_best_of_cluster",
+    "text_pii_by_lang",
 ]
 
 
