@@ -1208,10 +1208,18 @@ def incremental_semantic_dedup_bucketed(
         # cell, so a hot cell in the seen-set is the scaling hazard —
         # fail loudly with the remedy (retrain with a larger nlist,
         # `kmeans_train` sizes it) instead of quietly degrading.
-        # One combinable count per cell (nlist rows, store reads
-        # exchange-free on its bucket key).
+        # ADVICE r7: the check is SCOPED to the cells the current
+        # batch actually touches (broadcast semi-join on the batch's
+        # ≤nlist-cell set) — a full-store groupBy-count per batch
+        # grew linearly with the store (quadratic over the stream's
+        # life), and a breach in a cell this batch never probes
+        # would have bricked every later batch; now only batches
+        # that would actually pay the hot-cell join cost fail, and
+        # the count aggregates only the probed cells' rows.
+        batch_cells = staged.select("cell").distinct()
         hot = (
             spark.table(vecs_t)
+            .join(F.broadcast(batch_cells), "cell", "left_semi")
             .groupBy("cell")
             .agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") > max_cell_rows)
@@ -1222,7 +1230,7 @@ def incremental_semantic_dedup_bucketed(
             detail = ", ".join(f"cell {r['cell']}: {r['cnt']}" for r in hot)
             raise ValueError(
                 f"incremental_semantic_dedup_bucketed: seen-set store "
-                f"{vecs_t} has cells above max_cell_rows="
+                f"{vecs_t} has batch-probed cells above max_cell_rows="
                 f"{max_cell_rows} ({detail}); retrain centroids with a "
                 f"larger nlist (kmeans_train) and rebuild the store"
             )
@@ -1423,17 +1431,10 @@ def pq_adc_top1(
     the driver/closure LUT); beyond it, batch probes through repeated
     calls — each arm is a zero-shuffle pass, so calls compose.
     """
-    C = (
-        codebook
-        if codebook is not None
-        else pq_seed_codebook(df, k, id_col, vec_col)
-    )
-    d = C.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
-    from ..plans.guards import guarded_collect
-
+    # Validate the probe_rows contract BEFORE resolving the codebook
+    # (ADVICE r7 — pq_seed_codebook collects, so seeding first turned
+    # a missing-codebook streaming call into a raw streaming-collect
+    # AnalysisException instead of this friendly error).
     if probe_rows is not None:
         # explicit bounded probe set — REQUIRED for streaming serving
         # (a readStream frame cannot be collected; the caller passes
@@ -1449,6 +1450,18 @@ def pq_adc_top1(
                 f"pq_adc_top1: {len(probe_rows)} probe_rows exceed "
                 f"max_probes={max_probes}"
             )
+    C = (
+        codebook
+        if codebook is not None
+        else pq_seed_codebook(df, k, id_col, vec_col)
+    )
+    d = C.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    from ..plans.guards import guarded_collect
+
+    if probe_rows is not None:
         probes = list(probe_rows)
     else:
         probes = guarded_collect(
@@ -1747,6 +1760,7 @@ def pca_power_component(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mean_dp: int = 12,
+    gram_dp: int = 9,
     out_dp: int = 6,
 ) -> DataFrame:
     """Top principal component of the embedding corpus via a
@@ -1766,11 +1780,17 @@ def pca_power_component(
     rounds, normalize once at the end) — never on the corpus.
 
     Float discipline: means round to ``mean_dp`` on both engines
-    BEFORE centering; Gram entries stay raw (engine sum-order drift
-    is ~1e-13 absolute, absorbed by the single final ``out_dp``
-    round); the twin replays the iteration as unrolled
-    SUM-join rounds. Returns ``(pos, loading)`` — the unit top
-    eigenvector, sign fixed by the deterministic ones start.
+    BEFORE centering; each (i, j) Gram cell SNAPS to the ``gram_dp``
+    grid right after its distributed SUM (ADVICE r7 — the partials
+    arrive in shuffle-fetch order, so the raw sums carry ~1e-13
+    run-to-run drift; snapping BEFORE the power iteration bounds what
+    the single final ``out_dp`` round must absorb instead of letting
+    the drift compound through ``iters`` matvecs), and the twin
+    applies the identical ROUND(SUM(g), gram_dp); loadings snap
+    half-away (not Python banker's round) to match ROUND. The twin
+    replays the iteration as unrolled SUM-join rounds. Returns
+    ``(pos, loading)`` — the unit top eigenvector, sign fixed by the
+    deterministic ones start.
     """
     d0 = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
@@ -1806,7 +1826,7 @@ def pca_power_component(
     g_rows = (
         d0.mapInPandas(partial_gram, schema="i int, j int, g double")
         .groupBy("i", "j")
-        .agg(F.sum("g").alias("g"))
+        .agg(F.round(F.sum("g"), gram_dp).alias("g"))
         .collect()
     )
     G = np.zeros((d, d), dtype=np.float64)
@@ -1819,8 +1839,9 @@ def pca_power_component(
     if n == 0:
         n = 1.0
     spark = df.sparkSession
+    loadings = snap_half_away(y / n, out_dp)
     return spark.createDataFrame(
-        [(int(p), round(float(y[p] / n), out_dp)) for p in range(d)],
+        [(int(p), float(loadings[p])) for p in range(d)],
         "pos int, loading double",
     )
 

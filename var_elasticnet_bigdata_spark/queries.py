@@ -2660,9 +2660,12 @@ def ml_modeltrain_msfe(spark: SparkSession, sf_dir: str) -> DataFrame:
     origins AS (SELECT i AS o FROM s, par WHERE i BETWEEN si - 4 AND n - 2),
     phi AS (
       SELECT o.o,
-             (SELECT SUM(a.v * b.v) FROM s a JOIN s b ON b.i = a.i - 1
-              WHERE a.i BETWEEN 1 AND o.o)
-             / NULLIF((SELECT SUM(b.v * b.v) FROM s b WHERE b.i <= o.o - 1), 0)
+             COALESCE(
+               (SELECT SUM(a.v * b.v) FROM s a JOIN s b ON b.i = a.i - 1
+                WHERE a.i BETWEEN 1 AND o.o)
+               / NULLIF(
+                   (SELECT SUM(b.v * b.v) FROM s b WHERE b.i <= o.o - 1), 0),
+               0.0)
              AS phi
       FROM origins o),
     fc AS (
@@ -2674,10 +2677,13 @@ def ml_modeltrain_msfe(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN s yt ON yt.i = p.o + h.h),
     aligned AS (SELECT fc.* FROM fc, par WHERE o + h BETWEEN si AND n - 1)
     SELECT h AS horizon,
-           ROUND(SQRT(SUM(POWER(yrw - ytrue, 2)) / COUNT(*))
-                 / SQRT(SUM(POWER(yhat - ytrue, 2)) / COUNT(*)), 6) AS u_ar1,
-           ROUND(SUM(POWER(yrw - ytrue, 2)) / COUNT(*), 6) AS msfe_model,
-           ROUND(SUM(POWER(yhat - ytrue, 2)) / COUNT(*), 6) AS msfe_ar1
+           ROUND(SQRT(SUM(POWER(yrw - ytrue, 2)) / COUNT(yhat - ytrue))
+                 / SQRT(SUM(POWER(yhat - ytrue, 2)) / COUNT(yhat - ytrue)),
+                 6) AS u_ar1,
+           ROUND(SUM(POWER(yrw - ytrue, 2)) / COUNT(yhat - ytrue), 6)
+             AS msfe_model,
+           ROUND(SUM(POWER(yhat - ytrue, 2)) / COUNT(yhat - ytrue), 6)
+             AS msfe_ar1
     FROM aligned GROUP BY 1 ORDER BY 1
     """,
 )
@@ -6539,7 +6545,7 @@ _PCA_CTE = """
       FROM upos u JOIN mu ON mu.pos = u.pos
     ),
     g AS (
-      SELECT a.pos AS i, b.pos AS j, SUM(a.c * b.c) AS g
+      SELECT a.pos AS i, b.pos AS j, ROUND(SUM(a.c * b.c), 9) AS g
       FROM cpos a JOIN cpos b ON a.vec_id = b.vec_id
       GROUP BY 1, 2
     ),
