@@ -1,0 +1,109 @@
+"""VERDICT r7 item 5: exact substring dedup — planted-overlap pins."""
+from __future__ import annotations
+
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu",
+]
+
+
+def _run(tag: str, k: int) -> str:
+    """k distinct tokens unique to this run."""
+    return " ".join(f"{tag}{WORDS[i % 26]}{i}" for i in range(k))
+
+
+def test_substring_dedup_planted_exact_run_length(spark):
+    """A planted 25-token shared run inside otherwise-disjoint docs is
+    flagged with overlap_tokens == 25 exactly; an 8-token overlap
+    (the shingle width, below min_run=20) is not flagged."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    shared = _run("s", 25)
+    short = _run("t", 8)
+    rows = [
+        (1, _run("a", 15) + " " + shared + " " + _run("b", 12)),
+        (2, _run("c", 5) + " " + shared + " " + _run("d", 30)),
+        (3, _run("e", 20) + " " + short + " " + _run("f", 20)),
+        (4, _run("g", 25) + " " + short + " " + _run("h", 9)),
+        (5, _run("i", 40)),
+    ]
+    out = {
+        (r["doc_a"], r["doc_b"]): r["overlap_tokens"]
+        for r in substring_dedup(
+            _docs(spark, rows), width=8, min_run_tokens=20
+        ).collect()
+    }
+    assert out == {(1, 2): 25}
+
+
+def test_substring_dedup_matches_duckdb_twin(spark, duck):
+    """Spark and the DuckDB twin agree pair-for-pair on a fixture with
+    a long overlap, a full duplicate, and a sub-threshold overlap."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        duck_substring_dedup_sql,
+        substring_dedup,
+    )
+
+    shared = _run("s", 33)
+    full = _run("q", 28)
+    rows = [
+        (10, _run("a", 10) + " " + shared),
+        (11, shared + " " + _run("b", 22)),
+        (12, full),
+        (13, full),
+        (14, _run("z", 60)),
+    ]
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["overlap_tokens"])
+        for r in substring_dedup(
+            _docs(spark, rows), width=8, min_run_tokens=20
+        ).collect()
+    )
+    duck.execute("DROP TABLE IF EXISTS ssd_docs")
+    duck.execute(
+        "CREATE TABLE ssd_docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            duck_substring_dedup_sql(
+                source_sql="SELECT doc_id, text FROM ssd_docs",
+                width=8,
+                min_run_tokens=20,
+            )
+        ).fetchall()
+    )
+    duck.execute("DROP TABLE IF EXISTS ssd_docs")
+    assert got == want
+    assert (10, 11, 33) in got and (12, 13, 28) in got
+
+
+def test_substring_dedup_hot_shingle_gate(spark):
+    """A run made of shingles shared by MORE than max_docs_per_shingle
+    docs (corpus boilerplate) must NOT produce pairs — the frequency
+    gate is the linearity guarantee, and boilerplate is the
+    MinHash/template pass's job."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    boiler = _run("bp", 30)
+    rows = [(i, _run(f"u{i}x", 10) + " " + boiler) for i in range(12)]
+    out = substring_dedup(
+        _docs(spark, rows), width=8, min_run_tokens=20,
+        max_docs_per_shingle=4,
+    ).collect()
+    assert out == []

@@ -46,6 +46,11 @@ FAMILY = [
     "ann_ivfpq_search", "ann_ivfpq_recall", "ann_pca_power",
     "ann_whiten_norms", "text_bpe_encode", "dedup_best_of_cluster",
     "text_pii_by_lang",
+    # r8: serve-only IVF-PQ (pre-trained artifacts — should track the
+    # ADC arm's growth, not the chain's train-dominated 4.8×) and
+    # exact substring dedup (positional shingles + frequency-gated
+    # pair join + diagonal islands)
+    "ann_ivfpq_serve", "dedup_substring",
 ]
 
 

@@ -1407,6 +1407,91 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _substring_planted_sources() -> tuple[str, str]:
+    """The substring-dedup gate needs pairs that share a LONG verbatim
+    run without being whole-doc duplicates; the synthetic corpus has
+    exact duplicates but few partial overlaps, so the gated query
+    plants one per 97th document: a new doc (id + 50,000,000 — clear
+    of the stress replica's 100M id stride) whose text is tokens
+    3..32 of the source doc followed by a unique tail. Returns the
+    (Spark SQL, DuckDB SQL) expressions for the planted text over a
+    row of `documents`; both slice the SAME normalized token array
+    and re-normalization is a no-op on the result, so the planted
+    pair shares exactly a 30-token run on both engines."""
+    from .operators.dedup import NORM_SQL_DUCK, norm_sql_spark
+
+    spark_sql = (
+        "concat(concat_ws(' ', slice(split("
+        + norm_sql_spark("text")
+        + ", ' '), 3, 30)), ' planted overlap probe tail ', "
+        "cast(doc_id as string))"
+    )
+    duck_sql = (
+        "array_to_string(list_slice(string_split("
+        + NORM_SQL_DUCK
+        + ", ' '), 3, 32), ' ') || ' planted overlap probe tail ' || "
+        "CAST(doc_id AS VARCHAR)"
+    )
+    return spark_sql, duck_sql
+
+
+def _register_substring_dedup() -> None:
+    from .operators.dedup import duck_substring_dedup_sql
+
+    _, duck_plant = _substring_planted_sources()
+    src = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 50000000 AS doc_id, {duck_plant} AS text
+        FROM documents
+        WHERE doc_id % 97 = 0
+          AND len(string_split(text, ' ')) >= 40
+    """
+    ORACLE["dedup_substring"] = duck_substring_dedup_sql(
+        source_sql=src, width=8, min_run_tokens=20, max_docs_per_shingle=64
+    )
+
+
+@query("dedup_substring", None)  # oracle registered below
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup (`dedup.substring_dedup`, VERDICT r7
+    item 5): flag document pairs sharing a verbatim run of ≥ 20
+    normalized tokens — the Lee-et-al-style overlap pass between
+    exact dedup and MinHash. Relational suffix-free shape: positional
+    8-gram shingle hashes (one narrow pass), a hot-shingle frequency
+    gate (≤ 64 docs per shingle — boilerplate runs are MinHash's
+    job, and the gate is what keeps the hash join linear), one
+    uniform-key pair join, gaps-and-islands run detection on bounded
+    (pair, diagonal) windows. The corpus is augmented with planted
+    30-token partial overlaps (`_substring_planted_sources`) so the
+    gate pins true positives that are NOT whole-doc duplicates, plus
+    the corpus's own exact-duplicate clusters at full length."""
+    from .operators.dedup import substring_dedup
+
+    plant_spark, _ = _substring_planted_sources()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 97 == 0)
+            & (F.size(F.split(F.col("text"), " ")) >= 40)
+        )
+        .select(
+            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+            F.expr(plant_spark).alias("text"),
+        )
+    )
+    return substring_dedup(
+        docs.unionByName(planted),
+        width=8,
+        min_run_tokens=20,
+        max_docs_per_shingle=64,
+    )
+
+
+_register_substring_dedup()
+
+
 @query("dedup_best_of_cluster", None)  # oracle registered below
 def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with the QUALITY-ARGMAX survivor rule
