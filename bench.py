@@ -30,7 +30,17 @@ def main() -> None:
     from var_elasticnet_bigdata_spark import queries as Q
     from var_elasticnet_bigdata_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # UI server ON for the status REST API (shuffle-bytes accounting,
+    # tools/spark_metrics.py) — the AppStatus listener runs either
+    # way, the server just exposes it; retention raised so one
+    # query's stage window never evicts mid-measurement
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmups to exclude cold-start from the numbers: JVM/codegen
@@ -88,6 +98,11 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    shuffle_bytes: dict[str, dict[str, int]] = {}
+    from tools.spark_metrics import shuffle_totals
+
+    _cursor = shuffle_totals(spark)
+    _last_stage = _cursor["max_stage_id"] if _cursor else -1
     # iterate in REGISTRATION order, not all_queries()'s priority
     # order: the priority reorder exists for the driver's capped
     # correctness sweep, but bench positions must stay comparable to
@@ -107,6 +122,15 @@ def main() -> None:
         samples.sort()
         timings[name] = samples[len(samples) // 2]
         spread[name] = [samples[0], samples[-1]]
+        # shuffle bytes over this query's stage window, averaged per
+        # run — the number that becomes network traffic on a cluster
+        tot = shuffle_totals(spark, after_stage_id=_last_stage)
+        if tot is not None:
+            shuffle_bytes[name] = {
+                "read": tot["read"] // runs,
+                "write": tot["write"] // runs,
+            }
+            _last_stage = tot["max_stage_id"]
     total = round(sum(timings.values()), 3)
 
     full = {
@@ -116,6 +140,7 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": runs,
         "spread": spread,
+        "shuffle_bytes": shuffle_bytes,
         "sf": sf_val,
     }
     # Full per-query detail goes to a file (and a first stdout line for

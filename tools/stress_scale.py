@@ -83,8 +83,19 @@ def main() -> None:
     from var_elasticnet_bigdata_spark.sources import load_table
 
     replica = build_replica(k)
-    spark = get_spark("stress-scale")
+    # UI on for the shuffle-bytes REST window (tools/spark_metrics.py)
+    spark = get_spark(
+        "stress-scale",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    from tools.spark_metrics import shuffle_totals
+
+    bytes_at: dict[str, dict[str, dict[str, int]]] = {}
 
     def run(sf_dir: str) -> dict[str, float]:
         # warm Arrow worker pools + table page cache, untimed
@@ -100,12 +111,20 @@ def main() -> None:
                 "overwrite"
             ).save()
         out: dict[str, float] = {}
+        by: dict[str, dict[str, int]] = {}
+        bytes_at[sf_dir] = by
+        cur = shuffle_totals(spark)
+        last_stage = cur["max_stage_id"] if cur else -1
         for name in family:
             t0 = time.time()
             Q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             out[name] = round(time.time() - t0, 2)
+            tot = shuffle_totals(spark, after_stage_id=last_stage)
+            if tot is not None:
+                by[name] = {"read": tot["read"], "write": tot["write"]}
+                last_stage = tot["max_stage_id"]
             spark.catalog.clearCache()
         return out
 
@@ -147,17 +166,48 @@ def main() -> None:
         spark.catalog.clearCache()
 
     print(json.dumps(
-        {"k": k, "base": base, f"x{k}": big, "recall_at_1": recall}
+        {"k": k, "base": base, f"x{k}": big, "recall_at_1": recall,
+         "shuffle_bytes": bytes_at}
     ))
     for name in family:
         g = big[name] / max(base[name], 0.01)
         print(f"{name:28s} {base[name]:7.2f} -> {big[name]:7.2f}  ({g:.1f}x)")
+
+    # Shuffle-bytes growth gate (VERDICT r7 item 6): bytes, unlike
+    # local wall-clock, are what the network moves on a cluster — a
+    # K× corpus may shuffle up to ~K× the bytes for linear operators
+    # (and the replica's heavy-duplication design legitimately
+    # super-linearizes a few pair-producing dedup outputs), but an
+    # operator whose SHUFFLED bytes grow faster than BYTE_GROWTH_MAX×K
+    # is hiding a scale-killer that wall-clock on a warm local box
+    # won't show. Sub-64KB baselines are exempt (driver-side/rounding
+    # noise, not corpus-driven shuffle).
+    BYTE_GROWTH_MAX = 3.0
+    MIN_BASE = 64 * 1024
+    b0, b1 = bytes_at.get(SRC, {}), bytes_at.get(replica, {})
+    flagged: list[str] = []
+    print(f"{'shuffle write bytes':28s} {'1x':>12s} {'x' + str(k):>14s}")
+    for name in family:
+        if name not in b0 or name not in b1:
+            continue
+        w0, w1 = b0[name]["write"], b1[name]["write"]
+        g = (w1 / w0) if w0 else float("inf") if w1 else 1.0
+        mark = ""
+        if w0 >= MIN_BASE and g > BYTE_GROWTH_MAX * k:
+            mark = "  << SUPERLINEAR"
+            flagged.append(name)
+        print(f"{name:28s} {w0:12d} {w1:14d}  ({g:.1f}x){mark}")
     if recall is not None:
         print(f"IVF recall@1 vs exact at x{k}: {recall:.4f} (floor 0.95)")
         if recall < 0.95:
             raise SystemExit(
                 f"IVF recall@1 {recall:.4f} below the 0.95 floor at x{k}"
             )
+    if flagged:
+        raise SystemExit(
+            f"shuffle-bytes growth above {BYTE_GROWTH_MAX}x·K at x{k}: "
+            + ", ".join(flagged)
+        )
 
 
 if __name__ == "__main__":

@@ -465,6 +465,7 @@ def ar1_rolling_relational(
     h: int = 8,
     date_col: str = "obs_date",
     rw_mode: str = "fixed",
+    dates: list | None = None,
 ) -> DataFrame:
     """The rolling-origin AR(1) experiment (M9/M23 benchmark arm of
     E1) as ONE relational DAG — no Python boundary, no broadcast
@@ -492,7 +493,8 @@ def ar1_rolling_relational(
     from pyspark.sql import Window
 
     pred_ind = _pred_ind(h)
-    dates = _dates(wide_df, date_col)
+    if dates is None:
+        dates = _dates(wide_df, date_col)
     n = len(dates)
     try:
         start_idx = dates.index(start_pred)
@@ -512,6 +514,14 @@ def ar1_rolling_relational(
         .withColumn("num", F.sum(F.col("ylag") * F.col("y")).over(wc))
         .withColumn("den", F.sum(F.col("ylag") * F.col("ylag")).over(wc))
     )
+    # The cumulative-moment frame feeds THREE consumers (origins,
+    # truth, the RW denominators) — stage it ONCE (VERDICT r7 item 4:
+    # the unshared frame re-ran the upstream wide-frame aggregation
+    # per consumer). It is the post-aggregation time axis: tiny at
+    # any input scale.
+    from ..plans.cachereg import swap_cache
+
+    d = swap_cache("modeltrain.ar1_moments", d)
     phi = F.when(F.col("den") > 0, F.col("num") / F.col("den")).otherwise(F.lit(0.0))
     origins = d.filter((F.col("rn") >= ws) & (F.col("rn") <= n - 2)).select(
         F.col("rn").alias("origin_idx"), F.col("y").alias("y_o"), phi.alias("phi")
@@ -605,6 +615,7 @@ def theils_u_ar1_relational(
     start_pred,
     h: int = 8,
     date_col: str = "obs_date",
+    dates: list | None = None,
 ) -> DataFrame:
     """Per-horizon Theil's U against the AR(1) benchmark (M23,
     enetVAR.R:847-855: ``U = sqrt(mse_pred)/sqrt(ar1$msfe[h])``) as
@@ -631,7 +642,8 @@ def theils_u_ar1_relational(
     from pyspark.sql import Window
 
     pred_ind = _pred_ind(h)
-    dates = _dates(wide_df, date_col)
+    if dates is None:
+        dates = _dates(wide_df, date_col)
     n = len(dates)
     try:
         start_idx = dates.index(start_pred)
@@ -652,6 +664,12 @@ def theils_u_ar1_relational(
         .withColumn("num", F.sum(F.col("ylag") * F.col("y")).over(wc))
         .withColumn("den", F.sum(F.col("ylag") * F.col("ylag")).over(wc))
     )
+    # ONE cumulative-moment frame shared by both window consumers
+    # (origins + truth) — VERDICT r7 item 4: unshared, each consumer
+    # re-ran the upstream wide-frame aggregation. Tiny (time axis).
+    from ..plans.cachereg import swap_cache
+
+    d = swap_cache("modeltrain.theils_moments", d)
     phi = F.when(F.col("den") > 0, F.col("num") / F.col("den")).otherwise(
         F.lit(0.0)
     )

@@ -2731,7 +2731,7 @@ def ml_modeltrain_msfe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates = [r["obs_date"] for r in wide.select("obs_date").orderBy("obs_date").collect()]
     start = dates[len(dates) // 2 + 4]
     return ar1_rolling_relational(
-        spark, wide, "revenue", start_pred=start, h=4,
+        spark, wide, "revenue", start_pred=start, h=4, dates=dates,
     )
 
 
@@ -2787,7 +2787,7 @@ def ml_theils_u_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates = [r["obs_date"] for r in wide.select("obs_date").orderBy("obs_date").collect()]
     start = dates[len(dates) // 2 + 4]
     return theils_u_ar1_relational(
-        spark, wide, "revenue", start_pred=start, h=4,
+        spark, wide, "revenue", start_pred=start, h=4, dates=dates,
     )
 
 
