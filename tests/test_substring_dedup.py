@@ -107,3 +107,41 @@ def test_substring_dedup_hot_shingle_gate(spark):
         max_docs_per_shingle=4,
     ).collect()
     assert out == []
+
+
+def test_incremental_substring_store_cross_batch_drop(spark, tmp_path):
+    """The positional-shingle store catches a batch-2 doc overlapping
+    a batch-1 doc by >= min_run tokens (no shared doc in memory —
+    only the store), keeps sub-threshold overlaps, and appends every
+    row (seen-set semantics: a doc overlapping a batch-1 DROPPED doc
+    still drops)."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_substring_dedup_bucketed,
+    )
+
+    shared = _run("s", 25)
+    spark.sql("DROP TABLE IF EXISTS subst__psh")
+    try:
+        b1 = _docs(spark, [
+            (1, _run("a", 15) + " " + shared),
+            (2, shared + " " + _run("b", 10)),  # dropped in-batch vs 1
+            (3, _run("c", 45)),
+        ])
+        s1 = incremental_substring_dedup_bucketed(
+            b1, "subst", buckets=2, path=str(tmp_path / "s"),
+            width=8, min_run_tokens=20,
+        )
+        assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3]
+        b2 = _docs(spark, [
+            (10, _run("d", 12) + " " + shared),  # overlaps doc 1 AND
+            # the dropped doc 2 — store holds both (seen-set)
+            (11, _run("e", 50)),                 # clean
+            (12, _run("t", 8) + " " + _run("f", 30)),  # 8 < 20: kept
+        ])
+        s2 = incremental_substring_dedup_bucketed(
+            b2, "subst", buckets=2, path=str(tmp_path / "s"),
+            width=8, min_run_tokens=20,
+        )
+        assert sorted(r["doc_id"] for r in s2.collect()) == [11, 12]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS subst__psh")

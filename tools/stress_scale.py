@@ -50,7 +50,7 @@ FAMILY = [
     # ADC arm's growth, not the chain's train-dominated 4.8×) and
     # exact substring dedup (positional shingles + frequency-gated
     # pair join + diagonal islands)
-    "ann_ivfpq_serve", "dedup_substring",
+    "ann_ivfpq_serve", "dedup_substring", "dedup_substring_incremental",
 ]
 
 

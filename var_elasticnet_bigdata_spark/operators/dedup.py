@@ -295,6 +295,205 @@ def substring_dedup(
     )
 
 
+def incremental_substring_dedup_bucketed(
+    batch: DataFrame,
+    store_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_run_tokens: int = 20,
+    max_docs_per_shingle: int = 64,
+    buckets: int = 32,
+    path: str | None = None,
+    on_survivors=None,
+) -> DataFrame:
+    """Substring dedup of a NEW batch against ALL previously seen
+    documents via a persisted positional-shingle store — the fourth
+    member of the incremental-store family (exact keys / MinHash
+    bands / semantic cells / THIS): each crawl batch is checked for a
+    ≥``min_run_tokens``-token verbatim run against the whole accepted
+    history without re-reading any earlier batch's text.
+
+    The store ``{store_name}__psh`` holds ``(s, id_col, pos)`` —
+    every seen document's positional ``width``-gram shingle hashes —
+    BUCKETED and sorted on ``s``, so the per-batch candidate join
+    reads the store already partitioned on the join key (zero
+    store-side Exchange; only the batch shuffles, on the same hash
+    its in-batch pass needs anyway).
+
+    SEEN-SET semantics (like the semantic store): a batch doc is
+    dropped iff it shares a qualifying run with ANY lower-id seen
+    doc — kept or dropped — so the store appends EVERY batch row's
+    shingles; with append-only ascending ids this reproduces the
+    id-greedy rule batch-by-batch.
+
+    The hot-shingle frequency gate is computed over store ∪ batch,
+    SCOPED to the current batch's shingle set (the ADVICE-r7 budget
+    pattern: one combinable count per probed hash, never a full-store
+    scan) and applied to BOTH match arms — boilerplate runs stay the
+    MinHash pass's job and the join stays linear as history grows.
+
+    Crash contract (same as the sibling stores):
+    `recover_orphaned_compaction` heals a mid-compaction crash before
+    the exists-probe; ``on_survivors`` fires before the store append
+    (at-least-once — a replayed batch re-matches its own history and
+    re-drops; duplicate match rows from a replayed append are
+    deduplicated before run counting so island lengths stay exact).
+    """
+    spark = batch.sparkSession
+    psh_t = f"{store_name}__psh"
+    recover_orphaned_compaction(spark, psh_t)
+    exists = spark.catalog.tableExists(psh_t)
+
+    ps = swap_cache(
+        "dedup.incremental_substring_psh",
+        positional_shingle_hashes(
+            batch, n=width, id_col=id_col, text_col=text_col
+        ),
+    )
+    cnt_b = ps.groupBy("s").agg(F.count_distinct(F.col(id_col)).alias("nb"))
+    if exists:
+        store = spark.table(psh_t)
+        cnt_s = (
+            store.join(F.broadcast(ps.select("s").distinct()), "s", "left_semi")
+            .groupBy("s")
+            .agg(F.count_distinct(F.col(id_col)).alias("ns"))
+        )
+        keep = (
+            cnt_b.join(cnt_s, "s", "left")
+            .filter(
+                F.col("nb") + F.coalesce(F.col("ns"), F.lit(0))
+                <= max_docs_per_shingle
+            )
+            .select("s")
+        )
+    else:
+        keep = cnt_b.filter(F.col("nb") <= max_docs_per_shingle).select("s")
+
+    gated = ps.join(keep, "s", "left_semi")
+    cand = gated.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "s"
+    )
+    part = gated.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "s"
+    )
+    m = (
+        cand.join(part, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.col("pb").alias("p"),
+            (F.col("pb") - F.col("pa")).alias("diag"),
+        )
+    )
+    if exists:
+        part_s = store.join(keep, "s", "left_semi").select(
+            F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "s"
+        )
+        m_store = (
+            cand.join(part_s, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a", "doc_b", F.col("pb").alias("p"),
+                (F.col("pb") - F.col("pa")).alias("diag"),
+            )
+        )
+        # dropDuplicates: a crash-replayed batch has its own shingles
+        # in BOTH the store and the batch, which would double every
+        # match row and inflate island run lengths
+        m = m.unionByName(m_store).dropDuplicates(
+            ["doc_a", "doc_b", "diag", "p"]
+        )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("p")
+    runs = (
+        m.withColumn("__g", F.col("p") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "__g")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    drops = (
+        runs.filter(F.col("__run") + F.lit(width - 1) >= min_run_tokens)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    survivors = batch.join(drops, id_col, "left_anti")
+    if on_survivors is not None:
+        on_survivors(survivors)
+
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        ps.select("s", id_col, "pos"),
+        psh_t,
+        "s",
+        buckets=buckets,
+        sort_cols="s",
+        path=None if path is None else f"{path}/{psh_t}",
+        mode="append" if exists else "overwrite",
+    )
+    return survivors
+
+
+def duck_incremental_substring_sql(
+    splits: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_run_tokens: int = 20,
+    max_docs_per_shingle: int = 64,
+) -> str:
+    """DuckDB twin of ``incremental_substring_dedup_bucketed`` run
+    over successive batches: ``splits`` are SQL predicates over
+    ``{table}`` defining each batch in order. Batch-by-batch is
+    replayed EXACTLY — each stage's frequency gate counts distinct
+    docs over (history ∪ batch), matching only that stage's
+    candidates — because the gate makes the incremental run
+    legitimately different from one full-corpus pass (a shingle can
+    be cool early and hot later). Emits ``({id_col}, is_dup)`` for
+    every input doc."""
+    stages = []
+    drop_names = []
+    for i, pred in enumerate(splits):
+        hist = " OR ".join(f"({p})" for p in splits[: i + 1])
+        b, g, mm, ii, rr = f"b{i}", f"g{i}", f"m{i}", f"i{i}", f"r{i}"
+        stages.append(f"""
+        {b} AS (SELECT * FROM ps WHERE {pred}),
+        {g} AS (SELECT s FROM ps WHERE {hist} GROUP BY s
+                HAVING COUNT(DISTINCT {id_col}) <= {max_docs_per_shingle}),
+        {mm} AS (
+          SELECT p.{id_col} AS doc_a, c.{id_col} AS doc_b, c.pos AS p,
+                 c.pos - p.pos AS diag
+          FROM {b} c
+          JOIN {g} ON {g}.s = c.s
+          JOIN (SELECT * FROM ps WHERE {hist}) p
+            ON p.s = c.s AND p.{id_col} < c.{id_col}),
+        {ii} AS (
+          SELECT doc_a, doc_b, diag,
+                 p - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY p) AS grp
+          FROM {mm}),
+        {rr} AS (
+          SELECT DISTINCT doc_b AS {id_col} FROM {ii}
+          GROUP BY doc_a, doc_b, diag, grp
+          HAVING COUNT(*) + {width - 1} >= {min_run_tokens})""")
+        drop_names.append(rr)
+    dropped_union = " UNION ".join(f"SELECT {id_col} FROM {r}" for r in drop_names)
+    return f"""
+        WITH w AS (SELECT {id_col}, string_split({NORM_SQL_DUCK}, ' ') AS words
+                   FROM {table}),
+        ps AS (
+          SELECT {id_col}, t.i AS pos,
+                 ('0x'||substr(md5(array_to_string(
+                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,8))::BIGINT AS s
+          FROM w, UNNEST(range(1, greatest(len(words)-{width}+1, 1)+1)) AS t(i)),
+        {", ".join(stages)},
+        dropped AS ({dropped_union})
+        SELECT t.{id_col},
+               CAST(CASE WHEN d.{id_col} IS NULL THEN 0 ELSE 1 END AS INT)
+                 AS is_dup
+        FROM {table} t LEFT JOIN dropped d ON d.{id_col} = t.{id_col}
+    """
+
+
 def duck_substring_dedup_sql(
     source_sql: str = "SELECT doc_id, text FROM documents",
     id_col: str = "doc_id",

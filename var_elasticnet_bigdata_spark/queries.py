@@ -1492,6 +1492,62 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_substring_dedup()
 
 
+@query("dedup_substring_incremental", None)  # oracle registered below
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup against a PERSISTED bucketed positional-shingle
+    store (`dedup.incremental_substring_dedup_bucketed`) — the fourth
+    incremental store, closing the family: each batch is checked for
+    ≥20-token verbatim runs against ALL seen docs without re-reading
+    earlier batches; the store side of the hash join reads
+    exchange-free (bucketed on the shingle hash). Two id-ordered
+    batches here; the twin replays the SAME two stages (per-stage
+    frequency gate over history ∪ batch — the gate makes incremental
+    legitimately different from one full pass, so the twin unrolls
+    rather than hand-waving equivalence). Returns (doc_id, is_dup)
+    for the full corpus."""
+    import tempfile
+
+    from .operators.dedup import incremental_substring_dedup_bucketed
+
+    store = "q_dedup_sub_store"
+    spark.sql(f"DROP TABLE IF EXISTS {store}__psh")
+    path = tempfile.mkdtemp(prefix="spark_graft_sub_store_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = []
+    for pred in (F.col("doc_id") < 250, F.col("doc_id") >= 250):
+        s = incremental_substring_dedup_bucketed(
+            docs.filter(pred), store, buckets=8, path=path,
+            width=8, min_run_tokens=20, max_docs_per_shingle=64,
+        )
+        kept.append(s.select("doc_id"))
+    surv = kept[0].unionByName(kept[1])
+    return (
+        docs.select("doc_id")
+        .join(surv.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__k").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
+def _register_substring_incremental_oracle() -> None:
+    from .operators.dedup import duck_incremental_substring_sql
+
+    ORACLE["dedup_substring_incremental"] = duck_incremental_substring_sql(
+        splits=["doc_id < 250", "doc_id >= 250"],
+        width=8,
+        min_run_tokens=20,
+        max_docs_per_shingle=64,
+    )
+
+
+_register_substring_incremental_oracle()
+
+
 @query("dedup_best_of_cluster", None)  # oracle registered below
 def dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with the QUALITY-ARGMAX survivor rule
