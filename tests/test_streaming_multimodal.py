@@ -587,3 +587,85 @@ def test_stream_pq_adc_serving_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == batch and len(got) == emb.count()
+
+
+def test_stream_substring_dedup_against_store_matches_batch_chain(spark, tmp_path):
+    """The fourth streaming crawl loop: micro-batches substring-
+    deduped against the persisted positional-shingle store must yield
+    EXACTLY the survivors the batch incremental chain produces over
+    the same arrival order, with compaction firing mid-stream."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_substring_dedup_bucketed,
+    )
+    from var_elasticnet_bigdata_spark.streaming.dedup import (
+        stream_substring_dedup_against_store,
+    )
+
+    shared = " ".join(f"shr{i}word{i % 7}" for i in range(25))
+    uniq = lambda tag, k: " ".join(f"{tag}tok{i}" for i in range(k))
+    rows = [
+        (0, uniq("a", 12) + " " + shared),
+        (1, uniq("b", 40)),
+        (2, shared + " " + uniq("c", 15)),       # dup of 0 in batch 1
+        (5, uniq("d", 10) + " " + shared),       # dup vs store (doc 0)
+        (6, uniq("e", 45)),
+        (7, uniq("f", 9) + " " + uniq("g", 22)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = docs.filter(F.col("doc_id") < 5)
+    b2 = docs.filter(F.col("doc_id") >= 5)
+
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    spark.sql("DROP TABLE IF EXISTS ssubst__psh")
+    spark.sql("DROP TABLE IF EXISTS bsubst__psh")
+    try:
+        q = stream_substring_dedup_against_store(
+            stream,
+            "ssubst",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            out_path=str(tmp_path / "out"),
+            width=8,
+            min_run_tokens=20,
+            buckets=4,
+            store_path=str(tmp_path / "store"),
+            compact_every=2,  # fires after the final micro-batch
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        s1 = incremental_substring_dedup_bucketed(
+            b1, "bsubst", buckets=4, path=str(tmp_path / "bstore"),
+            width=8, min_run_tokens=20,
+        )
+        r1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+        s2 = incremental_substring_dedup_bucketed(
+            b2, "bsubst", buckets=4, path=str(tmp_path / "bstore"),
+            width=8, min_run_tokens=20,
+        )
+        ref = sorted(r1 + [r.doc_id for r in s2.select("doc_id").collect()])
+        assert got == ref
+        assert 2 not in got and 5 not in got  # in-batch + vs-store drops
+        assert 0 in got and 1 in got
+        # seen-set store: every batch row's shingles present (compacted)
+        docs_in_store = sorted(
+            r.doc_id
+            for r in spark.table("ssubst__psh").select("doc_id").distinct().collect()
+        )
+        assert docs_in_store == [0, 1, 2, 5, 6, 7]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ssubst__psh")
+        spark.sql("DROP TABLE IF EXISTS bsubst__psh")

@@ -295,3 +295,68 @@ def stream_semantic_dedup_against_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_substring_dedup_against_store(
+    docs: DataFrame,
+    store_name: str,
+    checkpoint_dir: str,
+    out_path: str,
+    width: int = 8,
+    min_run_tokens: int = 20,
+    max_docs_per_shingle: int = 64,
+    buckets: int = 32,
+    store_path: str | None = None,
+    compact_every: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous SUBSTRING dedup against the persisted positional-
+    shingle store (`operators/dedup.incremental_substring_dedup_
+    bucketed`) — the fourth streaming crawl loop (exact keys, MinHash
+    bands, semantic cells, positional shingles): each micro-batch is
+    checked for ≥``min_run_tokens``-token verbatim runs against ALL
+    accepted history (store side of the hash join exchange-free),
+    survivors commit to the parquet corpus FIRST via the operator's
+    ``on_survivors`` hook (sink-before-store: replay duplicates the
+    corpus, never loses a document; the store is a SEEN-SET and the
+    operator deduplicates replayed match rows before island counting,
+    so a replayed batch re-drops exactly its original drops).
+
+    ``compact_every``: every N batches the shingle store is compacted
+    in place (`sources/compaction.compact_bucketed`; crash inside it
+    heals via `recover_orphaned_compaction` at the next batch's
+    exists-probe) — the positional store grows fastest of the four
+    (one row per token position), so compaction matters most here.
+
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    from ..operators.dedup import incremental_substring_dedup_bucketed
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_substring_dedup_bucketed(
+            batch_df,
+            store_name,
+            width=width,
+            min_run_tokens=min_run_tokens,
+            max_docs_per_shingle=max_docs_per_shingle,
+            buckets=buckets,
+            path=store_path,
+            on_survivors=lambda surv: surv.write.mode("append").parquet(
+                out_path
+            ),
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..sources.compaction import compact_bucketed
+
+            compact_bucketed(batch_df.sparkSession, f"{store_name}__psh")
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
