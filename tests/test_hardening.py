@@ -339,7 +339,13 @@ def test_registry_rotation_deprioritizes_freshest_driver_green():
     green = _last_driver_green()
     if not green:  # fresh checkout: static fallback order, nothing to rotate
         return
-    rounds = [green.get(k, -1) for k in q[1:]]
+    from var_elasticnet_bigdata_spark.queries import _FORCE_FRESH
+
+    # _FORCE_FRESH queries (output contract changed this round) count
+    # as never-checked regardless of their stale green rows
+    rounds = [
+        -1 if k in _FORCE_FRESH else green.get(k, -1) for k in q[1:]
+    ]
     assert rounds == sorted(rounds), "staleness order must be ascending"
 
 
