@@ -145,3 +145,51 @@ def test_incremental_substring_store_cross_batch_drop(spark, tmp_path):
         assert sorted(r["doc_id"] for r in s2.collect()) == [11, 12]
     finally:
         spark.sql("DROP TABLE IF EXISTS subst__psh")
+
+
+def test_substring_scrub_removes_exact_span_only(spark, duck):
+    """Surgical scrub: the later doc loses EXACTLY the shared run's
+    tokens; the earlier doc is untouched; uninvolved docs pass
+    through with n_removed = 0; DuckDB twin agrees on every column
+    including the rebuilt text."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        duck_substring_scrub_sql,
+        substring_scrub,
+    )
+
+    shared = _run("s", 25)
+    rows = [
+        (1, _run("a", 10) + " " + shared + " " + _run("b", 7)),
+        (2, _run("c", 6) + " " + shared + " " + _run("d", 9)),
+        (3, _run("e", 30)),
+    ]
+    got = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"], r["text_clean"])
+        for r in substring_scrub(
+            _docs(spark, rows), width=8, min_run_tokens=20
+        ).collect()
+    }
+    # doc 1 is the FIRST occurrence: untouched
+    assert got[1] == (42, 0, rows[0][1].lower())
+    # doc 2 loses exactly the 25 shared tokens
+    assert got[2] == (15, 25, (_run("c", 6) + " " + _run("d", 9)).lower())
+    assert got[3] == (30, 0, rows[2][1].lower())
+
+    duck.execute("DROP TABLE IF EXISTS scr_docs")
+    duck.execute(
+        "CREATE TABLE scr_docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(
+            duck_substring_scrub_sql(
+                source_sql="SELECT doc_id, text FROM scr_docs",
+                width=8,
+                min_run_tokens=20,
+            )
+        ).fetchall()
+    }
+    duck.execute("DROP TABLE IF EXISTS scr_docs")
+    assert got == want

@@ -295,6 +295,202 @@ def substring_dedup(
     )
 
 
+def substring_overlap_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_run_tokens: int = 20,
+    max_docs_per_shingle: int = 64,
+) -> DataFrame:
+    """Token-span form of `substring_dedup`: for every qualifying
+    verbatim run, the 1-based normalized-token span it covers in the
+    HIGHER-id doc — ``(id_col, span_start, span_end)``, one row per
+    (partner, diagonal) island, spans may overlap (the scrub consumes
+    them with an any-span membership test, so no merge pass is
+    needed). The LOWER-id occurrence is never spanned: the first copy
+    is the one a Lee-et-al-style pipeline keeps.
+
+    Same pipeline as `substring_dedup` through the islands stage; the
+    island's shingle START positions [min_p, max_p] cover tokens
+    [min_p, max_p + width − 1]."""
+    from ..plans.cachereg import swap_cache
+
+    ps = swap_cache(
+        "dedup.substring_span_shingles",
+        positional_shingle_hashes(
+            df, n=width, id_col=id_col, text_col=text_col
+        ),
+    )
+    keep = (
+        ps.groupBy("s")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") <= max_docs_per_shingle)
+        .select("s")
+    )
+    gated = ps.join(keep, "s", "left_semi")
+    cand = gated.select(
+        F.col(id_col).alias("__b"), F.col("pos").alias("pb"), "s"
+    )
+    part = gated.select(
+        F.col(id_col).alias("__a"), F.col("pos").alias("pa"), "s"
+    )
+    m = (
+        cand.join(part, "s")
+        .filter(F.col("__a") < F.col("__b"))
+        .select(
+            "__a", "__b", F.col("pb").alias("p"),
+            (F.col("pb") - F.col("pa")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("__a", "__b", "diag").orderBy("p")
+    return (
+        m.withColumn("__g", F.col("p") - F.row_number().over(w))
+        .groupBy("__a", "__b", "diag", "__g")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(width - 1)).alias("span_end"),
+        )
+        .filter(
+            F.col("span_end") - F.col("span_start") + 1 >= min_run_tokens
+        )
+        .select(F.col("__b").alias(id_col), "span_start", "span_end")
+    )
+
+
+def substring_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_run_tokens: int = 20,
+    max_docs_per_shingle: int = 64,
+) -> DataFrame:
+    """SURGICAL substring dedup — what the Lee-et-al pipeline actually
+    does to the corpus: instead of dropping a document that shares a
+    ≥``min_run_tokens`` verbatim run with an earlier one, REMOVE the
+    repeated span from the later document and keep the rest. Returns
+    ``(id_col, n_kept, n_removed, text_clean)`` over the whole corpus
+    (``text_clean`` rebuilt from the KEPT normalized tokens; original
+    casing/punctuation inside scrubbed docs is not preserved — the
+    normalized stream is what training pipelines tokenize anyway, and
+    untouched docs keep n_removed = 0 so callers can pass their
+    original text through unchanged).
+
+    Relational shape: `substring_overlap_spans` (never doc×doc) →
+    one narrow posexplode of the normalized tokens → a broadcast-able
+    span membership join (token kept iff inside NO span of its doc —
+    overlapping spans need no merge pass under this test) → one
+    ordered re-aggregation per doc. The only shuffles are the span
+    pipeline's two uniform-hash ones plus the final per-doc group."""
+    spans = substring_overlap_spans(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        width=width,
+        min_run_tokens=min_run_tokens,
+        max_docs_per_shingle=max_docs_per_shingle,
+    )
+    toks = (
+        df.withColumn("__words", F.split(normalized_text(text_col), " "))
+        .select(
+            F.col(id_col),
+            F.posexplode("__words").alias("__p0", "__w"),
+        )
+        .select(id_col, (F.col("__p0") + 1).alias("pos"), "__w")
+    )
+    marked = (
+        toks.join(
+            spans.withColumnRenamed(id_col, "__sid"),
+            (F.col(id_col) == F.col("__sid"))
+            & (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") <= F.col("span_end")),
+            "left",
+        )
+        .groupBy(id_col, "pos", "__w")
+        .agg(F.max(F.col("__sid").isNotNull().cast("int")).alias("__cut"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum(F.lit(1) - F.col("__cut")).alias("n_kept"),
+            F.sum("__cut").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__cut") == 0,
+                                F.struct(
+                                    F.col("pos"), F.col("__w").alias("w")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+
+
+def duck_substring_scrub_sql(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_run_tokens: int = 20,
+    max_docs_per_shingle: int = 64,
+) -> str:
+    """DuckDB twin of ``substring_scrub`` (same spans, same any-span
+    membership test, same ordered re-aggregation)."""
+    return f"""
+        WITH src AS ({source_sql}),
+        w AS (SELECT {id_col}, string_split({NORM_SQL_DUCK}, ' ') AS words
+              FROM src),
+        ps AS (
+          SELECT {id_col}, t.i AS pos,
+                 ('0x'||substr(md5(array_to_string(
+                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,8))::BIGINT AS s
+          FROM w, UNNEST(range(1, greatest(len(words)-{width}+1, 1)+1)) AS t(i)),
+        keep AS (SELECT s FROM ps GROUP BY s
+                 HAVING COUNT(DISTINCT {id_col}) <= {max_docs_per_shingle}),
+        m AS (
+          SELECT a.{id_col} AS b, a.pos AS p, a.pos - pt.pos AS diag,
+                 pt.{id_col} AS a
+          FROM ps a
+          JOIN keep k ON k.s = a.s
+          JOIN ps pt ON pt.s = a.s AND pt.{id_col} < a.{id_col}),
+        isl AS (
+          SELECT a, b, diag, p,
+                 p - ROW_NUMBER() OVER (PARTITION BY a, b, diag
+                                        ORDER BY p) AS g
+          FROM m),
+        spans AS (
+          SELECT b AS {id_col}, MIN(p) AS s0,
+                 MAX(p) + {width - 1} AS e0
+          FROM isl GROUP BY a, b, diag, g
+          HAVING MAX(p) + {width - 1} - MIN(p) + 1 >= {min_run_tokens}),
+        toks AS (
+          SELECT {id_col}, t.i AS pos, words[t.i] AS tok
+          FROM w, UNNEST(range(1, len(words)+1)) AS t(i)),
+        marked AS (
+          SELECT t.{id_col}, t.pos, t.tok,
+                 MAX(CASE WHEN sp.{id_col} IS NULL THEN 0 ELSE 1 END) AS cut
+          FROM toks t
+          LEFT JOIN spans sp
+            ON sp.{id_col} = t.{id_col}
+           AND t.pos BETWEEN sp.s0 AND sp.e0
+          GROUP BY 1, 2, 3)
+        SELECT {id_col},
+               CAST(SUM(1 - cut) AS BIGINT) AS n_kept,
+               CAST(SUM(cut) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(CASE WHEN cut = 0 THEN tok END, ' '
+                                   ORDER BY pos), '') AS text_clean
+        FROM marked GROUP BY 1
+    """
+
+
 def incremental_substring_dedup_bucketed(
     batch: DataFrame,
     store_name: str,

@@ -1492,6 +1492,61 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_substring_dedup()
 
 
+@query("dedup_substring_scrub", None)  # oracle registered below
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL substring dedup (`dedup.substring_scrub`): remove the
+    ≥20-token repeated span from the LATER document and keep the rest
+    — what the Lee-et-al pipeline actually does to the corpus (the
+    pair-flagging form is `dedup_substring`; this one rewrites).
+    Runs on the same planted corpus, so the planted docs lose exactly
+    their 30-token copied prefix while their unique tails survive,
+    and exact-duplicate clusters scrub to near-empty later copies.
+    Everything stays relational: spans via the gated pair join +
+    diagonal islands, then one narrow token explode, an any-span
+    membership join, and one ordered per-doc re-aggregation."""
+    from .operators.dedup import substring_scrub
+
+    plant_spark, _ = _substring_planted_sources()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 97 == 0)
+            & (F.size(F.split(F.col("text"), " ")) >= 40)
+        )
+        .select(
+            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+            F.expr(plant_spark).alias("text"),
+        )
+    )
+    return substring_scrub(
+        docs.unionByName(planted),
+        width=8,
+        min_run_tokens=20,
+        max_docs_per_shingle=64,
+    )
+
+
+def _register_substring_scrub() -> None:
+    from .operators.dedup import duck_substring_scrub_sql
+
+    _, duck_plant = _substring_planted_sources()
+    src = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 50000000 AS doc_id, {duck_plant} AS text
+        FROM documents
+        WHERE doc_id % 97 = 0
+          AND len(string_split(text, ' ')) >= 40
+    """
+    ORACLE["dedup_substring_scrub"] = duck_substring_scrub_sql(
+        source_sql=src, width=8, min_run_tokens=20, max_docs_per_shingle=64
+    )
+
+
+_register_substring_scrub()
+
+
 @query("dedup_substring_incremental", None)  # oracle registered below
 def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring dedup against a PERSISTED bucketed positional-shingle
