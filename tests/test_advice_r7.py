@@ -189,3 +189,46 @@ def test_theils_u_twin_parity_on_zero_prefix(spark, duck):
     assert got == [tuple(r) for r in want]
     # the degenerate origin really is in play: phi(o=8) has den = 0
     assert got[0][1] is not None
+
+
+def test_pca_top2_deflation_matches_replication(spark, emb):
+    """r8 `pca_top_components`: component 0 must equal the
+    single-component query exactly (shared Gram + matvec path), and
+    component 1 must match an independent numpy replication of the
+    twin's deflation arithmetic — 6-dp u1, 9-dp Rayleigh, bit-exact
+    (λ·u_i)·u_j deflation re-snapped to 9 dp, same matvec chain."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pca_power_component,
+        pca_top_components,
+        snap_half_away,
+    )
+
+    got = {
+        (r["component"], r["pos"]): r["loading"]
+        for r in pca_top_components(emb, k=2, iters=3).collect()
+    }
+    one = {
+        r["pos"]: r["loading"]
+        for r in pca_power_component(emb, iters=3).collect()
+    }
+    d = len(one)
+    assert len(got) == 2 * d
+    for p in range(d):
+        assert got[(0, p)] == one[p]
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    mu = snap_half_away(V.mean(axis=0), 12)
+    M = V - mu
+    G = snap_half_away(M.T @ M, 9)
+    u1 = np.array([one[p] for p in range(d)])
+    lam = float(snap_half_away(np.array((u1[:, None] * G * u1[None, :]).sum()), 9))
+    G2 = snap_half_away(G - (lam * u1)[:, None] * u1[None, :], 9)
+    y = np.ones(d)
+    for _ in range(3):
+        y = G2 @ y
+    u2 = snap_half_away(y / np.sqrt((y * y).sum()), 6)
+    for p in range(d):
+        assert got[(1, p)] == u2[p], (p, got[(1, p)], u2[p])
+    # deflation actually changed the direction
+    assert any(got[(0, p)] != got[(1, p)] for p in range(d))

@@ -1848,6 +1848,28 @@ def pca_power_component(
     ``(pos, loading)`` — the unit top eigenvector, sign fixed by the
     deterministic ones start.
     """
+    G = _distributed_gram(df, id_col, vec_col, mean_dp, gram_dp)
+    u = _power_component(G, iters, out_dp)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(p), float(u[p])) for p in range(len(u))],
+        "pos int, loading double",
+    )
+
+
+def _distributed_gram(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mean_dp: int,
+    gram_dp: int,
+) -> np.ndarray:
+    """The ONE-scan mean-centered Gram shared by the PCA queries:
+    combinable per-pos AVG (snapped ``mean_dp``), an Arrow pass whose
+    batches each emit a d² BLAS partial, one combinable groupBy(i, j)
+    with the ``gram_dp`` snap applied right after the SUM (ADVICE r7
+    #5 — bounds shuffle-order drift before anything iterates on the
+    cells)."""
     d0 = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -1860,7 +1882,7 @@ def pca_power_component(
         .collect()
     )
     if not mu_rows:
-        raise ValueError("pca_power_component: empty input")
+        raise ValueError("pca: empty input")
     d = max(r["pos"] for r in mu_rows) + 1
     mu = np.zeros(d, dtype=np.float64)
     for r in mu_rows:
@@ -1888,17 +1910,66 @@ def pca_power_component(
     G = np.zeros((d, d), dtype=np.float64)
     for r in g_rows:
         G[r["i"], r["j"]] = r["g"]
-    y = np.ones(d, dtype=np.float64)
+    return G
+
+
+def _power_component(G: np.ndarray, iters: int, out_dp: int) -> np.ndarray:
+    """``iters`` matvecs from the ones vector, one final half-away
+    ``out_dp`` snap — the twin replays the identical SUM-join rounds."""
+    y = np.ones(G.shape[0], dtype=np.float64)
     for _ in range(iters):
         y = G @ y
     n = math.sqrt(float((y * y).sum()))
     if n == 0:
         n = 1.0
+    return snap_half_away(y / n, out_dp)
+
+
+def pca_top_components(
+    df: DataFrame,
+    k: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_dp: int = 12,
+    gram_dp: int = 9,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` principal components via Hotelling DEFLATION on the
+    one-scan distributed Gram — the multi-direction form of
+    `pca_power_component` that ABTT-style whitening actually removes
+    (all-but-the-top subtracts the top FEW directions, not one).
+    Returns ``(component, pos, loading)``; component c is the unit
+    eigenvector of the c-times-deflated Gram, sign fixed by the ones
+    start.
+
+    Scale shape: the corpus is scanned ONCE (the same d² Gram reduce
+    as the single-component query); every deflation round is pure
+    d×d driver arithmetic — k never touches the corpus.
+
+    Float discipline (hash-gate twin contract): each component snaps
+    half-away to ``out_dp`` BEFORE it feeds deflation; the Rayleigh
+    value λ_c = uᵀG_c u snaps to ``gram_dp`` (a 4096-term sum whose
+    order differs across engines — snapped like the Gram cells); the
+    deflated cell update ``g − (λ·u_i)·u_j`` is three flops on
+    bit-identical snapped inputs, so G_{c+1} is bit-identical across
+    engines after its own ``gram_dp`` snap, and each component's
+    matvec chain faces only the same absorbed drift as the first."""
+    G = _distributed_gram(df, id_col, vec_col, mean_dp, gram_dp)
+    rows = []
+    for c in range(k):
+        u = _power_component(G, iters, out_dp)
+        rows += [(c, int(p), float(u[p])) for p in range(len(u))]
+        if c + 1 < k:
+            lam = float(
+                snap_half_away(
+                    np.array((u[:, None] * G * u[None, :]).sum()), gram_dp
+                )
+            )
+            G = snap_half_away(G - (lam * u)[:, None] * u[None, :], gram_dp)
     spark = df.sparkSession
-    loadings = snap_half_away(y / n, out_dp)
     return spark.createDataFrame(
-        [(int(p), float(loadings[p])) for p in range(d)],
-        "pos int, loading double",
+        rows, "component int, pos int, loading double"
     )
 
 

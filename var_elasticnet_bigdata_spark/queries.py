@@ -6997,6 +6997,48 @@ def ann_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pca_top2",
+    _PCA_CTE
+    + """,
+    u1 AS (SELECT j AS i, ROUND(x / n, 6) AS u FROM x3, nrm),
+    lam1 AS (
+      SELECT ROUND(SUM(a.u * g.g * b.u), 9) AS l
+      FROM g JOIN u1 a ON a.i = g.i JOIN u1 b ON b.i = g.j
+    ),
+    g2 AS (
+      SELECT g.i, g.j, ROUND(g.g - lam1.l * a.u * b.u, 9) AS g
+      FROM g JOIN u1 a ON a.i = g.i JOIN u1 b ON b.i = g.j, lam1
+    ),
+    y1 AS (SELECT j, SUM(g) AS x FROM g2 GROUP BY 1),
+    y2 AS (SELECT g2.j AS j, SUM(g2.g * y1.x) AS x
+           FROM g2 JOIN y1 ON y1.j = g2.i GROUP BY 1),
+    y3 AS (SELECT g2.j AS j, SUM(g2.g * y2.x) AS x
+           FROM g2 JOIN y2 ON y2.j = g2.i GROUP BY 1),
+    nrm2 AS (SELECT sqrt(SUM(x * x)) AS n FROM y3)
+    SELECT 0 AS component, i - 1 AS pos, u AS loading FROM u1
+    UNION ALL
+    SELECT 1 AS component, j - 1 AS pos, ROUND(x / n, 6) AS loading
+    FROM y3, nrm2
+    ORDER BY component, pos
+    """,
+)
+def ann_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components via Hotelling DEFLATION on the
+    one-scan distributed Gram (`similarity.pca_top_components`, r8) —
+    what ABTT-style whitening actually removes (the top FEW
+    directions, not one). The corpus is scanned once; each deflation
+    round is pure d×d driver arithmetic. The twin unrolls the whole
+    second round: u1's 6-dp snap, the 9-dp Rayleigh λ1 (a 4096-term
+    engine-order sum, snapped like the Gram cells), the bit-exact
+    deflated Gram g − (λ·u_i)·u_j re-snapped to 9 dp, then the same
+    three SUM-join matvec rounds and unit normalization."""
+    from .operators.similarity import pca_top_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_components(emb, k=2, iters=3)
+
+
+@query(
     "ann_whiten_norms",
     _PCA_CTE
     + """,
