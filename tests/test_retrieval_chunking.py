@@ -332,3 +332,39 @@ def test_chunk_grid_matches_formula(spark, cs, st):
             for k in range(len(want)):
                 covered.update(range(k * st, k * st + want[k]))
             assert covered == set(range(n)), (n, cs, st)
+
+
+def test_cluster_top_terms_labels_distinct_vocabulary(spark):
+    """c-TF-IDF cluster labeling (r8): cells with distinct member
+    vocabulary surface their OWN terms; vocabulary shared by every
+    cell scores ln(nlist/nlist) = 0 and loses to cell-specific terms."""
+    from var_elasticnet_bigdata_spark.operators.retrieval import (
+        cluster_top_terms,
+    )
+
+    # 8 vectors on 4 axes -> seed cells 0..3 (vec_id % 4), refined
+    # centroids stay on the axes; docs per axis share a vocabulary
+    vocab = {0: "apple orchard", 1: "neutron star", 2: "violin sonata",
+             3: "glacier moraine"}
+    emb_rows, doc_rows = [], []
+    for i in range(8):
+        axis = i % 4
+        v = [0.0] * 4
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = 0.01 * (i % 3)
+        emb_rows.append((i, v))
+        doc_rows.append(
+            (i, f"common filler words {vocab[axis]} {vocab[axis]}")
+        )
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    out = cluster_top_terms(emb, docs, nlist=4, k=2).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append((r["rank"], r["tok"], r["score"]))
+    assert len(by_cell) == 4
+    for cell, terms in by_cell.items():
+        toks = {t for _, t, _ in terms}
+        # the cell's own two-word vocabulary wins both slots
+        assert toks == set(vocab[cell].split()), (cell, terms)
+        assert all(s > 0 for _, _, s in terms)

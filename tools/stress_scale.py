@@ -51,7 +51,7 @@ FAMILY = [
     # exact substring dedup (positional shingles + frequency-gated
     # pair join + diagonal islands)
     "ann_ivfpq_serve", "dedup_substring", "dedup_substring_incremental",
-    "dedup_substring_scrub", "ann_pca_top2",
+    "dedup_substring_scrub", "ann_pca_top2", "ann_cluster_topterms",
 ]
 
 

@@ -209,6 +209,86 @@ def tfidf_top_terms(
     )
 
 
+def cluster_top_terms(
+    emb: DataFrame,
+    docs: DataFrame,
+    nlist: int = 16,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Semantic-cluster LABELING — the BERTopic-style c-TF-IDF report
+    a curation pipeline runs after clustering its embedding corpus:
+    per trained k-means cell, the top-``k`` terms of the member
+    documents, scored ``tf_cell · ln(nlist / df_cells)`` where
+    ``df_cells`` = number of cells containing the term (cluster-level
+    IDF: terms every cluster shares score to ~0, cell-specific
+    vocabulary rises). Answers "what IS cluster 7" before deciding
+    SemDeDup thresholds or mixture weights per topic.
+
+    Scale shape: one distributed Lloyd step trains the cells (only
+    nlist×d moves), assignment is the constant-folded argmax pass (no
+    join), the token shuffle is the same single (cell|doc)-keyed
+    reduce TF-IDF pays, and the per-cell rank window partitions on
+    cell — nothing global, nothing doc×doc. Returns
+    ``(cell, rank, tok, score)``; scores round to 6 dp before the
+    (score DESC, tok ASC) rank so both engines pick identical sets.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from .dedup import norm_sql_spark
+    from .similarity import kmeans_refine, with_assigned_cell
+
+    rows = kmeans_refine(emb, nlist, id_col=id_col, vec_col=vec_col).collect()
+    cells = sorted({r["cell"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    C = np.zeros((len(cells), dim), dtype=np.float64)
+    idx = {c: i for i, c in enumerate(cells)}
+    for r in rows:
+        C[idx[r["cell"]], r["pos"]] = r["c"]
+    # RAW vectors into the argmax (its contract: positive-scale
+    # invariant) — normalizing first wraps every one of the nlist
+    # folded dot products around a nested norm-fold expression, which
+    # CollapseProject re-inlines nlist×d times per row (measured 14 s
+    # for a 2000-row assignment; raw column: milliseconds)
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    assigned = with_assigned_cell(v, C, vec_expr="__v").select(
+        F.col(id_col).alias(doc_id_col), "cell"
+    )
+
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    toks = docs.select(
+        F.col(doc_id_col), F.explode(F.expr(words)).alias("tok")
+    )
+    tf = (
+        toks.join(assigned, doc_id_col)
+        .groupBy("cell", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("score").desc(), F.col("tok")
+    )
+    return (
+        tf.join(dfc, "tok")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(nlist)) / F.col("dfc")), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("cell", "rank", "tok", "score")
+    )
+
+
 def duck_tfidf_sql(
     k: int = 3, id_col: str = "doc_id", table: str = "documents"
 ) -> str:

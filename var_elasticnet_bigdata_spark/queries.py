@@ -7039,6 +7039,71 @@ def ann_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_cluster_topterms",
+    _SEED_ASSIGN_CTE
+    + _REFINE_CTE
+    + """,
+    centr AS (
+      SELECT cell,
+             list_transform(c, x -> ROUND(x /
+               CASE WHEN s2 = 0 THEN 1.0 ELSE sqrt(s2) END, 6)) AS c
+      FROM cn
+    ),
+    sims2 AS (
+      SELECT n.vec_id, cr.cell, list_dot_product(n.e, cr.c) AS s
+      FROM n CROSS JOIN centr cr
+    ),
+    rank2 AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cell ASC) AS rn
+      FROM sims2
+    ),
+    asg2 AS (SELECT vec_id, cell FROM rank2 WHERE rn = 1),
+    toks AS (
+      SELECT d.doc_id, t.tok
+      FROM documents d,
+           UNNEST(list_filter(string_split(trim(regexp_replace(
+             regexp_replace(lower(d.text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')), ' '), x -> x <> '')) AS t(tok)),
+    tf AS (
+      SELECT a.cell, t.tok, COUNT(*) AS tf
+      FROM toks t JOIN asg2 a ON a.vec_id = t.doc_id
+      GROUP BY 1, 2
+    ),
+    dfc AS (SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.cell, tf.tok,
+             ROUND(tf.tf * LN(16.0 / dfc.dfc), 6) AS score
+      FROM tf JOIN dfc USING (tok)
+    ),
+    rankt AS (
+      SELECT cell, tok, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                  ORDER BY score DESC, tok) AS INT) AS rank
+      FROM scored)
+    SELECT cell, rank, tok, score FROM rankt WHERE rank <= 3
+    """,
+)
+def ann_cluster_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster LABELING (`retrieval.cluster_top_terms`, r8):
+    per trained k-means cell, the top-3 c-TF-IDF terms of the member
+    documents (BERTopic-style cluster-level IDF: ln(nlist/df_cells) —
+    shared vocabulary scores to ~0, cell-specific vocabulary rises) —
+    the "what IS cluster 7" report a curation pipeline runs before
+    setting per-topic SemDeDup thresholds or mixture weights. One
+    Lloyd step trains the cells (nlist×d moves), the joinless argmax
+    assigns, one (cell|token)-keyed reduce + a per-cell rank window —
+    nothing global, nothing doc×doc. The twin replays train →
+    re-assign → tokenize → c-TF-IDF → rank in one CTE chain."""
+    from .operators.retrieval import cluster_top_terms
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_top_terms(emb, docs, nlist=16, k=3)
+
+
+@query(
     "ann_whiten_norms",
     _PCA_CTE
     + """,
