@@ -232,3 +232,37 @@ def test_pca_top2_deflation_matches_replication(spark, emb):
         assert got[(1, p)] == u2[p], (p, got[(1, p)], u2[p])
     # deflation actually changed the direction
     assert any(got[(0, p)] != got[(1, p)] for p in range(d))
+
+
+def test_remove_top_directions_matches_manual(spark, emb):
+    """r8 ABTT-k apply: projections and residual norm match a numpy
+    mirror using the same left-associated per-element arithmetic on
+    the same 6-dp components."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        pca_top_components,
+        remove_top_directions,
+        snap_half_away,
+    )
+
+    rows = pca_top_components(emb, k=2, iters=3).collect()
+    d = max(r["pos"] for r in rows) + 1
+    U = np.zeros((2, d))
+    for r in rows:
+        U[r["component"], r["pos"]] = r["loading"]
+    got = {
+        r["vec_id"]: (r["proj_0"], r["proj_1"], r["resid_norm"])
+        for r in remove_top_directions(emb, U).collect()
+    }
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    for q in range(0, len(ids), 97):
+        v = V[q]
+        p = [float((v * U[c]).sum()) for c in range(2)]
+        r = (v - p[0] * U[0]) - p[1] * U[1]
+        want = (
+            float(snap_half_away(np.array(p[0]), 6)),
+            float(snap_half_away(np.array(p[1]), 6)),
+            float(snap_half_away(np.array(np.sqrt((r * r).sum())), 6)),
+        )
+        assert got[int(ids[q])] == pytest.approx(want, abs=2e-6)

@@ -1973,6 +1973,55 @@ def pca_top_components(
     )
 
 
+def remove_top_directions(
+    df: DataFrame,
+    loadings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """ABTT apply with the top-``k`` directions (`pca_top_components`
+    output) — all-but-the-top proper subtracts the top FEW principal
+    directions, not one: per vector the k projections and the norm of
+    ``v − Σ_c p_c·u_c``. Like `remove_dominant_direction` this is ONE
+    narrow JVM pass (k·d loadings fold in as constants, the residual
+    is a sequence fold with left-associated per-element subtraction —
+    twin-identical op order), no join, no shuffle. Returns
+    ``(id_col, proj_0..proj_{k-1}, resid_norm)``."""
+    U = [[float(x) for x in row] for row in loadings]
+    d = len(U[0])
+    lits = [
+        "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in u) + ")"
+        for u in U
+    ]
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    for c, lit in enumerate(lits):
+        staged = staged.withColumn(
+            f"__p{c}",
+            F.expr(
+                f"aggregate(zip_with(__v, {lit}, (x, y) -> x * y), 0D,"
+                " (a, b) -> a + b)"
+            ),
+        )
+    term = "element_at(__v, i)" + "".join(
+        f" - __p{c} * element_at({lit}, i)" for c, lit in enumerate(lits)
+    )
+    resid_sq = (
+        f"aggregate(transform(sequence(1, {d}), i -> ({term}) * ({term})),"
+        " 0D, (a, b) -> a + b)"
+    )
+    return staged.select(
+        F.col(id_col),
+        *[
+            F.expr(f"round(__p{c}, {round_dp})").alias(f"proj_{c}")
+            for c in range(len(U))
+        ],
+        F.expr(f"round(sqrt({resid_sq}), {round_dp})").alias("resid_norm"),
+    )
+
+
 def ivfpq_recall_top1(
     df: DataFrame,
     nlist: int = 16,

@@ -7104,6 +7104,65 @@ def ann_cluster_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_abtt2_norms",
+    _PCA_CTE
+    + """,
+    u1 AS (SELECT j AS i, ROUND(x / n, 6) AS u FROM x3, nrm),
+    lam1 AS (
+      SELECT ROUND(SUM(a.u * g.g * b.u), 9) AS l
+      FROM g JOIN u1 a ON a.i = g.i JOIN u1 b ON b.i = g.j
+    ),
+    g2 AS (
+      SELECT g.i, g.j, ROUND(g.g - lam1.l * a.u * b.u, 9) AS g
+      FROM g JOIN u1 a ON a.i = g.i JOIN u1 b ON b.i = g.j, lam1
+    ),
+    y1 AS (SELECT j, SUM(g) AS x FROM g2 GROUP BY 1),
+    y2 AS (SELECT g2.j AS j, SUM(g2.g * y1.x) AS x
+           FROM g2 JOIN y1 ON y1.j = g2.i GROUP BY 1),
+    y3 AS (SELECT g2.j AS j, SUM(g2.g * y2.x) AS x
+           FROM g2 JOIN y2 ON y2.j = g2.i GROUP BY 1),
+    nrm2 AS (SELECT sqrt(SUM(x * x)) AS n FROM y3),
+    u1v AS (SELECT list(u ORDER BY i) AS u FROM u1),
+    u2v AS (SELECT list(ROUND(x / n, 6) ORDER BY j) AS u FROM y3, nrm2),
+    pv AS (
+      SELECT v.vec_id, v.e,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> v.e[i] * a.u[i]), (x, y) -> x + y) AS p1,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> v.e[i] * b.u[i]), (x, y) -> x + y) AS p2
+      FROM v CROSS JOIN u1v a CROSS JOIN u2v b
+    )
+    SELECT vec_id, ROUND(p1, 6) AS proj_0, ROUND(p2, 6) AS proj_1,
+           ROUND(sqrt(list_reduce(list_transform(generate_series(1, 64),
+             i -> (pv.e[i] - pv.p1 * a.u[i] - pv.p2 * b.u[i])
+                * (pv.e[i] - pv.p1 * a.u[i] - pv.p2 * b.u[i])),
+             (x, y) -> x + y)), 6) AS resid_norm
+    FROM pv CROSS JOIN u1v a CROSS JOIN u2v b ORDER BY vec_id
+    """,
+)
+def ann_abtt2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABTT apply with the top-2 DEFLATED components
+    (`similarity.remove_top_directions` over `pca_top_components`,
+    r8) — all-but-the-top proper: per vector both projections and
+    ``‖v − p₁u₁ − p₂u₂‖``. The 128 loadings fold into ONE narrow JVM
+    pass (no join, no shuffle); the twin re-derives u1, the 9-dp
+    Rayleigh deflation, u2, and replays projections + residual with
+    identical left-associated per-element arithmetic."""
+    from .operators.similarity import (
+        pca_top_components,
+        remove_top_directions,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = pca_top_components(emb, k=2, iters=3).collect()
+    d = max(r["pos"] for r in rows) + 1
+    U = [[0.0] * d for _ in range(2)]
+    for r in rows:
+        U[r["component"]][r["pos"]] = r["loading"]
+    return remove_top_directions(emb, U)
+
+
+@query(
     "ann_whiten_norms",
     _PCA_CTE
     + """,
