@@ -193,3 +193,34 @@ def test_substring_scrub_removes_exact_span_only(spark, duck):
     }
     duck.execute("DROP TABLE IF EXISTS scr_docs")
     assert got == want
+
+
+def test_decontaminate_spans_cross_corpus_only(spark):
+    """Cross-corpus decontamination: a train doc quoting a protected
+    doc loses exactly the quoted run; train-train duplication is NOT
+    touched (that's substring_dedup's job); protected docs are never
+    rewritten (they're not in the output)."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        decontaminate_spans,
+    )
+
+    bench_line = _run("bm", 22)
+    train_shared = _run("tt", 25)
+    train = _docs(spark, [
+        (1, _run("a", 10) + " " + bench_line + " " + _run("b", 8)),
+        (2, _run("c", 12) + " " + train_shared),
+        (3, train_shared + " " + _run("d", 14)),
+        (4, _run("e", 35)),
+    ])
+    prot = _docs(spark, [(100, _run("p", 5) + " " + bench_line)])
+    out = {
+        r["doc_id"]: (r["n_kept"], r["n_removed"])
+        for r in decontaminate_spans(
+            train, prot, width=8, min_run_tokens=20
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (18, 22)   # exactly the benchmark quote removed
+    assert out[2] == (37, 0)    # train-train overlap untouched
+    assert out[3] == (39, 0)
+    assert out[4] == (35, 0)

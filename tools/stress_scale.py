@@ -52,7 +52,7 @@ FAMILY = [
     # pair join + diagonal islands)
     "ann_ivfpq_serve", "dedup_substring", "dedup_substring_incremental",
     "dedup_substring_scrub", "ann_pca_top2", "ann_cluster_topterms",
-    "ann_abtt2_norms",
+    "ann_abtt2_norms", "split_decontaminate_spans",
 ]
 
 

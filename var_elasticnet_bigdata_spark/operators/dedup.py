@@ -302,14 +302,24 @@ def substring_overlap_spans(
     width: int = 8,
     min_run_tokens: int = 20,
     max_docs_per_shingle: int = 64,
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """Token-span form of `substring_dedup`: for every qualifying
     verbatim run, the 1-based normalized-token span it covers in the
-    HIGHER-id doc — ``(id_col, span_start, span_end)``, one row per
+    flagged doc — ``(id_col, span_start, span_end)``, one row per
     (partner, diagonal) island, spans may overlap (the scrub consumes
     them with an any-span membership test, so no merge pass is
-    needed). The LOWER-id occurrence is never spanned: the first copy
-    is the one a Lee-et-al-style pipeline keeps.
+    needed).
+
+    Two modes:
+    - ``against=None`` (within-corpus): the HIGHER-id doc of each
+      pair is spanned; the LOWER-id first copy is the one a
+      Lee-et-al-style pipeline keeps.
+    - ``against=<protected frame>`` (cross-corpus DECONTAMINATION):
+      every ``df`` doc sharing a run with ANY ``against`` doc is
+      spanned, regardless of ids (ids must be globally unique across
+      the two frames — true for a split of one table; the frequency
+      gate counts distinct docs over both sides together).
 
     Same pipeline as `substring_dedup` through the islands stage; the
     island's shingle START positions [min_p, max_p] cover tokens
@@ -322,26 +332,34 @@ def substring_overlap_spans(
             df, n=width, id_col=id_col, text_col=text_col
         ),
     )
+    if against is None:
+        gate_src = ps
+    else:
+        ps_part = swap_cache(
+            "dedup.substring_span_shingles_against",
+            positional_shingle_hashes(
+                against, n=width, id_col=id_col, text_col=text_col
+            ),
+        )
+        gate_src = ps.unionByName(ps_part)
     keep = (
-        ps.groupBy("s")
+        gate_src.groupBy("s")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") <= max_docs_per_shingle)
         .select("s")
     )
-    gated = ps.join(keep, "s", "left_semi")
-    cand = gated.select(
+    cand = ps.join(keep, "s", "left_semi").select(
         F.col(id_col).alias("__b"), F.col("pos").alias("pb"), "s"
     )
-    part = gated.select(
-        F.col(id_col).alias("__a"), F.col("pos").alias("pa"), "s"
-    )
-    m = (
-        cand.join(part, "s")
-        .filter(F.col("__a") < F.col("__b"))
-        .select(
-            "__a", "__b", F.col("pb").alias("p"),
-            (F.col("pb") - F.col("pa")).alias("diag"),
-        )
+    part = (ps if against is None else ps_part).join(
+        keep, "s", "left_semi"
+    ).select(F.col(id_col).alias("__a"), F.col("pos").alias("pa"), "s")
+    m = cand.join(part, "s")
+    if against is None:
+        m = m.filter(F.col("__a") < F.col("__b"))
+    m = m.select(
+        "__a", "__b", F.col("pb").alias("p"),
+        (F.col("pb") - F.col("pa")).alias("diag"),
     )
     w = Window.partitionBy("__a", "__b", "diag").orderBy("p")
     return (
@@ -391,6 +409,16 @@ def substring_scrub(
         min_run_tokens=min_run_tokens,
         max_docs_per_shingle=max_docs_per_shingle,
     )
+    return _scrub_with_spans(df, spans, id_col, text_col)
+
+
+def _scrub_with_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Token removal shared by `substring_scrub` and
+    `decontaminate_spans`: one narrow token explode, an any-span
+    membership join (overlapping spans need no merge under this
+    test), one ordered per-doc re-aggregation."""
     toks = (
         df.withColumn("__words", F.split(normalized_text(text_col), " "))
         .select(
@@ -433,6 +461,42 @@ def substring_scrub(
             ).alias("text_clean"),
         )
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    protected: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_run_tokens: int = 20,
+    max_docs_per_shingle: int = 64,
+) -> DataFrame:
+    """SPAN-LEVEL train/benchmark decontamination — the production
+    follow-up to `split_contamination`'s hit-ratio report: find every
+    ≥``min_run_tokens``-token verbatim run a training document shares
+    with the PROTECTED corpus (benchmarks, eval sets) and REMOVE just
+    those spans, keeping the rest of the document (dropping whole
+    docs over one quoted benchmark line wastes data; leaving the line
+    in leaks the benchmark). Returns the same
+    ``(id_col, n_kept, n_removed, text_clean)`` contract as
+    `substring_scrub`, over every train doc.
+
+    Scale shape: identical to `substring_scrub` (positional shingles,
+    frequency gate over both corpora, one uniform-hash join keyed by
+    the PROTECTED side — benchmark-sized, so candidate fan-out is
+    bounded by the protected corpus, not train×train) — never
+    doc×doc, no suffix arrays."""
+    spans = substring_overlap_spans(
+        train,
+        id_col=id_col,
+        text_col=text_col,
+        width=width,
+        min_run_tokens=min_run_tokens,
+        max_docs_per_shingle=max_docs_per_shingle,
+        against=protected,
+    )
+    return _scrub_with_spans(train, spans, id_col, text_col)
 
 
 def duck_substring_scrub_sql(
@@ -687,6 +751,70 @@ def duck_incremental_substring_sql(
                CAST(CASE WHEN d.{id_col} IS NULL THEN 0 ELSE 1 END AS INT)
                  AS is_dup
         FROM {table} t LEFT JOIN dropped d ON d.{id_col} = t.{id_col}
+    """
+
+
+def duck_decontaminate_sql(
+    train_pred: str,
+    protected_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_run_tokens: int = 20,
+    max_docs_per_shingle: int = 64,
+) -> str:
+    """DuckDB twin of ``decontaminate_spans`` where the train and
+    protected corpora are predicates over one table (the gated
+    query's split case): union frequency gate, train×protected span
+    islands, any-span removal, ordered text rebuild."""
+    return f"""
+        WITH w AS (SELECT {id_col}, string_split({NORM_SQL_DUCK}, ' ') AS words
+                   FROM {table}),
+        ps AS (
+          SELECT {id_col}, t.i AS pos,
+                 ('0x'||substr(md5(array_to_string(
+                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,8))::BIGINT AS s
+          FROM w, UNNEST(range(1, greatest(len(words)-{width}+1, 1)+1)) AS t(i)),
+        pst AS (SELECT * FROM ps WHERE {train_pred}),
+        psp AS (SELECT * FROM ps WHERE {protected_pred}),
+        keep AS (
+          SELECT s FROM (SELECT s, {id_col} FROM pst
+                         UNION ALL SELECT s, {id_col} FROM psp)
+          GROUP BY s HAVING COUNT(DISTINCT {id_col}) <= {max_docs_per_shingle}),
+        m AS (
+          SELECT pr.{id_col} AS a, t.{id_col} AS b, t.pos AS p,
+                 t.pos - pr.pos AS diag
+          FROM pst t
+          JOIN keep k ON k.s = t.s
+          JOIN psp pr ON pr.s = t.s),
+        isl AS (
+          SELECT a, b, diag, p,
+                 p - ROW_NUMBER() OVER (PARTITION BY a, b, diag
+                                        ORDER BY p) AS g
+          FROM m),
+        spans AS (
+          SELECT b AS {id_col}, MIN(p) AS s0,
+                 MAX(p) + {width - 1} AS e0
+          FROM isl GROUP BY a, b, diag, g
+          HAVING MAX(p) + {width - 1} - MIN(p) + 1 >= {min_run_tokens}),
+        toks AS (
+          SELECT {id_col}, t.i AS pos, words[t.i] AS tok
+          FROM w, UNNEST(range(1, len(words)+1)) AS t(i)
+          WHERE {train_pred}),
+        marked AS (
+          SELECT t.{id_col}, t.pos, t.tok,
+                 MAX(CASE WHEN sp.{id_col} IS NULL THEN 0 ELSE 1 END) AS cut
+          FROM toks t
+          LEFT JOIN spans sp
+            ON sp.{id_col} = t.{id_col}
+           AND t.pos BETWEEN sp.s0 AND sp.e0
+          GROUP BY 1, 2, 3)
+        SELECT {id_col},
+               CAST(SUM(1 - cut) AS BIGINT) AS n_kept,
+               CAST(SUM(cut) AS BIGINT) AS n_removed,
+               COALESCE(string_agg(CASE WHEN cut = 0 THEN tok END, ' '
+                                   ORDER BY pos), '') AS text_clean
+        FROM marked GROUP BY 1
     """
 
 

@@ -1547,6 +1547,50 @@ def _register_substring_scrub() -> None:
 _register_substring_scrub()
 
 
+@query("split_decontaminate_spans", None)  # oracle registered below
+def split_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination (`dedup.decontaminate_spans`, r8):
+    remove every ≥20-token verbatim run a TRAIN document shares with
+    the protected TEST split, keep the rest of the doc — the
+    production follow-up to `split_contamination`'s hit-ratio report
+    (dropping a whole doc over one quoted benchmark line wastes data;
+    leaving it in leaks the benchmark). Same deterministic md5 split
+    rule as the contamination queries; the candidate join is keyed by
+    the PROTECTED side, so fan-out is bounded by the benchmark
+    corpus, never train×train. Twin replays split → union frequency
+    gate → cross-corpus islands → any-span removal → ordered text
+    rebuild."""
+    from .operators.dedup import decontaminate_spans
+    from .operators.split import hash_split
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    train = docs.filter(F.col("split") == "train").drop("split")
+    prot = docs.filter(F.col("split") == "test").drop("split")
+    return decontaminate_spans(
+        train, prot, width=8, min_run_tokens=20, max_docs_per_shingle=64
+    )
+
+
+def _register_decontaminate_oracle() -> None:
+    from .operators.dedup import duck_decontaminate_sql
+    from .operators.split import duck_split_sql
+
+    rule = duck_split_sql("doc_id")
+    ORACLE["split_decontaminate_spans"] = duck_decontaminate_sql(
+        train_pred=f"({rule}) = 'train'",
+        protected_pred=f"({rule}) = 'test'",
+        width=8,
+        min_run_tokens=20,
+        max_docs_per_shingle=64,
+    )
+
+
+_register_decontaminate_oracle()
+
+
 @query("dedup_substring_incremental", None)  # oracle registered below
 def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring dedup against a PERSISTED bucketed positional-shingle
