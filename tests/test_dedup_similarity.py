@@ -1259,3 +1259,30 @@ def test_exact_dedup_best_quality_survivor_rule(spark, docs):
     gmax = q.groupby("content_key").q.max()
     for ck, row in best.iterrows():
         assert row.quality == pytest.approx(gmax[ck], abs=1e-9)
+
+
+def test_centroid_matrix_fails_loudly_on_empty_cell():
+    """ADVICE r8 #3 regression: kmeans_refine omits emptied cells;
+    compacting the survivors into dense indices silently shifted every
+    downstream cell label off the twin's original refine cell ids.
+    `centroid_matrix` must build the dense (nlist, d) matrix keyed by
+    ORIGINAL cell id and raise on any missing cell."""
+    import numpy as np
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        centroid_matrix,
+    )
+
+    full = [
+        {"cell": c, "pos": p, "c": float(10 * c + p)}
+        for c in range(3)
+        for p in range(2)
+    ]
+    C = centroid_matrix(full, nlist=3)
+    assert C.shape == (3, 2)
+    assert np.allclose(C, [[0.0, 1.0], [10.0, 11.0], [20.0, 21.0]])
+    # cell 1 emptied: fail loudly, never compact 2 -> 1
+    holey = [r for r in full if r["cell"] != 1]
+    with _pytest.raises(ValueError, match=r"missing cell ids \[1\]"):
+        centroid_matrix(holey, nlist=3)

@@ -341,12 +341,45 @@ def test_registry_rotation_deprioritizes_freshest_driver_green():
         return
     from var_elasticnet_bigdata_spark.queries import _FORCE_FRESH
 
-    # _FORCE_FRESH queries (output contract changed this round) count
-    # as never-checked regardless of their stale green rows
+    # _FORCE_FRESH queries (output contract changed in the keyed round,
+    # no green row since) count as never-checked; satisfied entries are
+    # ignored (ADVICE r8 #4 auto-expiry)
     rounds = [
-        -1 if k in _FORCE_FRESH else green.get(k, -1) for k in q[1:]
+        -1
+        if green.get(k, -1) < _FORCE_FRESH.get(k, -(10**9))
+        else green.get(k, -1)
+        for k in q[1:]
     ]
     assert rounds == sorted(rounds), "staleness order must be ascending"
+
+
+def test_force_fresh_entries_pending():
+    """Every _FORCE_FRESH entry must still be PENDING: once the driver
+    records a green row from >= the entry's contract-change round, the
+    rotation auto-ignores it AND this test fails, forcing removal — a
+    satisfied entry must never keep occupying the front of capped
+    rotation sweeps (ADVICE r8 #4; the r8 set sat hardcoded with only
+    a clear-me comment and no mechanism)."""
+    from var_elasticnet_bigdata_spark.queries import (
+        _FORCE_FRESH,
+        _last_driver_green,
+    )
+
+    green = _last_driver_green()
+    stale = {
+        k: (rnd, green.get(k, -1))
+        for k, rnd in _FORCE_FRESH.items()
+        if green.get(k, -1) >= rnd
+    }
+    assert not stale, (
+        f"_FORCE_FRESH entries already have fresh driver-green rows "
+        f"(name: (introduced_round, green_round)) — remove them: {stale}"
+    )
+    # entries must name real registry queries keyed by a real round
+    from var_elasticnet_bigdata_spark.queries import QUERIES
+
+    for k, rnd in _FORCE_FRESH.items():
+        assert k in QUERIES and isinstance(rnd, int) and rnd >= 1
 
 
 def test_registry_rotation_fallback_without_artifacts(monkeypatch):

@@ -109,6 +109,43 @@ def test_substring_dedup_hot_shingle_gate(spark):
     assert out == []
 
 
+def test_positional_shingle_key_width_and_parity(spark, duck):
+    """ADVICE r8 #2: the positional shingle key is 60-bit (15 hex
+    chars of md5) — wide enough that gate fan-in stays exact at
+    1e12-shingle corpora, unlike the 32-bit distinct-set key — and
+    Spark's conv() cast agrees bit-for-bit with DuckDB's
+    ('0x'||…)::BIGINT on every (pos, s) row."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        NORM_SQL_DUCK,
+        POS_SHINGLE_HEX,
+        positional_shingle_hashes,
+    )
+
+    assert POS_SHINGLE_HEX == 15  # widest md5 prefix inside int64
+    text = _run("k", 20)
+    got = {
+        (r["pos"], r["s"])
+        for r in positional_shingle_hashes(
+            _docs(spark, [(1, text)]), n=8
+        ).collect()
+    }
+    want = {
+        (int(p), int(s))
+        for p, s in duck.execute(f"""
+            WITH src AS (SELECT 1 AS doc_id, '{text}' AS text),
+            w AS (SELECT doc_id, string_split({NORM_SQL_DUCK}, ' ') AS words
+                  FROM src)
+            SELECT t.i AS pos,
+                   ('0x'||substr(md5(array_to_string(
+                       list_slice(words, t.i, t.i+7), ' ')),1,{POS_SHINGLE_HEX}))::BIGINT AS s
+            FROM w, UNNEST(range(1, greatest(len(words)-8+1, 1)+1)) AS t(i)
+        """).fetchall()
+    }
+    assert got == want and len(got) == 13
+    # the key actually uses the widened space (32-bit keys never can)
+    assert any(s >= 2**32 for _, s in got)
+
+
 def test_incremental_substring_store_cross_batch_drop(spark, tmp_path):
     """The positional-shingle store catches a batch-2 doc overlapping
     a batch-1 doc by >= min_run tokens (no shared doc in memory —
@@ -145,6 +182,42 @@ def test_incremental_substring_store_cross_batch_drop(spark, tmp_path):
         assert sorted(r["doc_id"] for r in s2.collect()) == [11, 12]
     finally:
         spark.sql("DROP TABLE IF EXISTS subst__psh")
+
+
+def test_incremental_substring_replay_redrops_original_drops(spark, tmp_path):
+    """ADVICE r8 #1 (medium) regression: a crash between store append
+    and checkpoint commit replays a batch whose shingles are already
+    in the store. The frequency gate must count each doc ONCE across
+    store ∪ batch (one COUNT(DISTINCT id) over the union), not sum
+    per-side distinct counts — the summed form doubled every replayed
+    doc, so a shingle with true distinct-doc count in (max/2, max]
+    got gated out only on replay and the replayed batch KEPT docs it
+    originally dropped."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_substring_dedup_bucketed,
+    )
+
+    shared = _run("s", 25)
+    spark.sql("DROP TABLE IF EXISTS subrp__psh")
+    try:
+        # 3 docs share the run; gate max 4: 3 <= 4 keeps the shingles,
+        # but a replay double-count (3 + 3 = 6 > 4) would gate them out
+        batch = _docs(spark, [
+            (1, _run("a", 15) + " " + shared),
+            (2, shared + " " + _run("b", 10)),
+            (3, _run("c", 6) + " " + shared + " " + _run("d", 8)),
+        ])
+        kw = dict(buckets=2, path=str(tmp_path / "s"),
+                  width=8, min_run_tokens=20, max_docs_per_shingle=4)
+        s1 = incremental_substring_dedup_bucketed(batch, "subrp", **kw)
+        first = sorted(r["doc_id"] for r in s1.collect())
+        assert first == [1]
+        # crash-replay: same batch again, store already holds its rows
+        s2 = incremental_substring_dedup_bucketed(batch, "subrp", **kw)
+        replay = sorted(r["doc_id"] for r in s2.collect())
+        assert replay == first  # re-drops exactly its original drops
+    finally:
+        spark.sql("DROP TABLE IF EXISTS subrp__psh")
 
 
 def test_substring_scrub_removes_exact_span_only(spark, duck):

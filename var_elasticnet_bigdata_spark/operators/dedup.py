@@ -181,6 +181,23 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# Positional shingle keys use the first POS_SHINGLE_HEX hex chars of
+# md5 — 60 bits, not the 32-bit key the distinct-set shingle family
+# keeps (ADVICE r8 #2). The run-detection join is collision-SENSITIVE:
+# a colliding shingle pair lands on some (doc_a, doc_b) diagonal and
+# can extend a real run past min_run_tokens, and collision fan-in
+# inflates the frequency-gate counts. Corpus-size bound: with S
+# distinct shingles the expected colliding pairs ≈ S²/2^(4·HEX+1), so
+# at the 100 TB scale (S ~ 1e12 ≈ 2^40) a 32-bit key collides ~2^47
+# times (every gate bucket overflows and dedup silently returns
+# nothing), while 60 bits leave ~2^19 collisions — collision fan-in
+# per key ≪ 1 and gate counts exact to ~1e-6. 15 hex chars is the
+# widest md5 prefix that stays inside a signed int64 on BOTH engines
+# (16^15 = 2^60; DuckDB's ('0x'||…)::BIGINT and Spark's
+# conv(…,16,10) cast agree exactly).
+POS_SHINGLE_HEX = 15
+
+
 def positional_shingle_hashes(
     df: DataFrame,
     n: int = 8,
@@ -191,15 +208,18 @@ def positional_shingle_hashes(
     """``(id_col, pos, out_col)`` — one row per token-position word
     n-gram, positions KEPT (1-based) and duplicates kept, unlike
     `exploded_shingle_hashes`'s distinct set: run detection needs the
-    position axis. Same normalization and 8-hex-digit md5 hash as
-    every other shingle consumer, so stores and twins stay
-    compatible. The hash transform stays a lambda inside the
-    generator child (the `exploded_shingle_hashes` plan-shape
-    contract — a lambda-free child gets the whole shingle pipeline
-    re-inlined into a scan-level inferred filter)."""
+    position axis. Same normalization as every other shingle
+    consumer, but a WIDER 60-bit (``POS_SHINGLE_HEX`` hex chars of
+    md5 — see the constant's corpus-size-bound note) key than the
+    32-bit MinHash shingle family: the positional join is
+    collision-sensitive where MinHash estimates are not. The hash
+    transform stays a lambda inside the generator child (the
+    `exploded_shingle_hashes` plan-shape contract — a lambda-free
+    child gets the whole shingle pipeline re-inlined into a
+    scan-level inferred filter)."""
     sh = (
         f"transform(sequence(1, greatest(size(__words)-{n}+1, 1)),"
-        f" i -> cast(conv(substring(md5(concat_ws(' ', slice(__words, i, {n}))),1,8),16,10) as bigint))"
+        f" i -> cast(conv(substring(md5(concat_ws(' ', slice(__words, i, {n}))),1,{POS_SHINGLE_HEX}),16,10) as bigint))"
     )
     return (
         df.withColumn("__words", F.split(normalized_text(text_col), " "))
@@ -515,7 +535,7 @@ def duck_substring_scrub_sql(
         ps AS (
           SELECT {id_col}, t.i AS pos,
                  ('0x'||substr(md5(array_to_string(
-                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,8))::BIGINT AS s
+                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,{POS_SHINGLE_HEX}))::BIGINT AS s
           FROM w, UNNEST(range(1, greatest(len(words)-{width}+1, 1)+1)) AS t(i)),
         keep AS (SELECT s FROM ps GROUP BY s
                  HAVING COUNT(DISTINCT {id_col}) <= {max_docs_per_shingle}),
@@ -566,6 +586,7 @@ def incremental_substring_dedup_bucketed(
     buckets: int = 32,
     path: str | None = None,
     on_survivors=None,
+    fresh: bool = False,
 ) -> DataFrame:
     """Substring dedup of a NEW batch against ALL previously seen
     documents via a persisted positional-shingle store — the fourth
@@ -599,11 +620,18 @@ def incremental_substring_dedup_bucketed(
     (at-least-once — a replayed batch re-matches its own history and
     re-drops; duplicate match rows from a replayed append are
     deduplicated before run counting so island lengths stay exact).
+
+    ``fresh=True`` starts a NEW store lineage on this batch: a
+    leftover table from an earlier run is ignored as history and the
+    store write overwrites it in place — one metastore op instead of
+    the caller's DROP TABLE + re-CREATE pair (VERDICT r8 item 5: the
+    gated query's create/drop-per-run churn dominated its timing
+    noise and forced a slack baseline pin).
     """
     spark = batch.sparkSession
     psh_t = f"{store_name}__psh"
     recover_orphaned_compaction(spark, psh_t)
-    exists = spark.catalog.tableExists(psh_t)
+    exists = spark.catalog.tableExists(psh_t) and not fresh
 
     ps = swap_cache(
         "dedup.incremental_substring_psh",
@@ -611,24 +639,28 @@ def incremental_substring_dedup_bucketed(
             batch, n=width, id_col=id_col, text_col=text_col
         ),
     )
-    cnt_b = ps.groupBy("s").agg(F.count_distinct(F.col(id_col)).alias("nb"))
+    # Gate = ONE COUNT(DISTINCT id) over the UNION of (s, id) rows
+    # from store and batch, scoped to the batch's shingle set — the
+    # same expression the DuckDB twin and the full-corpus pass use.
+    # Summing per-side distinct counts (the pre-r9 form) double-counts
+    # every doc a crash-replayed batch has in BOTH sides, so shingles
+    # whose true distinct-doc count sits in (max/2, max] got gated out
+    # only on replay and the replayed batch could KEEP docs it
+    # originally dropped (ADVICE r8 #1, medium).
     if exists:
         store = spark.table(psh_t)
-        cnt_s = (
-            store.join(F.broadcast(ps.select("s").distinct()), "s", "left_semi")
-            .groupBy("s")
-            .agg(F.count_distinct(F.col(id_col)).alias("ns"))
-        )
-        keep = (
-            cnt_b.join(cnt_s, "s", "left")
-            .filter(
-                F.col("nb") + F.coalesce(F.col("ns"), F.lit(0))
-                <= max_docs_per_shingle
-            )
-            .select("s")
-        )
+        probed = store.join(
+            F.broadcast(ps.select("s").distinct()), "s", "left_semi"
+        ).select("s", id_col)
+        seen = ps.select("s", id_col).unionByName(probed)
     else:
-        keep = cnt_b.filter(F.col("nb") <= max_docs_per_shingle).select("s")
+        seen = ps.select("s", id_col)
+    keep = (
+        seen.groupBy("s")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") <= max_docs_per_shingle)
+        .select("s")
+    )
 
     gated = ps.join(keep, "s", "left_semi")
     cand = gated.select(
@@ -743,7 +775,7 @@ def duck_incremental_substring_sql(
         ps AS (
           SELECT {id_col}, t.i AS pos,
                  ('0x'||substr(md5(array_to_string(
-                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,8))::BIGINT AS s
+                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,{POS_SHINGLE_HEX}))::BIGINT AS s
           FROM w, UNNEST(range(1, greatest(len(words)-{width}+1, 1)+1)) AS t(i)),
         {", ".join(stages)},
         dropped AS ({dropped_union})
@@ -773,7 +805,7 @@ def duck_decontaminate_sql(
         ps AS (
           SELECT {id_col}, t.i AS pos,
                  ('0x'||substr(md5(array_to_string(
-                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,8))::BIGINT AS s
+                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,{POS_SHINGLE_HEX}))::BIGINT AS s
           FROM w, UNNEST(range(1, greatest(len(words)-{width}+1, 1)+1)) AS t(i)),
         pst AS (SELECT * FROM ps WHERE {train_pred}),
         psp AS (SELECT * FROM ps WHERE {protected_pred}),
@@ -834,7 +866,7 @@ def duck_substring_dedup_sql(
         ps AS (
           SELECT {id_col}, t.i AS pos,
                  ('0x'||substr(md5(array_to_string(
-                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,8))::BIGINT AS s
+                     list_slice(words, t.i, t.i+{width}-1), ' ')),1,{POS_SHINGLE_HEX}))::BIGINT AS s
           FROM w, UNNEST(range(1, greatest(len(words)-{width}+1, 1)+1)) AS t(i)),
         keep AS (SELECT s FROM ps GROUP BY s
                  HAVING COUNT(DISTINCT {id_col}) <= {max_docs_per_shingle}),

@@ -236,20 +236,16 @@ def cluster_top_terms(
     ``(cell, rank, tok, score)``; scores round to 6 dp before the
     (score DESC, tok ASC) rank so both engines pick identical sets.
     """
-    import numpy as np
-
     from pyspark.sql import Window
 
     from .dedup import norm_sql_spark
-    from .similarity import kmeans_refine, with_assigned_cell
+    from .similarity import centroid_matrix, kmeans_refine, with_assigned_cell
 
     rows = kmeans_refine(emb, nlist, id_col=id_col, vec_col=vec_col).collect()
-    cells = sorted({r["cell"] for r in rows})
-    dim = max(r["pos"] for r in rows) + 1
-    C = np.zeros((len(cells), dim), dtype=np.float64)
-    idx = {c: i for i, c in enumerate(cells)}
-    for r in rows:
-        C[idx[r["cell"]], r["pos"]] = r["c"]
+    # centroid_matrix fails loudly if refinement emptied a cell —
+    # compacting survivors would shift the emitted cell labels off the
+    # twin's original refine cell ids (ADVICE r8 #3)
+    C = centroid_matrix(rows, nlist)
     # RAW vectors into the argmax (its contract: positive-scale
     # invariant) — normalizing first wraps every one of the nlist
     # folded dot products around a nested norm-fold expression, which

@@ -974,6 +974,31 @@ def kmeans_refine(
     )
 
 
+def centroid_matrix(rows, nlist: int) -> np.ndarray:
+    """Dense ``(nlist, d)`` centroid matrix from `kmeans_refine`'s
+    ``(cell, pos, c)`` rows, FAILING LOUDLY on emptied cells
+    (ADVICE r8 #3): `kmeans_refine` omits cells that captured no
+    members, and silently compacting the survivors into dense indices
+    would shift every emitted cell label by one relative to the
+    refine cell ids the DuckDB twins keep — breaking the hash gate
+    and, for `ivfpq_train`, mislabeling pinned centroid rows. Callers
+    that legitimately tolerate emptied cells (`ann_ivf_trained_profile`)
+    keep their own original-id mapping instead of using this."""
+    cells = sorted({r["cell"] for r in rows})
+    if cells != list(range(nlist)):
+        missing = sorted(set(range(nlist)) - set(cells))
+        raise ValueError(
+            f"kmeans_refine left {len(missing)} of {nlist} cells empty "
+            f"(missing cell ids {missing}): positional cell labels would "
+            "shift vs the original cell ids — lower nlist or reseed"
+        )
+    dim = max(r["pos"] for r in rows) + 1
+    C = np.zeros((nlist, dim), dtype=np.float64)
+    for r in rows:
+        C[r["cell"], r["pos"]] = r["c"]
+    return C
+
+
 def cell_knn_label_vote(
     df: DataFrame,
     k: int = 5,
@@ -1578,12 +1603,8 @@ def ivfpq_train(
     JSON (`tools/gen_ivfpq_pinned.py`) for serve-only deployments.
     """
     rows = kmeans_refine(df, nlist, id_col=id_col, vec_col=vec_col).collect()
-    cells = sorted({r["cell"] for r in rows})
-    dim = max(r["pos"] for r in rows) + 1
-    C = np.zeros((len(cells), dim), dtype=np.float64)
-    idx = {c: i for i, c in enumerate(cells)}
-    for r in rows:
-        C[idx[r["cell"]], r["pos"]] = r["c"]
+    C = centroid_matrix(rows, nlist)
+    dim = C.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     v = df.select(
@@ -1661,12 +1682,7 @@ def ivfpq_search(
         rows = kmeans_refine(
             df, nlist, id_col=id_col, vec_col=vec_col
         ).collect()
-        cells = sorted({r["cell"] for r in rows})
-        dim = max(r["pos"] for r in rows) + 1
-        C = np.zeros((len(cells), dim), dtype=np.float64)
-        idx = {c: i for i, c in enumerate(cells)}
-        for r in rows:
-            C[idx[r["cell"]], r["pos"]] = r["c"]
+        C = centroid_matrix(rows, nlist)
     else:
         C = np.asarray(centroids, dtype=np.float64)
     d = C.shape[1]

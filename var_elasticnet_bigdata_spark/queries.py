@@ -1591,6 +1591,22 @@ def _register_decontaminate_oracle() -> None:
 _register_decontaminate_oracle()
 
 
+_STORE_DIRS: dict[str, str] = {}
+
+
+def _session_store_dir(prefix: str = "spark_graft_sub_store_") -> str:
+    """ONE reused store directory per process per prefix (VERDICT r8
+    item 5): gated incremental-store queries that re-create their
+    store on every run should overwrite in place instead of paying a
+    fresh mkdtemp + DROP TABLE + CREATE round per invocation — the
+    churn showed up as ±50% timing noise and a slack baseline pin."""
+    import tempfile
+
+    if prefix not in _STORE_DIRS:
+        _STORE_DIRS[prefix] = tempfile.mkdtemp(prefix=prefix)
+    return _STORE_DIRS[prefix]
+
+
 @query("dedup_substring_incremental", None)  # oracle registered below
 def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring dedup against a PERSISTED bucketed positional-shingle
@@ -1603,20 +1619,25 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency gate over history ∪ batch — the gate makes incremental
     legitimately different from one full pass, so the twin unrolls
     rather than hand-waving equivalence). Returns (doc_id, is_dup)
-    for the full corpus."""
-    import tempfile
+    for the full corpus.
 
+    Noise discipline (VERDICT r8 item 5): the store path is allocated
+    ONCE per process and the first batch passes ``fresh=True`` (the
+    overwrite replaces any earlier run's table in place) — the former
+    DROP TABLE + mkdtemp-per-run churn made metastore/IO noise
+    dominate this query's timing and forced a 1.5×-slack baseline
+    pin."""
     from .operators.dedup import incremental_substring_dedup_bucketed
 
     store = "q_dedup_sub_store"
-    spark.sql(f"DROP TABLE IF EXISTS {store}__psh")
-    path = tempfile.mkdtemp(prefix="spark_graft_sub_store_")
+    path = _session_store_dir()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     kept = []
-    for pred in (F.col("doc_id") < 250, F.col("doc_id") >= 250):
+    for i, pred in enumerate((F.col("doc_id") < 250, F.col("doc_id") >= 250)):
         s = incremental_substring_dedup_bucketed(
             docs.filter(pred), store, buckets=8, path=path,
             width=8, min_run_tokens=20, max_docs_per_shingle=64,
+            fresh=(i == 0),
         )
         kept.append(s.select("doc_id"))
     surv = kept[0].unionByName(kept[1])
@@ -7675,17 +7696,18 @@ def _last_driver_green() -> dict[str, int]:
     return out
 
 
-# Queries whose OUTPUT CONTRACT changed this round (new semantics, new
-# twin, new parameters): their old driver-green rows no longer
-# evidence the current code, so the rotation treats them as
-# never-checked and sweeps them first. Clear after the round's driver
-# artifact lands.
-_FORCE_FRESH = {
-    "ann_ivfpq_recall",  # r8: planted near-neighbor corpus, probe_mod 100
-    "ann_pca_power",     # r8: Gram cells snapped to 9 dp on both engines
-    "ann_whiten_norms",  # r8: same Gram snap (shares pca_power_component)
-    "ml_theils_u_ar1",   # r8: twin COALESCE/COUNT(err) degenerate-case fix
-}
+# Queries whose OUTPUT CONTRACT changed in the stated round (new
+# semantics, new twin, new parameters): their OLDER driver-green rows
+# no longer evidence the current code, so the rotation treats them as
+# never-checked and sweeps them first. Entries are keyed by the round
+# that introduced the contract change and AUTO-EXPIRE (ADVICE r8 #4):
+# once a query has a driver-green row from >= that round, the entry is
+# ignored by `_ordered` and `test_force_fresh_entries_pending` fails,
+# forcing its removal — a satisfied entry can never keep occupying the
+# front of capped rotation sweeps. The four r8 entries were cleared
+# this round after CORRECTNESS_r08.json recorded fresh green rows for
+# all of them (VERDICT r8 next-round item 1).
+_FORCE_FRESH: dict[str, int] = {}
 
 
 def _ordered(d: dict) -> dict:
@@ -7699,7 +7721,9 @@ def _ordered(d: dict) -> dict:
         flag = "flagship_quarterly_revenue_growth"
 
         def key(k: str):
-            rnd = -1 if k in _FORCE_FRESH else green.get(k, -1)
+            rnd = green.get(k, -1)
+            if rnd < _FORCE_FRESH.get(k, -(10**9)):
+                rnd = -1  # contract changed after the last green row
             return (k != flag, rnd, k)
 
         return {k: d[k] for k in sorted(d, key=key)}
