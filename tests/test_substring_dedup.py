@@ -109,6 +109,33 @@ def test_substring_dedup_hot_shingle_gate(spark):
     assert out == []
 
 
+def test_substring_gate_cliff_vs_replication(spark):
+    """VERDICT r8 item 6: the frequency gate is a CLIFF in the
+    duplication multiplicity K — at K·f <= gate every clone pair is
+    emitted (C(K,2) pair output, the measured quadratic term); at
+    K·f > gate the shingles drop and the replication becomes
+    invisible to the substring pass (exact dedup's job). Pins the
+    docstring's sizing rule gate >= K_max·f_typ."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    body = _run("rep", 25)
+    k = 5
+    rows = [(i, body) for i in range(k)]  # K=5 exact copies
+    below = substring_dedup(
+        _docs(spark, rows), width=8, min_run_tokens=20,
+        max_docs_per_shingle=4,  # gate < K: cliff — nothing emitted
+    ).collect()
+    assert below == []
+    above = substring_dedup(
+        _docs(spark, rows), width=8, min_run_tokens=20,
+        max_docs_per_shingle=5,  # gate >= K: full C(K,2) pair output
+    ).collect()
+    assert len(above) == k * (k - 1) // 2
+    assert all(r["overlap_tokens"] == 25 for r in above)
+
+
 def test_positional_shingle_key_width_and_parity(spark, duck):
     """ADVICE r8 #2: the positional shingle key is 60-bit (15 hex
     chars of md5) — wide enough that gate fan-in stays exact at

@@ -475,6 +475,58 @@ def test_bigram_logprob_hand_computed(spark):
         bigram_logprob(df, lam=1.5)
 
 
+def test_bigram_perplexity_and_curriculum(spark, duck):
+    """VERDICT r8 item 3: perplexity = exp(−mean ln p) of the same
+    interpolated model (hand-checked), and the fluency curriculum
+    ranks by the 6-dp-snapped perplexity with the explicit ceil
+    bucket formula — DuckDB twin agrees row-for-row."""
+    import math
+
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.text import (
+        bigram_perplexity,
+        duck_perplexity_curriculum_sql,
+        perplexity_curriculum,
+    )
+
+    df = _docs(spark, [(1, "a b a b"), (2, "a b"), (3, "c")])
+    out = {r.doc_id: r for r in bigram_perplexity(df, lam=0.5).collect()}
+    assert 3 not in out
+    p_ab = 0.5 * (3 / 3) + 0.5 * (3 / 7)
+    p_ba = 0.5 * (1 / 1) + 0.5 * (3 / 7)
+    want1 = math.exp(-(2 * math.log(p_ab) + math.log(p_ba)) / 3)
+    assert out[1].perplexity == _pytest.approx(want1, rel=1e-9)
+    assert out[2].perplexity == _pytest.approx(1 / p_ab, rel=1e-9)
+    # p(a,b) == p(b,a) == 0.5 + 3/14 here, so BOTH docs tie at the
+    # same perplexity — exactly the case the 6-dp snap + id-asc tie
+    # rule exists for: doc1 takes rank 1/bucket 1, doc2 bucket 2, on
+    # both engines
+    cur = {
+        r.doc_id: (r.perplexity, r.bucket)
+        for r in perplexity_curriculum(df, n_buckets=2, lam=0.5).collect()
+    }
+    assert set(cur) == {1, 2}
+    assert cur[1][0] == cur[2][0]  # the planted tie
+    assert cur[1][1] == 1 and cur[2][1] == 2  # id-asc tiebreak
+    duck.execute("DROP TABLE IF EXISTS ppl_docs")
+    duck.execute(
+        "CREATE TABLE ppl_docs AS SELECT * FROM (VALUES"
+        " (1, 'a b a b'), (2, 'a b'), (3, 'c')) t(doc_id, text)"
+    )
+    want = {
+        int(r[0]): (float(r[1]), int(r[2]))
+        for r in duck.execute(
+            duck_perplexity_curriculum_sql(
+                n_buckets=2, lam=0.5, table="ppl_docs"
+            )
+        ).fetchall()
+    }
+    duck.execute("DROP TABLE IF EXISTS ppl_docs")
+    got = {k: (round(v[0], 6), v[1]) for k, v in cur.items()}
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # Round 6: BPE merge round + classifier inference + distributed Lloyd step
 # ---------------------------------------------------------------------------

@@ -53,6 +53,11 @@ FAMILY = [
     "ann_ivfpq_serve", "dedup_substring", "dedup_substring_incremental",
     "dedup_substring_scrub", "ann_pca_top2", "ann_cluster_topterms",
     "ann_abtt2_norms", "split_decontaminate_spans",
+    # r9: image perceptual-hash near-dup (decode+hash narrow, one
+    # band-keyed shuffle), bigram perplexity (token-stream windows),
+    # fluency curriculum (distributed global rank)
+    "dedup_image_phash", "text_bigram_perplexity",
+    "text_perplexity_curriculum",
 ]
 
 

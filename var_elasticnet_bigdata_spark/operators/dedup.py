@@ -269,13 +269,33 @@ def substring_dedup(
        run lengths.
 
     At 100 TB: two shuffles total (frequency gate + pair join), both
-    on the uniform 32-bit hash; window partitions are per-(pair,
+    on the uniform 60-bit hash; window partitions are per-(pair,
     diagonal) and capped by doc length. min-run filtering happens
     before the final aggregate, so only flagged pairs reach the
     output. The positional-shingle pass feeds THREE consumers (both
     join sides + the gate), so it's staged once via `swap_cache`
     instead of re-running the normalize/split/md5 corpus scan per
-    consumer."""
+    consumer.
+
+    GATE SIZING vs duplication multiplicity K (VERDICT r8 item 6): a
+    doc duplicated K× lifts each of its shingles' distinct-doc counts
+    to K·f (f = the shingle's natural cross-doc frequency, ~1 for
+    non-boilerplate text). While K·f <= max_docs_per_shingle the
+    shingle passes the gate and the pair OUTPUT carries a
+    C(K·f, 2) ≈ (K·f)²/2 term per distinct shingle — the quadratic is
+    the output, not the join (measured on the exact-copy replica:
+    ×10 → ~20× shuffle bytes, ×30 → see SCALING.md §r9); once
+    K·f > max_docs_per_shingle the shingle is DROPPED and the
+    duplication becomes invisible to THIS pass — a cliff, not a cap,
+    which is correct division of labor (byte-identical mega-clusters
+    are exact dedup's job and must be removed BEFORE this join; at
+    the default gate 64, any ≥65-fold verbatim replication that
+    exact/MinHash passes somehow missed is silently skipped here).
+    Sizing rule for a corpus whose largest legitimate multiplicity is
+    K_max: set max_docs_per_shingle >= K_max·f_typ, and budget output
+    bytes ≈ S_distinct · C(min(K·f, gate), 2)/(K·f) — e.g. a 100×
+    replicated corpus needs gate >= 100 to still see the replication
+    and will pay the ~100²/2-per-shingle pair output for it."""
     from ..plans.cachereg import swap_cache
 
     ps = swap_cache(
@@ -1033,6 +1053,88 @@ def bucket_pair_expr(star_over: int | None) -> str:
     return (
         f"CASE WHEN size(ids) > {int(star_over)}"
         f" THEN {star} ELSE {all_pairs} END"
+    )
+
+
+def hamming_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+) -> DataFrame:
+    """Hamming-banded near-dup candidate join over any ``bits``-wide
+    integer fingerprint column (SimHash, image dHash/aHash): split the
+    hash into ``bands`` contiguous bit bands; by pigeonhole, two
+    hashes within Hamming distance ``max_hamming < bands`` agree on at
+    least one whole band, so the candidate join keys on
+    ``(band_idx, band_value)`` — a uniform integer key — and NEVER
+    goes item×item. Returns ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b`` and ``hamming <= max_hamming``.
+
+    Scale shape: the band explode is narrow (``bands`` rows per item);
+    ONE (band_idx, band_value) shuffle builds the buckets (the
+    `lsh_candidate_pairs` one-groupBy shape — a banded⋈banded
+    self-join would evaluate and shuffle the hash frame twice); the
+    frequency gate drops buckets holding more than
+    ``max_ids_per_bucket`` ids — a byte-identical mega-cluster shares
+    ALL bands and is exact-dedup's job (same division of labor as the
+    substring gate), and the gate is what bounds in-bucket pair
+    expansion at 100 TB. Hashes ride inside the bucket structs, so
+    the exact Hamming verify (``bit_count(xor)``) needs no join back
+    against the corpus. Band extraction is an arithmetic shift + mask,
+    identical on signed int64 in Spark and DuckDB (the mask discards
+    the sign-fill bits on both engines)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee needs more bands than tolerated bit flips"
+        )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = hashed.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> shiftright({hash_col}, b * {band_bits}) & {mask})"
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+                    )
+                )
+            ).alias("ids")
+        )
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_ids_per_bucket)
+        )
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x.id AS id_a, x.h AS ha, y.id AS id_b, y.h AS hb))))"
+    )
+    return (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(
+            "p.id_a",
+            "p.id_b",
+            F.expr("bit_count(p.ha ^ p.hb)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -507,6 +507,226 @@ def resize_images(
     return df.select(id_col, "payload").mapInPandas(run, schema)
 
 
+# --- perceptual-hash image near-dup (VERDICT r8 item 2) -------------------
+#
+# Luminance formula for the SYNTHESIZED grayscale test corpus: the gated
+# query has no real binary column in testdata, so it synthesizes one
+# 9x8 gray BMP per document from integer arithmetic the DuckDB twin can
+# replay exactly, then pushes it through the REAL byte path
+# (encode_bmp -> decode -> luminance -> dHash). Docs come in groups of
+# GROUP_OF: members 0/1 share a base image (member 1 is brightened by
+# +NEAR_BUMP, saturating at 255 — a planted NEAR-dup whose dHash differs
+# only where saturation flips an adjacent-pixel comparison); members
+# 2..GROUP_OF-1 get independent images (seed = their own doc id).
+PHASH_GROUP_OF = 4
+PHASH_NEAR_BUMP = 2
+
+
+def _phash_luma(doc_id: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """The synthesized corpus's exact integer luminance (uint8 grid):
+    pixel (x, y) of seed s is the FIRST BYTE of md5(f"{s}:{x}:{y}") —
+    genuinely pseudorandom per (seed, pixel). Any arithmetic that is
+    affine in the seed (tried first: spatial primes, then a Knuth
+    mixer over a 20-bit fold) leaves seed-delta structure — pairs of
+    unrelated seeds whose images are near-shifts of each other, which
+    flip few gradient comparisons and flood the band join with
+    spurious <=3-hamming pairs. md5 kills the structure and is the
+    one mixer both engines share verbatim (DuckDB replays
+    ('0x'||substr(md5(s||':'||x||':'||y),1,2))::INT)."""
+    import hashlib
+
+    j = doc_id % PHASH_GROUP_OF
+    seed = doc_id - j if j <= 1 else doc_id
+    out = np.empty(x.shape, dtype=np.int64)
+    for yy in range(x.shape[0]):
+        for xx in range(x.shape[1]):
+            out[yy, xx] = int(
+                hashlib.md5(
+                    f"{seed}:{x[yy, xx]}:{y[yy, xx]}".encode()
+                ).hexdigest()[:2],
+                16,
+            )
+    if j == 1:
+        out = np.minimum(out + PHASH_NEAR_BUMP, 255)
+    return out.astype(np.uint8)
+
+
+def synth_gray_bmp_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 9,
+    height: int = 8,
+) -> DataFrame:
+    """``(id_col, payload)`` — one REAL 24-bit BMP per row encoding the
+    deterministic `_phash_luma` grid as R=G=B gray. One narrow Arrow
+    pass (ids in, bytes out); the bytes then round-trip through the
+    real decoder in `image_dhash`, so the gated query exercises the
+    full binary plumbing while the DuckDB twin replays only the
+    integer luminance + hash-bit arithmetic."""
+    yy, xx = np.mgrid[0:height, 0:width]
+    idc = id_col
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for rid in pdf[idc]:
+                luma = _phash_luma(int(rid), xx, yy)
+                payloads.append(encode_bmp(np.repeat(luma[:, :, None], 3, axis=2)))
+            yield pd.DataFrame({idc: pdf[idc], "payload": payloads})
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hash_w: int = 9,
+    hash_h: int = 8,
+) -> DataFrame:
+    """64-bit dHash per image payload: REAL decode (`decode_media` —
+    BMP/PNG/JPEG), nearest-neighbor resize to ``hash_w x hash_h`` when
+    the decoded frame differs, Rec.709 luminance, then one bit per
+    horizontally adjacent pixel pair — bit ``y*(hash_w-1)+x`` set iff
+    ``luma[y, x+1] > luma[y, x]``. The standard perceptual near-dup
+    key (brightness/contrast shifts are monotone in luminance, so they
+    flip almost no gradient comparisons, unlike exact byte hashes).
+
+    Scale shape: ONE narrow Arrow pass, bytes in → (id, int64) out —
+    the embarrassingly-parallel stage; nothing shuffles until the
+    banded candidate join (`dedup.hamming_near_dup_pairs`). Rows whose
+    payload fails to decode are DROPPED (the status-report pass is
+    `extract_media_features`'s job; a hash column must stay total on
+    decodable rows only). Returns ``(id_col, dhash)``."""
+    nbits = (hash_w - 1) * hash_h
+    if nbits > 64:
+        raise ValueError(f"{hash_w}x{hash_h} needs {nbits} > 64 bits")
+    idc, pc = id_col, payload_col
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_h = [], []
+            for rid, payload in zip(pdf[idc], pdf[pc]):
+                try:
+                    kind, dec = decode_media(
+                        bytes(payload) if payload is not None else None
+                    )
+                    if kind != "image":
+                        continue
+                except (ValueError, TypeError, NotImplementedError):
+                    continue
+                rgb = dec
+                if rgb.ndim == 2:
+                    rgb = np.repeat(rgb[:, :, None], 3, axis=2)
+                if rgb.shape[2] == 2:  # gray+alpha
+                    rgb = np.repeat(rgb[:, :, :1], 3, axis=2)
+                if rgb.shape[2] == 4:
+                    rgb = rgb[:, :, :3]
+                if rgb.shape[0] != hash_h or rgb.shape[1] != hash_w:
+                    rgb = resize_nearest(rgb, hash_w, hash_h)
+                x = rgb.astype(np.float64) / 255.0
+                luma = (
+                    0.2126 * x[:, :, 0]
+                    + 0.7152 * x[:, :, 1]
+                    + 0.0722 * x[:, :, 2]
+                )
+                bits = luma[:, 1:] > luma[:, :-1]  # (hash_h, hash_w-1)
+                h = 0
+                for b, bit in enumerate(bits.ravel()):
+                    if bit:
+                        h |= 1 << b
+                if h >= 1 << 63:  # two's-complement int64, both engines
+                    h -= 1 << 64
+                out_ids.append(rid)
+                out_h.append(h)
+            yield pd.DataFrame(
+                {idc: np.array(out_ids, dtype=np.int64),
+                 "dhash": np.array(out_h, dtype=np.int64)}
+            )
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("dhash", LongType())]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def duck_image_phash_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    width: int = 9,
+    height: int = 8,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+) -> str:
+    """DuckDB twin of the synth→dHash→banded-join chain: replays the
+    `_phash_luma` integer arithmetic (the Spark side round-trips the
+    same grid through REAL BMP bytes — encode, decode, Rec.709
+    luminance; R=G=B gray makes the float luminance a strictly
+    monotone map of the uint8 grid, so every adjacent-pixel comparison
+    matches the integer comparison exactly), then the identical
+    bit-pack, band split, bucket frequency gate, and
+    bit_count(xor) <= max_hamming verify. Bit ``(height*(width-1)-1)``
+    (=63 for 9x8) packs as the int64 sign bit on both engines; DuckDB
+    sums in HUGEINT then casts back."""
+    nbits = (width - 1) * height
+    band_bits = nbits // bands
+    mask = (1 << band_bits) - 1
+    top = nbits - 1
+
+    def lum(x_expr: str) -> str:
+        l0 = (
+            f"('0x'||substr(md5(seed::VARCHAR || ':' || ({x_expr})::VARCHAR"
+            f" || ':' || y.y::VARCHAR), 1, 2))::INT"
+        )
+        return (
+            f"CASE WHEN bump THEN least({l0} + {PHASH_NEAR_BUMP}, 255)"
+            f" ELSE {l0} END"
+        )
+
+    return f"""
+        WITH g AS (
+          SELECT {id_col},
+                 CASE WHEN {id_col} % {PHASH_GROUP_OF} <= 1
+                      THEN {id_col} - ({id_col} % {PHASH_GROUP_OF})
+                      ELSE {id_col} END AS seed,
+                 {id_col} % {PHASH_GROUP_OF} = 1 AS bump
+          FROM {table}),
+        bits AS (
+          SELECT {id_col}, (y.y * {width - 1} + x.x) AS b,
+                 CASE WHEN {lum("x.x + 1")} > {lum("x.x")} THEN 1 ELSE 0 END AS bit
+          FROM g, UNNEST(range(0, {width - 1})) x(x),
+                  UNNEST(range(0, {height})) y(y)),
+        h AS (
+          SELECT {id_col},
+                 CAST(SUM(CASE WHEN bit = 1 THEN
+                   CASE WHEN b = {top} THEN -9223372036854775807 - 1
+                        ELSE (1::BIGINT << b) END
+                 ELSE 0 END) AS BIGINT) AS dh
+          FROM bits GROUP BY 1),
+        bd AS (
+          SELECT {id_col}, dh, t.b AS band_idx,
+                 (dh >> (t.b * {band_bits})) & {mask} AS band_val
+          FROM h, UNNEST(range(0, {bands})) t(b)),
+        ok AS (
+          SELECT band_idx, band_val FROM bd GROUP BY 1, 2
+          HAVING COUNT(*) BETWEEN 2 AND {max_ids_per_bucket}),
+        cand AS (
+          SELECT DISTINCT a.{id_col} AS id_a, c.{id_col} AS id_b,
+                 CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
+          FROM bd a
+          JOIN ok USING (band_idx, band_val)
+          JOIN bd c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
+                    AND a.{id_col} < c.{id_col})
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -381,6 +381,62 @@ def _register_bigram_oracle() -> None:
 _register_bigram_oracle()
 
 
+@query("text_bigram_perplexity", None)  # oracle registered below
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM PERPLEXITY per document
+    (`operators/text.bigram_perplexity`, VERDICT r8 item 3): the
+    exp(−mean ln P) number a KenLM-shaped CCNet-style quality filter
+    thresholds on, over the same interpolated-backoff model as
+    `text_bigram_logprob` (λ=0.7; one persisted token stream, four
+    partitioned count windows, no vocabulary join, no Python). The
+    twin replays the identical model and applies EXP at the same
+    point."""
+    from .operators.text import bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = bigram_perplexity(docs, lam=0.7)
+    return res.select(
+        "doc_id", "n_bigrams", r6(F.col("perplexity")).alias("perplexity")
+    )
+
+
+def _register_bigram_perplexity_oracle() -> None:
+    from .operators.text import duck_bigram_perplexity_sql
+
+    ORACLE["text_bigram_perplexity"] = duck_bigram_perplexity_sql(lam=0.7)
+
+
+_register_bigram_perplexity_oracle()
+
+
+@query("text_perplexity_curriculum", None)  # oracle registered below
+def text_perplexity_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLUENCY curriculum (`text.perplexity_curriculum`, VERDICT r8
+    item 3's curriculum variant): exact global deciles of the bigram
+    perplexity — bucket 1 = most fluent — through the same two-phase
+    distributed row_number as `text_quality_curriculum`
+    (`shard.global_rank`: range partition + broadcast count prefixes,
+    never a single-partition window). The rank key snaps to 6 dp on
+    BOTH engines before ranking (summation-order drift in AVG(LN p)
+    must not flip neighbor ranks); ceil-bucket formula replicated
+    verbatim in the twin."""
+    from .operators.text import perplexity_curriculum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_curriculum(docs, n_buckets=10, lam=0.7)
+
+
+def _register_perplexity_curriculum_oracle() -> None:
+    from .operators.text import duck_perplexity_curriculum_sql
+
+    ORACLE["text_perplexity_curriculum"] = duck_perplexity_curriculum_sql(
+        n_buckets=10, lam=0.7
+    )
+
+
+_register_perplexity_curriculum_oracle()
+
+
 @query("split_train_val_test", None)  # oracle registered below
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
@@ -1910,6 +1966,45 @@ def _register_simhash_oracle() -> None:
 
 
 _register_simhash_oracle()
+
+
+@query("dedup_image_phash", None)  # oracle registered below
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup (VERDICT r8 item 2) — the first
+    dedup modality a multimodal training-data pipeline needs beyond
+    text: per document a REAL 9x8 grayscale BMP is synthesized from
+    deterministic integer arithmetic (`multimodal.synth_gray_bmp_payloads`
+    — groups of 4 ids share a base image, member 1 brightness-bumped
+    into a planted near-dup, members 2-3 independent), round-tripped
+    through the real byte path (`multimodal.image_dhash`: encode →
+    magic-byte decode → Rec.709 luminance → 64-bit dHash), then paired
+    by the Hamming-banded candidate join
+    (`dedup.hamming_near_dup_pairs`: 4×16-bit bands, pigeonhole
+    guarantee for hamming <= 3, 64-id bucket gate) — never
+    image×image. The twin replays the luminance + hash-bit arithmetic
+    and the identical band/gate/bit_count(xor) pipeline; the decode
+    round-trip itself is pinned by the planted-pair pytest and the
+    codec suite."""
+    from .operators.dedup import hamming_near_dup_pairs
+    from .operators.multimodal import image_dhash, synth_gray_bmp_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_dhash(synth_gray_bmp_payloads(docs))
+    return hamming_near_dup_pairs(
+        hashed, bits=64, bands=4, max_hamming=3, max_ids_per_bucket=64
+    )
+
+
+def _register_image_phash_oracle() -> None:
+    from .operators.multimodal import duck_image_phash_sql
+
+    ORACLE["dedup_image_phash"] = duck_image_phash_sql(
+        table="documents", width=9, height=8, bands=4,
+        max_hamming=3, max_ids_per_bucket=64,
+    )
+
+
+_register_image_phash_oracle()
 
 
 @query("pipeline_corpus_curation", None)
