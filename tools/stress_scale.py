@@ -58,6 +58,9 @@ FAMILY = [
     # fluency curriculum (distributed global rank)
     "dedup_image_phash", "text_bigram_perplexity",
     "text_perplexity_curriculum",
+    # r9: audio perceptual fingerprint (decode+energy-bits narrow,
+    # same banded join as the image family)
+    "dedup_audio_fingerprint",
 ]
 
 

@@ -727,6 +727,214 @@ def duck_image_phash_sql(
     """
 
 
+# Audio-fingerprint synthesis constants (mirrors the PHASH_* design:
+# groups of AFP_GROUP_OF ids share a base signal, member 1 is the
+# planted near-dup). AFP_ALT_FRAME is the ONE frame whose samples the
+# near-dup variant re-draws: only the two energy comparisons adjacent
+# to it (bits AFP_ALT_FRAME-1 and AFP_ALT_FRAME) can flip, so the
+# planted pair's Hamming distance is DETERMINISTICALLY <= 2 — inside
+# the default max_hamming=3 band guarantee, unlike a gain/DC bump
+# whose clipping flip count would be probabilistic.
+AFP_GROUP_OF = 4
+AFP_FRAMES = 65  # 64 energy-delta bits
+AFP_SAMPLES_PER_FRAME = 8  # one md5 (32 hex) = 8 int16 samples
+AFP_ALT_FRAME = 31
+
+
+def _afp_pcm(doc_id: int) -> np.ndarray:
+    """The synthesized corpus's exact int16 PCM signal: frame ``f`` of
+    seed ``s`` is the 8 big-endian int16s packed in
+    ``md5(f"{s}:f{f}")``'s 32 hex chars (4 hex chars each, biased by
+    -32768) — genuinely pseudorandom per (seed, frame), the same
+    md5-as-shared-mixer reasoning as `_phash_luma` (both engines
+    replay the identical hex arithmetic; any cheaper seed-affine
+    mixer leaves seed-delta structure that floods the band join).
+    Group member 1 re-draws frame ``AFP_ALT_FRAME`` with an ``:alt``
+    suffix. Returns shape (AFP_FRAMES * AFP_SAMPLES_PER_FRAME,)."""
+    import hashlib
+
+    j = doc_id % AFP_GROUP_OF
+    seed = doc_id - j if j <= 1 else doc_id
+    out = np.empty(AFP_FRAMES * AFP_SAMPLES_PER_FRAME, dtype=np.int64)
+    for f in range(AFP_FRAMES):
+        suffix = ":alt" if (j == 1 and f == AFP_ALT_FRAME) else ""
+        hx = hashlib.md5(f"{seed}:f{f}{suffix}".encode()).hexdigest()
+        for k in range(AFP_SAMPLES_PER_FRAME):
+            out[f * AFP_SAMPLES_PER_FRAME + k] = (
+                int(hx[k * 4 : k * 4 + 4], 16) - 32768
+            )
+    return out
+
+
+def synth_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000
+) -> DataFrame:
+    """``(id_col, payload)`` — one REAL 16-bit PCM WAV per row encoding
+    the deterministic `_afp_pcm` signal. One narrow Arrow pass (ids
+    in, bytes out); the bytes round-trip through the real stdlib
+    decoder in `audio_fingerprint`, so the gated query exercises the
+    full binary plumbing while the DuckDB twin replays only the
+    integer sample + energy arithmetic. int16→float→int16 is exact:
+    `encode_wav` rounds v/32767*32767 back to v (error ~1 ulp), and
+    `decode_wav`'s /32768.0 is an exact float64 scale."""
+    idc = id_col
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [
+                encode_wav(
+                    _afp_pcm(int(rid)).astype(np.float64) / 32767.0,
+                    sample_rate=sample_rate,
+                )
+                for rid in pdf[idc]
+            ]
+            yield pd.DataFrame({idc: pdf[idc], "payload": payloads})
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frames: int = AFP_FRAMES,
+) -> DataFrame:
+    """64-bit audio fingerprint per WAV payload: REAL decode
+    (`decode_wav` — stdlib ``wave``), recover the exact int16 PCM,
+    split into ``frames`` fixed-width frames, per-frame INTEGER energy
+    (sum of squared samples — exact in int64, so both engines compare
+    identical numbers with no float-order drift), then one bit per
+    adjacent frame pair — bit ``f`` set iff ``E[f+1] > E[f]``. The
+    energy-delta-sign shape is the standard audio perceptual key
+    (Haitsma–Kalker): uniform gain scales every energy by the same
+    factor and flips NO comparison, unlike exact byte hashes.
+
+    Scale shape: ONE narrow Arrow pass, bytes in → (id, int64) out;
+    nothing shuffles until the banded candidate join
+    (`dedup.hamming_near_dup_pairs`). Undecodable / non-audio / short
+    payloads are DROPPED (status reporting is
+    `extract_media_features`'s job). Returns ``(id_col, afp)``."""
+    nbits = frames - 1
+    if nbits > 64:
+        raise ValueError(f"{frames} frames needs {nbits} > 64 bits")
+    idc, pc = id_col, payload_col
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_h = [], []
+            for rid, payload in zip(pdf[idc], pdf[pc]):
+                try:
+                    _, x = decode_wav(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except (ValueError, TypeError):
+                    continue
+                pcm = np.round(x[:, 0] * 32768.0).astype(np.int64)
+                spf = len(pcm) // frames
+                if spf < 1:
+                    continue
+                e = (
+                    (pcm[: frames * spf] ** 2)
+                    .reshape(frames, spf)
+                    .sum(axis=1)
+                )
+                bits = e[1:] > e[:-1]
+                h = 0
+                for b, bit in enumerate(bits):
+                    if bit:
+                        h |= 1 << b
+                if h >= 1 << 63:  # two's-complement int64, both engines
+                    h -= 1 << 64
+                out_ids.append(rid)
+                out_h.append(h)
+            yield pd.DataFrame(
+                {idc: np.array(out_ids, dtype=np.int64),
+                 "afp": np.array(out_h, dtype=np.int64)}
+            )
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("afp", LongType())]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def duck_audio_fp_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    frames: int = AFP_FRAMES,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+) -> str:
+    """DuckDB twin of the synth→decode→fingerprint→banded-join chain:
+    replays the `_afp_pcm` integer sample arithmetic (the Spark side
+    round-trips the same int16s through REAL WAV bytes — encode,
+    stdlib decode, exact /32768 recovery), the integer frame energies,
+    the adjacent-frame comparison bits, the int64 bit-pack (sign bit
+    = bit 63 on both engines), and the identical band split / bucket
+    frequency gate / bit_count(xor) verify as
+    `duck_image_phash_sql`."""
+    nbits = frames - 1
+    band_bits = nbits // bands
+    mask = (1 << band_bits) - 1
+    top = nbits - 1
+    spf = AFP_SAMPLES_PER_FRAME
+
+    return f"""
+        WITH g AS (
+          SELECT {id_col},
+                 CASE WHEN {id_col} % {AFP_GROUP_OF} <= 1
+                      THEN {id_col} - ({id_col} % {AFP_GROUP_OF})
+                      ELSE {id_col} END AS seed,
+                 {id_col} % {AFP_GROUP_OF} = 1 AS alt
+          FROM {table}),
+        fr AS (
+          SELECT {id_col}, f.f AS f,
+                 md5(seed::VARCHAR || ':f' || f.f::VARCHAR ||
+                     CASE WHEN alt AND f.f = {AFP_ALT_FRAME}
+                          THEN ':alt' ELSE '' END) AS hx
+          FROM g, UNNEST(range(0, {frames})) f(f)),
+        en AS (
+          SELECT {id_col}, f,
+                 SUM((('0x'||substr(hx, j.j*4+1, 4))::BIGINT - 32768)
+                   * (('0x'||substr(hx, j.j*4+1, 4))::BIGINT - 32768)) AS e
+          FROM fr, UNNEST(range(0, {spf})) j(j)
+          GROUP BY 1, 2),
+        bits AS (
+          SELECT {id_col}, f AS b,
+                 CASE WHEN lead(e) OVER (PARTITION BY {id_col} ORDER BY f) > e
+                      THEN 1 ELSE 0 END AS bit
+          FROM en QUALIFY f < {nbits}),
+        h AS (
+          SELECT {id_col},
+                 CAST(SUM(CASE WHEN bit = 1 THEN
+                   CASE WHEN b = {top} THEN -9223372036854775807 - 1
+                        ELSE (1::BIGINT << b) END
+                 ELSE 0 END) AS BIGINT) AS afp
+          FROM bits GROUP BY 1),
+        bd AS (
+          SELECT {id_col}, afp, t.b AS band_idx,
+                 (afp >> (t.b * {band_bits})) & {mask} AS band_val
+          FROM h, UNNEST(range(0, {bands})) t(b)),
+        ok AS (
+          SELECT band_idx, band_val FROM bd GROUP BY 1, 2
+          HAVING COUNT(*) BETWEEN 2 AND {max_ids_per_bucket}),
+        cand AS (
+          SELECT DISTINCT a.{id_col} AS id_a, c.{id_col} AS id_b,
+                 CAST(bit_count(xor(a.afp, c.afp)) AS INT) AS hamming
+          FROM bd a
+          JOIN ok USING (band_idx, band_val)
+          JOIN bd c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
+                    AND a.{id_col} < c.{id_col})
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

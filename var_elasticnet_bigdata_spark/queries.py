@@ -2007,6 +2007,46 @@ def _register_image_phash_oracle() -> None:
 _register_image_phash_oracle()
 
 
+@query("dedup_audio_fingerprint", None)  # oracle registered below
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup — completes the multimodal dedup
+    matrix (text/embedding/image/audio): per document a REAL 16-bit
+    PCM WAV is synthesized from deterministic integer samples
+    (`multimodal.synth_wav_payloads` — groups of 4 ids share a base
+    signal, member 1 re-draws ONE frame into a planted near-dup with
+    Hamming <= 2 by construction), round-tripped through the real
+    byte path (`multimodal.audio_fingerprint`: encode → stdlib wave
+    decode → exact int16 recovery → per-frame integer energy →
+    64-bit energy-delta-sign fingerprint, Haitsma–Kalker shape), then
+    paired by the same Hamming-banded candidate join as the image
+    family (`dedup.hamming_near_dup_pairs`: 4×16-bit bands,
+    pigeonhole for hamming <= 3, 64-id bucket gate) — never
+    audio×audio. All energy arithmetic is int64-exact on BOTH
+    engines, so there is no float-order drift to snap. The twin
+    replays the sample + energy + bit arithmetic; the WAV round-trip
+    itself is pinned by the codec + planted-pair pytest."""
+    from .operators.dedup import hamming_near_dup_pairs
+    from .operators.multimodal import audio_fingerprint, synth_wav_payloads
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = audio_fingerprint(synth_wav_payloads(docs))
+    return hamming_near_dup_pairs(
+        hashed, hash_col="afp", bits=64, bands=4,
+        max_hamming=3, max_ids_per_bucket=64,
+    )
+
+
+def _register_audio_fp_oracle() -> None:
+    from .operators.multimodal import duck_audio_fp_sql
+
+    ORACLE["dedup_audio_fingerprint"] = duck_audio_fp_sql(
+        table="documents", bands=4, max_hamming=3, max_ids_per_bucket=64,
+    )
+
+
+_register_audio_fp_oracle()
+
+
 @query("pipeline_corpus_curation", None)
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation pipeline — the composition a
