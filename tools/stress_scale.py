@@ -59,8 +59,9 @@ FAMILY = [
     "dedup_image_phash", "text_bigram_perplexity",
     "text_perplexity_curriculum",
     # r9: audio perceptual fingerprint (decode+energy-bits narrow,
-    # same banded join as the image family)
-    "dedup_audio_fingerprint",
+    # same banded join as the image family); SQ8 quantization serving
+    # (one min/max scan + narrow encode + closure-probe Arrow score)
+    "dedup_audio_fingerprint", "ann_sq8_adc_top1",
 ]
 
 

@@ -1576,6 +1576,155 @@ def pq_adc_top1(
     )
 
 
+def sq8_minmax(
+    df: DataFrame,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """SQ8 TRAIN: per-dimension (min, max) over the corpus — ONE scan,
+    2·d partial-aggregated cells (map-side combined; the shuffle moves
+    2·d doubles per partition, nothing corpus-sized). min/max are pure
+    comparisons — no float arithmetic — so the collected bounds are
+    bit-identical to any engine's scan order."""
+    v = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    aggs = []
+    for i in range(d):
+        aggs.append(F.min(F.col("__v")[i]).alias(f"mn{i}"))
+        aggs.append(F.max(F.col("__v")[i]).alias(f"mx{i}"))
+    row = v.agg(*aggs).collect()[0]  # fixed 2·d doubles, never corpus
+    return (
+        [float(row[f"mn{i}"]) for i in range(d)],
+        [float(row[f"mx{i}"]) for i in range(d)],
+    )
+
+
+def _dlit(xs: list[float]) -> str:
+    """Constant double-array literal, repr round-trip (bit-exact)."""
+    return (
+        "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs) + ")"
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    mn: list[float],
+    mx: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 ENCODE — the simplest embedding-compression pass (d float32
+    → d uint8, 4× smaller, no codebook training): per dimension
+    ``code = clamp(floor((v - mn) * 256 / (mx - mn)), 0, 255)``
+    (constant dimensions encode as 0). The trained bounds fold into
+    the encode expression as literals, so encoding is ONE narrow JVM
+    pass — no shuffle, no Arrow, composes onto any scan (the same
+    scale shape as `pq_encode`, without even a sub-centroid argmin).
+    All arithmetic is parenthesized exactly as the DuckDB twin writes
+    it; floor/clamp make the codes INTEGER-exact across engines.
+    Returns ``(id_col, codes array<int>)``."""
+    d = len(mn)
+    terms = []
+    for i in range(d):
+        lo, hi = float(mn[i]), float(mx[i])
+        if hi == lo:
+            terms.append("0")
+        else:
+            terms.append(
+                f"cast(least(255D, greatest(0D, floor(((__v[{i}]"
+                f" - CAST('{lo!r}' AS DOUBLE)) * 256.0D)"
+                f" / CAST('{hi - lo!r}' AS DOUBLE)))) as int)"
+            )
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        F.col(id_col), F.expr("array(" + ", ".join(terms) + ")").alias("codes")
+    )
+
+
+def sq8_adc_top1(
+    df: DataFrame,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_mod: int = 100,
+    round_dp: int = 6,
+    max_probes: int = 4096,
+) -> DataFrame:
+    """SQ8 asymmetric-distance search — serving reads ONLY the uint8
+    codes: reconstruct ``recon[i] = mn[i] + (((code[i] + 0.5) ·
+    rng[i]) / 256)`` once per vector, then squared-L2 against each
+    float probe (``id % probe_mod == 0``, the `pq_adc_top1` probe
+    convention). Returns each vector's nearest probe
+    ``(id_col, nearest_probe, adc)``, ties to the lowest probe id.
+
+    Scale shape: train is the `sq8_minmax` one-scan agg; encode is
+    narrow; scoring ships the probe block (≤ ``max_probes`` × d
+    float64, ~2 MB) in the Arrow-pass closure — ZERO corpus shuffle,
+    one narrow pass, the property that makes SQ serving cheap at
+    100 TB. Unlike PQ there is NO useful constant-folded arm: an SQ
+    LUT is d×256 doubles PER PROBE (16 K constants — past the 64 KB
+    codegen/constant-pool ceilings at even a handful of probes), so
+    direct vectorized reconstruction is the only sane serving shape.
+
+    Float discipline: recon and diff² are elementwise IEEE ops in the
+    twin's exact parenthesization; the d accumulation terms add in
+    one ascending-i loop (left-associated — never np.sum's pairwise
+    tree), then snap to ``round_dp`` before the argmin (ADC ≥ 0, so
+    numpy's floor(x·s + 0.5)/s == ROUND's half-away-from-zero)."""
+    from ..plans.guards import guarded_collect
+
+    mn, mx = sq8_minmax(df, d=d, id_col=id_col, vec_col=vec_col)
+    probes = guarded_collect(
+        df.filter((F.col(id_col) % probe_mod) == 0).select(id_col, vec_col),
+        "sq8_adc_top1's probe set",
+        "a larger probe_mod or batched calls (the probe block must stay "
+        "bounded driver-side)",
+        max_rows=max_probes,
+    )
+    probes = sorted(probes, key=lambda r: r[id_col])
+    if not probes:
+        raise ValueError("sq8_adc_top1: empty probe set")
+    pid_arr = np.array([int(r[id_col]) for r in probes], dtype=np.int64)
+    Q = np.array(
+        [[float(x) for x in r[vec_col]] for r in probes], dtype=np.float64
+    )  # (P, d)
+    mn_a = np.array(mn, dtype=np.float64)
+    rng_a = np.array(mx, dtype=np.float64) - mn_a
+    live = rng_a != 0.0
+    scale = float(10**round_dp)
+
+    coded = sq8_encode(df, mn, mx, id_col=id_col, vec_col=vec_col)
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.float64)  # (n, d)
+            recon = np.where(
+                live, mn_a + (((codes + 0.5) * rng_a) / 256.0), mn_a
+            )
+            adc = None  # (P, n) accumulated d-ascending, left-assoc
+            for i in range(d):
+                diff = Q[:, i][:, None] - recon[None, :, i]
+                t = diff * diff
+                adc = t if adc is None else adc + t
+            adc = np.floor(adc * scale + 0.5) / scale
+            best = np.argmin(adc, axis=0)  # first min = lowest pid
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "nearest_probe": pid_arr[best],
+                    "adc": adc[best, np.arange(codes.shape[0])],
+                }
+            )
+
+    return coded.mapInPandas(
+        score, schema=f"{id_col} long, nearest_probe long, adc double"
+    )
+
+
 def ivfpq_train(
     df: DataFrame,
     nlist: int = 16,

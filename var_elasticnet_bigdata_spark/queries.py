@@ -6737,6 +6737,74 @@ def ann_pq_adc_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_top1(emb, m=4, k=16, probe_mod=100)
 
 
+@query(
+    "ann_sq8_adc_top1",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    mm AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+      FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v)
+      GROUP BY 1
+    ),
+    mml AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+            FROM mm),
+    codes AS (
+      SELECT v.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN m.mx[i] = m.mn[i] THEN 0
+                    ELSE least(255, greatest(0, CAST(floor(
+                      ((v.e[i] - m.mn[i]) * 256.0) / (m.mx[i] - m.mn[i])
+                    ) AS BIGINT))) END) AS code
+      FROM v CROSS JOIN mml m
+    ),
+    recon AS (
+      SELECT c.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN m.mx[i] = m.mn[i] THEN m.mn[i]
+                    ELSE m.mn[i] + (((CAST(c.code[i] AS DOUBLE) + 0.5)
+                         * (m.mx[i] - m.mn[i])) / 256.0) END) AS r
+      FROM codes c CROSS JOIN mml m
+    ),
+    probes AS (SELECT vec_id AS pid, e FROM v WHERE vec_id % 100 = 0),
+    dist AS (
+      SELECT rc.vec_id, pr.pid,
+             ROUND(list_reduce(list_transform(generate_series(1, 64),
+               i -> (pr.e[i] - rc.r[i]) * (pr.e[i] - rc.r[i])),
+               (a, b) -> a + b), 6) AS adc
+      FROM recon rc CROSS JOIN probes pr
+    ),
+    best AS (
+      SELECT vec_id, pid, adc,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY adc ASC, pid ASC) AS rn
+      FROM dist
+    )
+    SELECT vec_id, pid AS nearest_probe, adc FROM best WHERE rn = 1
+    """,
+)
+def ann_sq8_adc_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization serving (`similarity.sq8_adc_top1`) —
+    the codebook-free little sibling of PQ, completing the
+    quantization family (PQ codes / IVF-PQ / SQ8): train = ONE
+    min/max scan (2·d partial-agg cells), encode = one narrow
+    constant-folded JVM pass (d float32 → d uint8, 4× smaller), serve
+    = squared-L2 of each probe (vec_id % 100 == 0) against the
+    RECONSTRUCTED codes in one Arrow pass with the probe block in the
+    closure — ZERO corpus shuffle end-to-end. Codes are integer-exact
+    across engines (floor/clamp of identical IEEE arithmetic); the
+    twin replays train, encode, reconstruction, the ascending-i
+    left-associated distance fold, the 6-dp snap, and the
+    probe-ascending argmin."""
+    from .operators.similarity import sq8_adc_top1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_adc_top1(emb, d=64, probe_mod=100)
+
+
 # the full IVF-PQ composition through per-candidate rounded ADC —
 # shared by the serving query (top-k over it) and the recall audit
 # (top-1 vs the exact arm)
