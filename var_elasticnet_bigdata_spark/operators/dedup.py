@@ -1860,3 +1860,165 @@ def incremental_exact_dedup_bucketed(
         mode="append" if exists else "overwrite",
     )
     return survivors
+
+
+def incremental_fingerprint_dedup_bucketed(
+    batch: DataFrame,
+    store_name: str,
+    id_col: str = "doc_id",
+    hash_col: str = "fp",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+    buckets: int = 32,
+    path: str | None = None,
+    on_survivors=None,
+    fresh: bool = False,
+) -> DataFrame:
+    """Perceptual-fingerprint dedup of a NEW batch against ALL
+    accepted history via a persisted banded-fingerprint store — the
+    FIFTH member of the incremental-store family (exact keys /
+    MinHash bands / semantic cells / positional shingles / THIS),
+    and the incremental form the image/audio fingerprint modalities
+    need: each crawl batch's 64-bit fingerprints (`image_dhash`,
+    `audio_fingerprint`, `simhash`) are checked within
+    ``max_hamming`` of the whole accepted corpus without re-hashing
+    or re-reading any earlier batch.
+
+    The store ``{store_name}__fpb`` holds ``(bk, id_col, h)`` — one
+    row per (band, accepted id), with ``bk = band_idx << band_bits |
+    band_val`` (band_val < 2^band_bits, so the composite is a single
+    uniform int64 join key) — BUCKETED and sorted on ``bk``, so the
+    per-batch candidate join reads the store already partitioned on
+    the join key: ZERO store-side Exchange, only the (small) batch
+    shuffles. Fingerprints ride in the store rows, so the exact
+    ``bit_count(xor)`` verify needs no join back against history.
+
+    SURVIVOR semantics (the `incremental_near_dup_bucketed` rule,
+    NOT the substring store's seen-set): a batch doc drops iff it is
+    within ``max_hamming`` of a LOWER-id batch doc (greedy by id,
+    pairs formed among all batch members) or of ANY stored survivor;
+    only survivors append — near-dup clusters keep exactly their
+    first-seen representative.
+
+    Hot-bucket gate (the ADVICE-r8 union-distinct pattern): per band
+    bucket, ONE COUNT(DISTINCT id) over store ∪ batch rows SCOPED to
+    the batch's buckets (a broadcast semi-join keeps the store scan
+    bucket-pruned and exchange-free; a replayed batch double-counts
+    nothing). Buckets over ``max_ids_per_bucket`` are skipped in BOTH
+    match arms — byte-identical mega-clusters are exact dedup's job,
+    and the gate is what bounds in-bucket pair expansion as history
+    grows.
+
+    Crash contract (same as the sibling stores):
+    `recover_orphaned_compaction` heals a mid-compaction crash before
+    the exists-probe; drops pin via eager localCheckpoint BEFORE the
+    append (a lazy re-evaluation after the write would self-match the
+    batch and drop everything); ``on_survivors`` fires before the
+    append (sink-first ⇒ at-least-once, never loss — a replayed
+    batch re-matches the store and re-drops). ``fresh=True`` starts a
+    new store lineage in place (one metastore op, the VERDICT-r8
+    noise discipline)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee needs more bands than tolerated bit flips"
+        )
+    spark = batch.sparkSession
+    fpb_t = f"{store_name}__fpb"
+    recover_orphaned_compaction(spark, fpb_t)
+    exists = spark.catalog.tableExists(fpb_t) and not fresh
+
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = swap_cache(
+        "dedup.incremental_fp_bands",
+        batch.select(
+            F.col(id_col),
+            F.col(hash_col).alias("h"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" b -> (cast(b as bigint) << {band_bits})"
+                    f" | (shiftright({hash_col}, b * {band_bits}) & {mask}))"
+                )
+            ).alias("bk"),
+        ),
+    )
+    batch_bks = banded.select("bk").distinct()
+    gate_rows = banded.select("bk", F.col(id_col).alias("id"))
+    store_hits = None
+    if exists:
+        # ONE bucket-pruned store scan (broadcast semi on the batch's
+        # bk set — no store-side Exchange) feeds both the gate count
+        # and the match arm
+        store_hits = swap_cache(
+            "dedup.incremental_fp_store_hits",
+            spark.table(fpb_t).join(F.broadcast(batch_bks), "bk"),
+        )
+        gate_rows = gate_rows.unionByName(
+            store_hits.select("bk", F.col(id_col).alias("id"))
+        )
+    # upper bound ONLY: a >=2 floor would be a no-op for pair
+    # formation (singleton buckets join to nothing) but it BREAKS the
+    # replay contract — a replayed batch's doc shares its bucket with
+    # its own stored row under the SAME id, so the union-distinct
+    # count is 1 and the floor would gate out exactly the self-match
+    # that makes replay re-drop (regression-tested)
+    ok_bk = (
+        gate_rows.groupBy("bk")
+        .agg(F.countDistinct("id").alias("__nd"))
+        .filter(F.col("__nd") <= max_ids_per_bucket)
+        .select("bk")
+    )
+    a = banded.select(
+        F.col("bk"), F.col(id_col).alias("id_a"), F.col("h").alias("h_a")
+    )
+    b = banded.select(
+        F.col("bk"), F.col(id_col).alias("id_b"), F.col("h").alias("h_b")
+    )
+    ham = f"cast(bit_count(h_a ^ h_b) as int) <= {max_hamming}"
+    in_batch = (
+        a.join(F.broadcast(ok_bk), "bk")
+        .join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(ham))
+        .select("id_b")
+    )
+    dropped = in_batch
+    if exists:
+        vs_store = (
+            store_hits.select(
+                F.col("bk"), F.col(id_col).alias("id_a"),
+                F.col("h").alias("h_a"),
+            )
+            .join(F.broadcast(ok_bk), "bk")
+            .join(b, "bk")
+            .filter(F.expr(ham))
+            .select("id_b")
+        )
+        dropped = dropped.unionByName(vs_store)
+    drops = (
+        dropped.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    survivors = batch.join(drops, id_col, "left_anti")
+    if on_survivors is not None:
+        on_survivors(survivors)
+
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        banded.join(drops, id_col, "left_anti").select("bk", id_col, "h"),
+        fpb_t,
+        "bk",
+        buckets=buckets,
+        sort_cols="bk",
+        path=None if path is None else f"{path}/{fpb_t}",
+        mode="append" if exists else "overwrite",
+    )
+    return survivors

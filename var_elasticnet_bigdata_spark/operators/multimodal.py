@@ -677,6 +677,38 @@ def duck_image_phash_sql(
     nbits = (width - 1) * height
     band_bits = nbits // bands
     mask = (1 << band_bits) - 1
+
+    return f"""
+        WITH {duck_image_dhash_cte(table, id_col, width, height)},
+        bd AS (
+          SELECT {id_col}, dh, t.b AS band_idx,
+                 (dh >> (t.b * {band_bits})) & {mask} AS band_val
+          FROM h, UNNEST(range(0, {bands})) t(b)),
+        ok AS (
+          SELECT band_idx, band_val FROM bd GROUP BY 1, 2
+          HAVING COUNT(*) BETWEEN 2 AND {max_ids_per_bucket}),
+        cand AS (
+          SELECT DISTINCT a.{id_col} AS id_a, c.{id_col} AS id_b,
+                 CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
+          FROM bd a
+          JOIN ok USING (band_idx, band_val)
+          JOIN bd c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
+                    AND a.{id_col} < c.{id_col})
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """
+
+
+def duck_image_dhash_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    width: int = 9,
+    height: int = 8,
+) -> str:
+    """The synth-luminance → dHash CTE chain (``g``/``bits``/``h``,
+    yielding ``h({id_col}, dh)``) shared by the one-pass twin above
+    and the incremental fingerprint-store twin — factored so both
+    replay byte-identical fingerprint arithmetic."""
+    nbits = (width - 1) * height
     top = nbits - 1
 
     def lum(x_expr: str) -> str:
@@ -689,8 +721,7 @@ def duck_image_phash_sql(
             f" ELSE {l0} END"
         )
 
-    return f"""
-        WITH g AS (
+    return f"""g AS (
           SELECT {id_col},
                  CASE WHEN {id_col} % {PHASH_GROUP_OF} <= 1
                       THEN {id_col} - ({id_col} % {PHASH_GROUP_OF})
@@ -708,23 +739,7 @@ def duck_image_phash_sql(
                    CASE WHEN b = {top} THEN -9223372036854775807 - 1
                         ELSE (1::BIGINT << b) END
                  ELSE 0 END) AS BIGINT) AS dh
-          FROM bits GROUP BY 1),
-        bd AS (
-          SELECT {id_col}, dh, t.b AS band_idx,
-                 (dh >> (t.b * {band_bits})) & {mask} AS band_val
-          FROM h, UNNEST(range(0, {bands})) t(b)),
-        ok AS (
-          SELECT band_idx, band_val FROM bd GROUP BY 1, 2
-          HAVING COUNT(*) BETWEEN 2 AND {max_ids_per_bucket}),
-        cand AS (
-          SELECT DISTINCT a.{id_col} AS id_a, c.{id_col} AS id_b,
-                 CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
-          FROM bd a
-          JOIN ok USING (band_idx, band_val)
-          JOIN bd c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
-                    AND a.{id_col} < c.{id_col})
-        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
-    """
+          FROM bits GROUP BY 1)"""
 
 
 # Audio-fingerprint synthesis constants (mirrors the PHASH_* design:

@@ -1792,6 +1792,7 @@ def ivfpq_search(
     max_probes: int = 512,
     round_dp: int = 6,
     exclude_self: bool = False,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """The FULL IVF-PQ vector-index chain as one composition
     (VERDICT r6 item 7) — what a production 100 TB vector store
@@ -1876,8 +1877,20 @@ def ivfpq_search(
     )
 
     # --- bounded probe set, driver-side cell routing + LUT ---------
+    pf = df.filter((F.col(id_col) % probe_mod) == 0)
+    if sample_mod > 1:
+        # same deterministic md5-bucket probe sample as the recall
+        # audit (r9): the index arm's per-probe ADC cost is also
+        # corpus-proportional, so a sampled audit must sample BOTH
+        # arms or the unsampled arm masks the saving
+        pf = pf.filter(
+            F.expr(
+                f"cast(conv(substring(md5(cast({id_col} as string)), 1, 8),"
+                f" 16, 10) as bigint) % {int(sample_mod)} = 0"
+            )
+        )
     probes = guarded_collect(
-        df.filter((F.col(id_col) % probe_mod) == 0).select(id_col, vec_col),
+        pf.select(id_col, vec_col),
         "ivfpq_search's probe set",
         "a larger probe_mod or batched calls (the probe LUT must stay "
         "bounded driver-side)",
@@ -2199,6 +2212,8 @@ def ivfpq_recall_top1(
     max_probes: int = 512,
     round_dp: int = 6,
     sample_mod: int = 1,
+    centroids: np.ndarray | None = None,
+    codebook: np.ndarray | None = None,
 ) -> DataFrame:
     """QUALITY gate for the IVF-PQ chain: per probe query, the
     index's top-1 (via `ivfpq_search`, self excluded) against the
@@ -2240,10 +2255,17 @@ def ivfpq_recall_top1(
     recomputed driver-side over the bounded winner set with the same
     sequential fold.
     """
+    # ``centroids``/``codebook`` passthrough (r9): audit the SERVING
+    # index from pre-trained artifacts — no in-query Lloyd/codebook
+    # pass, so the audit's cost is the exact arm (the part sample_mod
+    # bounds) plus a probe-count-bounded ADC arm (≤ max_probes, a
+    # constant at scale).
     idx = ivfpq_search(
         df, nlist=nlist, m=m, k=k, nprobe=nprobe, topk=1,
         id_col=id_col, vec_col=vec_col, probe_mod=probe_mod,
+        centroids=centroids, codebook=codebook,
         max_probes=max_probes, round_dp=round_dp, exclude_self=True,
+        sample_mod=sample_mod,
     ).select(F.col("qid"), F.col(id_col).alias("ivfpq_id"))
 
     from ..plans.guards import guarded_collect

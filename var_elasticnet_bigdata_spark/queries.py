@@ -2047,6 +2047,100 @@ def _register_audio_fp_oracle() -> None:
 _register_audio_fp_oracle()
 
 
+@query("dedup_fingerprint_incremental", None)  # oracle registered below
+def dedup_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dHash dedup through the PERSISTED banded-fingerprint
+    store (`dedup.incremental_fingerprint_dedup_bucketed`) — the
+    FIFTH incremental store, giving the image/audio fingerprint
+    modalities the same batch-vs-history shape the text family has:
+    each batch's fingerprints check within Hamming 3 of ALL accepted
+    survivors without re-hashing earlier batches; the store side of
+    the band join reads exchange-free (bucketed on the composite band
+    key, batch-scoped via broadcast semi-join). Two id-ordered
+    batches here; the twin unrolls the SAME two stages with
+    per-stage union-distinct bucket gates (history ∪ batch, scoped
+    to the batch's buckets — the gate makes incremental legitimately
+    different from one full pass). Returns (doc_id, is_dup) for the
+    full corpus. Store path reuses one session-scoped dir with
+    fresh=True overwrite (the VERDICT r8 noise discipline)."""
+    from .operators.dedup import incremental_fingerprint_dedup_bucketed
+    from .operators.multimodal import image_dhash, synth_gray_bmp_payloads
+
+    store = "q_dedup_fp_store"
+    path = _session_store_dir("spark_graft_fp_store_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_dhash(synth_gray_bmp_payloads(docs))
+    kept = []
+    for i, pred in enumerate((F.col("doc_id") < 250, F.col("doc_id") >= 250)):
+        s = incremental_fingerprint_dedup_bucketed(
+            hashed.filter(pred), store, hash_col="dhash",
+            bits=64, bands=4, max_hamming=3, max_ids_per_bucket=64,
+            buckets=8, path=path, fresh=(i == 0),
+        )
+        kept.append(s.select("doc_id"))
+    surv = kept[0].unionByName(kept[1])
+    return (
+        docs.join(surv.withColumn("__k", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__k").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
+def _register_fp_incremental_oracle() -> None:
+    from .operators.multimodal import duck_image_dhash_cte
+
+    ORACLE["dedup_fingerprint_incremental"] = f"""
+        WITH {duck_image_dhash_cte("documents", "doc_id", 9, 8)},
+        bd AS (
+          SELECT doc_id, dh,
+                 (t.b::BIGINT << 16) | ((dh >> (t.b * 16)) & 65535) AS bk
+          FROM h, UNNEST(range(0, 4)) t(b)),
+        b1 AS (SELECT * FROM bd WHERE doc_id < 250),
+        g1 AS (SELECT bk FROM b1 GROUP BY bk
+               HAVING COUNT(DISTINCT doc_id) <= 64),
+        p1 AS (
+          SELECT DISTINCT c.doc_id AS id_b
+          FROM b1 a JOIN g1 USING (bk) JOIN b1 c USING (bk)
+          WHERE a.doc_id < c.doc_id
+            AND bit_count(xor(a.dh, c.dh)) <= 3),
+        d1 AS (SELECT id_b AS doc_id FROM p1),
+        store AS (SELECT * FROM b1
+                  WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+        b2 AS (SELECT * FROM bd WHERE doc_id >= 250),
+        u2 AS (
+          SELECT bk, doc_id FROM b2
+          UNION ALL
+          SELECT s.bk, s.doc_id FROM store s
+          WHERE s.bk IN (SELECT bk FROM b2)),
+        g2 AS (SELECT bk FROM u2 GROUP BY bk
+               HAVING COUNT(DISTINCT doc_id) <= 64),
+        in2 AS (
+          SELECT DISTINCT c.doc_id AS id_b
+          FROM b2 a JOIN g2 USING (bk) JOIN b2 c USING (bk)
+          WHERE a.doc_id < c.doc_id
+            AND bit_count(xor(a.dh, c.dh)) <= 3),
+        vs2 AS (
+          SELECT DISTINCT c.doc_id AS id_b
+          FROM store s JOIN g2 USING (bk) JOIN b2 c USING (bk)
+          WHERE bit_count(xor(s.dh, c.dh)) <= 3),
+        d2 AS (SELECT id_b AS doc_id FROM in2
+               UNION SELECT id_b FROM vs2)
+        SELECT d.doc_id,
+               CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM d1)
+                           OR d.doc_id IN (SELECT doc_id FROM d2)
+                    THEN 1 ELSE 0 END AS INT) AS is_dup
+        FROM documents d
+    """
+
+
+_register_fp_incremental_oracle()
+
+
 @query("pipeline_corpus_curation", None)
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation pipeline — the composition a

@@ -360,3 +360,74 @@ def stream_substring_dedup_against_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_fingerprint_dedup_against_store(
+    docs: DataFrame,
+    store_name: str,
+    checkpoint_dir: str,
+    out_path: str,
+    hash_col: str = "fp",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+    buckets: int = 32,
+    store_path: str | None = None,
+    compact_every: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous perceptual-FINGERPRINT dedup against the persisted
+    banded-fingerprint store (`operators/dedup.incremental_
+    fingerprint_dedup_bucketed`) — the FIFTH streaming crawl loop
+    (exact keys, MinHash bands, semantic cells, positional shingles,
+    banded fingerprints), the one a multimodal ingest runs after its
+    decode stage: ``docs`` carries a precomputed int64 fingerprint
+    column (`multimodal.image_dhash` / `audio_fingerprint` /
+    `dedup.simhash` — all narrow stages that compose onto the stream
+    unchanged); each micro-batch's fingerprints check within
+    ``max_hamming`` of ALL accepted survivors (store side of the band
+    join exchange-free), survivors commit to the parquet corpus FIRST
+    via ``on_survivors`` (sink-before-store: replay duplicates the
+    corpus, never loses a document; a replayed batch re-matches the
+    stored survivors and re-drops).
+
+    ``compact_every``: every N batches the fingerprint store is
+    compacted in place (the store grows ``bands`` rows per accepted
+    item — the slowest-growing of the five, but a crawl-scale ingest
+    still wants bounded file counts).
+
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    from ..operators.dedup import incremental_fingerprint_dedup_bucketed
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_fingerprint_dedup_bucketed(
+            batch_df,
+            store_name,
+            hash_col=hash_col,
+            bits=bits,
+            bands=bands,
+            max_hamming=max_hamming,
+            max_ids_per_bucket=max_ids_per_bucket,
+            buckets=buckets,
+            path=store_path,
+            on_survivors=lambda surv: surv.write.mode("append").parquet(
+                out_path
+            ),
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..sources.compaction import compact_bucketed
+
+            compact_bucketed(batch_df.sparkSession, f"{store_name}__fpb")
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
