@@ -125,3 +125,80 @@ def test_sq8_quantization_error_bound(spark):
     for i, v in enumerate(vecs.astype(np.float64)):
         recon = mn_a + (np.array(got[i]) + 0.5) * step
         assert np.all(np.abs(v - recon) <= step / 2 + 1e-12), i
+
+
+def test_sq8_stream_serving_matches_batch(spark, tmp_path):
+    """Streaming serving: trained bounds + explicit probe_rows compose
+    onto a readStream frame unchanged and reproduce the batch answer
+    bit-for-bit (the pq_adc_top1 streaming contract)."""
+    import time as _time
+
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        sq8_adc_top1,
+        sq8_minmax,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    emb = _frame(spark, vecs)
+    mn, mx = sq8_minmax(emb, d=8)
+    probe_rows = emb.filter("vec_id % 10 = 0").select(
+        "vec_id", "embedding"
+    ).collect()
+    batch = {
+        r["vec_id"]: (r["nearest_probe"], r["adc"])
+        for r in sq8_adc_top1(
+            emb, d=8, bounds=(mn, mx), probe_rows=probe_rows
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    emb.filter("vec_id < 20").coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/f1"
+    )
+    _time.sleep(1.1)
+    emb.filter("vec_id >= 20").coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/f2"
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    scored = sq8_adc_top1(
+        stream, d=8, bounds=(mn, mx), probe_rows=probe_rows
+    )
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.vec_id: (r.nearest_probe, r.adc)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == batch and len(got) == 40
+
+
+def test_sq8_probe_rows_without_bounds_friendly_error(spark, tmp_path):
+    """A streaming caller that passes probe_rows but no bounds gets
+    the contract ValueError BEFORE any train/collect is attempted."""
+    import numpy as np
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        sq8_adc_top1,
+    )
+
+    emb = _frame(spark, np.zeros((4, 8), dtype=np.float32))
+    src = str(tmp_path / "s")
+    emb.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    with _pytest.raises(ValueError, match="requires explicit bounds"):
+        sq8_adc_top1(stream, d=8, probe_rows=[{"vec_id": 0}])

@@ -778,3 +778,65 @@ def test_bpe_encode_matches_local_reference(spark):
         for r in bpe_encode_token_counts(df, merges, top_n=1000).collect()
     }
     assert got == dict(ref)
+
+
+def test_kn_perplexity_hand_computed(spark):
+    """Kneser-Ney bigram perplexity against a fully hand-computed
+    2-doc corpus: pairs (a,b):2 (b,a):1 (a,c):1, B=3, D=0.75 ->
+    P(b|a)=(1.25+0.75*2/3)/3, P(a|b)=0.5, P(c|a)=0.25; doc 2's
+    single bigram gives perplexity exactly 1/0.25 = 4."""
+    import math
+
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.text import (
+        kn_bigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["perplexity"])
+        for r in kn_bigram_perplexity(docs, discount=0.75).collect()
+    }
+    assert set(got) == {1, 2}  # <2-token doc omitted
+    p_ba = (max(2 - 0.75, 0.0) + 0.75 * 2 * (1 / 3)) / 3
+    p_ab = (max(1 - 0.75, 0.0) + 0.75 * 1 * (1 / 3)) / 1
+    p_ca = (max(1 - 0.75, 0.0) + 0.75 * 2 * (1 / 3)) / 3
+    want1 = round(
+        math.exp(-(2 * math.log(p_ba) + math.log(p_ab)) / 3), 6
+    )
+    assert got[1] == (3, _pytest.approx(want1, abs=1e-6))
+    assert got[2] == (1, _pytest.approx(round(1 / p_ca, 6), abs=1e-6))
+    assert p_ca == 0.25
+
+
+def test_kn_perplexity_twin_parity(spark, duck):
+    """Spark and the DuckDB twin agree row-for-row on a small mixed
+    corpus (model build, P_KN arithmetic, 6-dp round)."""
+    from var_elasticnet_bigdata_spark.operators.text import (
+        duck_kn_perplexity_sql,
+        kn_bigram_perplexity,
+    )
+
+    rows = [
+        (i, f"tok{i % 5} tok{(i + 1) % 5} tok{(i * 3) % 7} tok{i % 5}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["perplexity"])
+        for r in kn_bigram_perplexity(docs).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE kn_docs AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                 + ") t(doc_id, text)")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            duck_kn_perplexity_sql(table="kn_docs")
+        ).fetchall()
+    }
+    assert got == want

@@ -62,7 +62,7 @@ FAMILY = [
     # same banded join as the image family); SQ8 quantization serving
     # (one min/max scan + narrow encode + closure-probe Arrow score)
     "dedup_audio_fingerprint", "ann_sq8_adc_top1",
-    "dedup_fingerprint_incremental",
+    "dedup_fingerprint_incremental", "text_kn_perplexity",
 ]
 
 

@@ -1651,6 +1651,8 @@ def sq8_adc_top1(
     probe_mod: int = 100,
     round_dp: int = 6,
     max_probes: int = 4096,
+    bounds: tuple[list[float], list[float]] | None = None,
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """SQ8 asymmetric-distance search — serving reads ONLY the uint8
     codes: reconstruct ``recon[i] = mn[i] + (((code[i] + 0.5) ·
@@ -1675,14 +1677,39 @@ def sq8_adc_top1(
     numpy's floor(x·s + 0.5)/s == ROUND's half-away-from-zero)."""
     from ..plans.guards import guarded_collect
 
-    mn, mx = sq8_minmax(df, d=d, id_col=id_col, vec_col=vec_col)
-    probes = guarded_collect(
-        df.filter((F.col(id_col) % probe_mod) == 0).select(id_col, vec_col),
-        "sq8_adc_top1's probe set",
-        "a larger probe_mod or batched calls (the probe block must stay "
-        "bounded driver-side)",
-        max_rows=max_probes,
+    # STREAMING serving contract (the `pq_adc_top1` probe_rows rule):
+    # a readStream frame can neither train bounds nor be collected,
+    # so the caller passes both; validate BEFORE any train/collect so
+    # a streaming misuse gets this error, not a raw streaming-collect
+    # AnalysisException (the ADVICE-r7 ordering lesson).
+    if probe_rows is not None:
+        if bounds is None:
+            raise ValueError(
+                "sq8_adc_top1: probe_rows requires explicit bounds "
+                "(a streaming frame cannot train min/max)"
+            )
+        if len(probe_rows) > max_probes:
+            raise ValueError(
+                f"sq8_adc_top1: {len(probe_rows)} probe_rows exceed "
+                f"max_probes={max_probes}"
+            )
+    mn, mx = (
+        bounds
+        if bounds is not None
+        else sq8_minmax(df, d=d, id_col=id_col, vec_col=vec_col)
     )
+    if probe_rows is not None:
+        probes = list(probe_rows)
+    else:
+        probes = guarded_collect(
+            df.filter((F.col(id_col) % probe_mod) == 0).select(
+                id_col, vec_col
+            ),
+            "sq8_adc_top1's probe set",
+            "a larger probe_mod or batched calls (the probe block must stay "
+            "bounded driver-side)",
+            max_rows=max_probes,
+        )
     probes = sorted(probes, key=lambda r: r[id_col])
     if not probes:
         raise ValueError("sq8_adc_top1: empty probe set")

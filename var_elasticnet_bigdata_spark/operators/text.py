@@ -842,6 +842,143 @@ def duck_perplexity_curriculum_sql(
     """
 
 
+def kn_bigram_perplexity(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an interpolated KNESER-NEY
+    bigram model — the smoothing KenLM actually ships (vs
+    `bigram_perplexity`'s fixed-λ interpolation): absolute discount
+    ``D`` on the bigram count, mass redistributed through the
+    CONTINUATION probability (how many distinct contexts a word
+    follows, not how often it occurs — the "San Francisco" fix):
+
+        P_KN(w|u) = (max(c₂(u,w) − D, 0) + D·N1+(u·)·P_cont(w)) / c(u·)
+        P_cont(w) = N1+(·w) / B
+
+    with N1+(u·) = distinct continuations of u, N1+(·w) = distinct
+    left-contexts of w, B = distinct bigram types. Trained on the
+    corpus being scored, so every scored position has c₂ ≥ 1 and the
+    probability is strictly positive; docs with fewer than two tokens
+    have no scored positions and are omitted (the model's domain).
+
+    Scale shape (deliberately DIFFERENT from `bigram_logprob`'s four
+    corpus-sized count windows): the model is aggregated FIRST —
+    bigram types via one map-side-combined groupBy, then the
+    context/continuation stats as groupBys over the TYPES frame
+    (model-sized, Heaps-law-sublinear in the corpus, never
+    corpus-sized) — and the token stream joins the finished model
+    once on (prev, tok). A windowed COUNT(DISTINCT ...) over hot
+    contexts (what the naive form needs, and Spark's WindowExec
+    doesn't even support) would concentrate every "the"-position in
+    one task; the groupBy form partial-aggregates it away.
+
+    Float discipline: P_KN is computed from integer counts in one
+    fixed parenthesization on both engines; the per-doc
+    ``AVG(LN p)`` accumulates in engine order and the final 6-dp
+    round absorbs it (the `bigram_perplexity` contract). Returns
+    ``(id_col, n_bigrams, perplexity)``."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    from .dedup import norm_sql_spark
+
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    toks = swap_cache(
+        "text.kn_tokens",
+        df.withColumn("__w", F.expr(words)).select(
+            F.col(id_col),
+            F.posexplode(F.expr("transform(__w, w -> w)")).alias("pos", "tok"),
+        ),
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    big = swap_cache(
+        "text.kn_bigrams",
+        toks.withColumn("prev", F.lag("tok").over(w_doc))
+        .filter(F.col("prev").isNotNull())
+        .select(id_col, "prev", "tok"),
+    )
+    pairs = swap_cache(
+        "text.kn_pairs",
+        big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2")),
+    )
+    B = pairs.count()
+    ctx = pairs.groupBy("prev").agg(
+        F.sum("c2").alias("cctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    back = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("n1b"))
+    D = float(discount)
+    model = (
+        pairs.join(ctx, "prev")
+        .join(back, "tok")
+        .select(
+            "prev",
+            "tok",
+            (
+                (
+                    F.greatest(F.col("c2") - F.lit(D), F.lit(0.0))
+                    + F.lit(D)
+                    * F.col("n1f")
+                    * (F.col("n1b") / F.lit(float(B)))
+                )
+                / F.col("cctx")
+            ).alias("__p"),
+        )
+    )
+    return (
+        big.join(model, ["prev", "tok"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.avg(F.log("__p"))), 6).alias("perplexity"),
+        )
+    )
+
+
+def duck_kn_perplexity_sql(
+    discount: float = 0.75, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB twin of ``kn_bigram_perplexity`` — same aggregate-first
+    model build, same fixed P_KN parenthesization, same 6-dp round."""
+    from .dedup import NORM_SQL_DUCK
+
+    D = float(discount)
+    return f"""
+        WITH wl AS (
+          SELECT {id_col},
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                             x -> x <> '') AS l
+          FROM {table}),
+        toks AS (
+          SELECT {id_col}, CAST(p.pos AS INT) AS pos, l[p.pos] AS tok
+          FROM wl, UNNEST(range(1, len(l) + 1)) AS p(pos)),
+        big AS (
+          SELECT {id_col}, prev, tok FROM (
+            SELECT {id_col}, tok,
+                   LAG(tok) OVER (PARTITION BY {id_col} ORDER BY pos) AS prev
+            FROM toks) WHERE prev IS NOT NULL),
+        pairs AS (SELECT prev, tok, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+        bt AS (SELECT COUNT(*) AS b FROM pairs),
+        ctx AS (SELECT prev, SUM(c2) AS cctx, COUNT(*) AS n1f
+                FROM pairs GROUP BY 1),
+        back AS (SELECT tok, COUNT(*) AS n1b FROM pairs GROUP BY 1),
+        model AS (
+          SELECT p.prev, p.tok,
+                 (GREATEST(p.c2 - {D!r}, 0.0)
+                  + {D!r} * ctx.n1f * (back.n1b / CAST(bt.b AS DOUBLE)))
+                 / ctx.cctx AS p
+          FROM pairs p
+          JOIN ctx ON ctx.prev = p.prev
+          JOIN back ON back.tok = p.tok
+          CROSS JOIN bt)
+        SELECT b.{id_col}, COUNT(*) AS n_bigrams,
+               ROUND(EXP(-AVG(LN(m.p))), 6) AS perplexity
+        FROM big b JOIN model m ON m.prev = b.prev AND m.tok = b.tok
+        GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # vocabulary coverage — top-V vocab + per-document OOV rate
 # ---------------------------------------------------------------------------

@@ -437,6 +437,33 @@ def _register_perplexity_curriculum_oracle() -> None:
 _register_perplexity_curriculum_oracle()
 
 
+@query("text_kn_perplexity", None)  # oracle registered below
+def text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram perplexity
+    (`text.kn_bigram_perplexity`) — the smoothing KenLM ships, one
+    step past `text_bigram_perplexity`'s fixed-λ interpolation:
+    absolute discount with the redistributed mass weighted by
+    CONTINUATION counts (distinct contexts, not raw frequency). The
+    model is aggregated FIRST (bigram types, then context /
+    continuation stats over the model-sized types frame — never a
+    corpus-sized distinct-count window), and the token stream joins
+    the finished model once on (prev, tok). The twin replays the
+    identical aggregate-first build and P_KN parenthesization."""
+    from .operators.text import kn_bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_perplexity(docs, discount=0.75)
+
+
+def _register_kn_perplexity_oracle() -> None:
+    from .operators.text import duck_kn_perplexity_sql
+
+    ORACLE["text_kn_perplexity"] = duck_kn_perplexity_sql(discount=0.75)
+
+
+_register_kn_perplexity_oracle()
+
+
 @query("split_train_val_test", None)  # oracle registered below
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
