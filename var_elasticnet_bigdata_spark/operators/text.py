@@ -1228,6 +1228,158 @@ def duck_hashed_classifier_sql(buckets: int = CLASSIFIER_BUCKETS) -> str:
     """
 
 
+def train_quality_classifier(
+    df: DataFrame,
+    steps: int = 3,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_sql: str = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)",
+    grad_dp: int = 9,
+    w_dp: int = 12,
+) -> DataFrame:
+    """TRAIN the quality classifier `hashed_classifier_score` only
+    infers: full-batch gradient-descent logistic regression over the
+    corpus — the distributed-training loop a fastText-style filter
+    pipeline runs before shipping weights to the zero-shuffle scorer.
+    ``steps`` synchronous GD steps on dense doc features, label from
+    ``label_sql`` (default: is-English, the lang column). Returns the
+    final weight vector as ``(pos, weight)`` rows.
+
+    Scale shape (the `pca_top_components` pattern): each step is ONE
+    map-side-combined aggregation over the corpus returning d
+    gradient sums (d doubles cross the wire — never rows); the weight
+    update is d flops of driver arithmetic; the feature frame is
+    staged once and re-scanned per step. Nothing is ever collected
+    but the d-vector.
+
+    Float discipline (hash-gate twin contract): features are EXACT
+    rationals — integer counts divided by powers of two (/256, /4096
+    are exact binary scalings), so margins are bit-identical given
+    bit-identical weights; step 1's margin is exactly 0 (w=0 ⇒
+    p=0.5, no libm at all); each gradient sum snaps half-away to
+    ``grad_dp`` at the aggregation (absorbing engine summation
+    order, the Gram-cell discipline), and each weight update snaps
+    to ``w_dp`` — so every step starts from bit-identical weights on
+    both engines, and libm's exp (correctly-rounded on identical
+    inputs in practice — the perplexity twins' gate pins this) faces
+    identical margins."""
+    import numpy as np
+
+    from .dedup import norm_sql_spark
+    from .similarity import snap_half_away
+
+    norm = norm_sql_spark(text_col)
+    ntok = f"size(filter(split({norm}, ' '), w -> w <> ''))"
+    feats = swap_cache(
+        "text.classifier_feats",
+        df.selectExpr(
+            f"{label_sql} AS y",
+            "CAST(1.0 AS DOUBLE) AS x0",
+            # divide by CAST doubles: a bare 256.0 literal is DECIMAL
+            # in Spark SQL and silently truncates the exact dyadic
+            # rational to 6 digits (caught by the twin-parity test)
+            f"{ntok} / CAST(256 AS DOUBLE) AS x1",
+            f"length({text_col}) / CAST(4096 AS DOUBLE) AS x2",
+            f"(length({text_col}) - length(replace({text_col}, ' ', '')))"
+            " / CAST(256 AS DOUBLE) AS x3",
+        ),
+    )
+    d = 4
+    n = feats.count()
+    if n == 0:
+        raise ValueError("train_quality_classifier: empty corpus")
+    w = [0.0] * d
+    for step in range(steps):
+        if step == 0:
+            p = "CAST(0.5 AS DOUBLE)"  # w = 0 ⇒ margin 0 ⇒ sigmoid = 1/2
+        else:
+            margin = " + ".join(
+                f"CAST('{w[j]!r}' AS DOUBLE) * x{j}" for j in range(d)
+            )
+            p = f"1.0 / (1.0 + exp(-({margin})))"
+        g = feats.agg(
+            *[
+                F.round(F.expr(f"sum(({p} - y) * x{j})"), grad_dp).alias(
+                    f"g{j}"
+                )
+                for j in range(d)
+            ]
+        ).collect()[0]
+        w = [
+            float(
+                snap_half_away(
+                    np.array(w[j] - lr * (float(g[f"g{j}"]) / n)), w_dp
+                )
+            )
+            for j in range(d)
+        ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(j, w[j]) for j in range(d)], "pos int, weight double"
+    )
+
+
+def duck_classifier_train_sql(
+    steps: int = 3,
+    lr: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    label_sql: str = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)",
+    grad_dp: int = 9,
+    w_dp: int = 12,
+) -> str:
+    """DuckDB twin of ``train_quality_classifier``: the GD loop
+    UNROLLED as one CTE chain (the `pca_top_components` twin shape) —
+    same exact-rational features, same per-step gradient snap and
+    weight snap, same margin parenthesization."""
+    from .dedup import NORM_SQL_DUCK
+
+    d = 4
+    lrf = float(lr)
+    ctes = [
+        f"""feats AS (
+          SELECT {label_sql} AS y,
+                 CAST(1.0 AS DOUBLE) AS x0,
+                 len(list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                                 x -> x <> '')) / CAST(256 AS DOUBLE) AS x1,
+                 length({text_col}) / CAST(4096 AS DOUBLE) AS x2,
+                 (length({text_col}) - length(replace({text_col}, ' ', '')))
+                   / CAST(256 AS DOUBLE) AS x3
+          FROM {table})""",
+        "cnt AS (SELECT COUNT(*) AS n FROM feats)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(d))
+        + ")",
+    ]
+    for s in range(1, steps + 1):
+        if s == 1:
+            p = "0.5"
+        else:
+            margin = " + ".join(f"w.w{j} * x{j}" for j in range(d))
+            p = f"1.0 / (1.0 + EXP(-({margin})))"
+        gsel = ", ".join(
+            f"ROUND(SUM(({p} - y) * x{j}), {grad_dp}) AS g{j}"
+            for j in range(d)
+        )
+        ctes.append(f"g{s} AS (SELECT {gsel} FROM feats, w{s - 1} w)")
+        wsel = ", ".join(
+            f"ROUND(w.w{j} - {lrf!r} * (g.g{j} / cnt.n), {w_dp}) AS w{j}"
+            for j in range(d)
+        )
+        ctes.append(
+            f"w{s} AS (SELECT {wsel} FROM g{s} g, w{s - 1} w, cnt)"
+        )
+    cols = ", ".join(f"w{j}" for j in range(d))
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT CAST(u.j AS INT) AS pos,
+               CASE u.j {" ".join(f"WHEN {j} THEN w{j}" for j in range(d))}
+               END AS weight
+        FROM w{steps}, UNNEST(range(0, {d})) u(j)
+    """
+
+
 def bpe_train(
     df: DataFrame,
     rounds: int = 8,

@@ -464,6 +464,37 @@ def _register_kn_perplexity_oracle() -> None:
 _register_kn_perplexity_oracle()
 
 
+@query("text_classifier_train", None)  # oracle registered below
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED classifier training (`text.train_quality_classifier`)
+    — the loop that produces the weights `text_classifier_score` only
+    infers with: 3 synchronous full-batch GD steps of logistic
+    regression on exact-rational doc features (counts / powers of
+    two), label = is-English. Each step is ONE map-side-combined
+    aggregation returning d=4 gradient sums (d doubles cross the
+    wire, never rows) + d flops of driver arithmetic — the
+    `pca_top_components` scale shape applied to model TRAINING. The
+    twin unrolls all 3 steps as a CTE chain with the identical
+    per-step gradient snap (9 dp), weight snap (12 dp), and margin
+    parenthesization; step 1's sigmoid is exactly 1/2 (w=0), so the
+    first gradient is pure rational arithmetic on both engines."""
+    from .operators.text import train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_quality_classifier(docs, steps=3, lr=0.5)
+
+
+def _register_classifier_train_oracle() -> None:
+    from .operators.text import duck_classifier_train_sql
+
+    ORACLE["text_classifier_train"] = duck_classifier_train_sql(
+        steps=3, lr=0.5
+    )
+
+
+_register_classifier_train_oracle()
+
+
 @query("split_train_val_test", None)  # oracle registered below
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment
