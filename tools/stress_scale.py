@@ -63,7 +63,7 @@ FAMILY = [
     # (one min/max scan + narrow encode + closure-probe Arrow score)
     "dedup_audio_fingerprint", "ann_sq8_adc_top1",
     "dedup_fingerprint_incremental", "text_kn_perplexity",
-    "text_classifier_train",
+    "text_classifier_train", "pipeline_multimodal_curation",
 ]
 
 

@@ -2199,6 +2199,74 @@ def _register_fp_incremental_oracle() -> None:
 _register_fp_incremental_oracle()
 
 
+@query("pipeline_multimodal_curation", None)  # oracle registered below
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation pipeline — the composition a
+    vision-text training-data run executes, each stage one of the
+    engine's oracled operators: real-byte image decode + dHash
+    (`multimodal.image_dhash` over the synthesized BMP corpus) →
+    Hamming-banded visual near-dup removal (drop the higher id of
+    every ≤3-bit pair — `dedup.hamming_near_dup_pairs`, never
+    image×image) → text-quality filter on the visual survivors
+    (`text.quality_score`, codegen'd) → per-language corpus stats.
+    The twin chains the image-fingerprint arithmetic, the identical
+    band/gate/verify pipeline, the survivor anti-join, and the
+    quality expression stage for stage."""
+    from .operators.dedup import hamming_near_dup_pairs
+    from .operators.multimodal import image_dhash, synth_gray_bmp_payloads
+    from .operators.text import QUALITY_SQL_SPARK
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = image_dhash(synth_gray_bmp_payloads(docs.select("doc_id")))
+    pairs = hamming_near_dup_pairs(
+        hashed, bits=64, bands=4, max_hamming=3, max_ids_per_bucket=64
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = docs.join(drops, "doc_id", "left_anti")
+    scored = surv.select(
+        "doc_id", "lang", F.expr(QUALITY_SQL_SPARK).alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+def _register_multimodal_curation_oracle() -> None:
+    from .operators.multimodal import duck_image_dhash_cte
+    from .operators.text import QUALITY_SQL_DUCK
+
+    ORACLE["pipeline_multimodal_curation"] = f"""
+        WITH {duck_image_dhash_cte("documents", "doc_id", 9, 8)},
+        bd AS (
+          SELECT doc_id, dh, t.b AS band_idx,
+                 (dh >> (t.b * 16)) & 65535 AS band_val
+          FROM h, UNNEST(range(0, 4)) t(b)),
+        ok AS (
+          SELECT band_idx, band_val FROM bd GROUP BY 1, 2
+          HAVING COUNT(*) BETWEEN 2 AND 64),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                 CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
+          FROM bd a
+          JOIN ok USING (band_idx, band_val)
+          JOIN bd c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
+                    AND a.doc_id < c.doc_id),
+        drops AS (SELECT DISTINCT id_b AS doc_id FROM cand
+                  WHERE hamming <= 3),
+        surv AS (SELECT d.* FROM documents d
+                 WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)),
+        scored AS (
+          SELECT doc_id, lang, {QUALITY_SQL_DUCK} AS quality FROM surv)
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(quality), 6) AS avg_quality
+        FROM scored WHERE quality >= 0.5 GROUP BY lang
+    """
+
+
+_register_multimodal_curation_oracle()
+
+
 @query("pipeline_corpus_curation", None)
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation pipeline — the composition a
