@@ -840,3 +840,83 @@ def test_kn_perplexity_twin_parity(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_sample_domain_cap_properties(spark):
+    """<=N per source, deterministic across runs, and salted (NOT the
+    first-N-by-id crawl-order artifact)."""
+    from var_elasticnet_bigdata_spark.queries import QUERIES
+
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    out1 = {
+        (r.doc_id, r.source)
+        for r in QUERIES["sample_domain_cap"](spark, sf_dir).collect()
+    }
+    out2 = {
+        (r.doc_id, r.source)
+        for r in QUERIES["sample_domain_cap"](spark, sf_dir).collect()
+    }
+    assert out1 == out2
+    from collections import Counter
+
+    per_src = Counter(s for _, s in out1)
+    assert per_src and all(v <= 10 for v in per_src.values())
+    # salted: at least one source keeps a doc that is NOT among its
+    # 10 lowest ids (first-N-by-id would always pick those)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lowest = {
+        (r.doc_id, r.source)
+        for r in docs.selectExpr(
+            "doc_id", "source",
+            "row_number() over (partition by source order by doc_id) rn",
+        ).filter("rn <= 10").select("doc_id", "source").collect()
+    }
+    assert out1 != lowest
+
+
+def test_ann_truncation_agree_detects_tail_information(spark):
+    """Vectors whose distinguishing signal lives in dims 17-64
+    DISAGREE under first-16 truncation; vectors distinguished inside
+    dims 1-16 agree — the diagnostic actually measures truncation
+    loss."""
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from pyspark.sql import functions as F
+
+    # probes 0 and 200: identical first 16 dims, opposite tails;
+    # corpus vec 1 matches probe 0's tail, vec 2 matches probe 200's
+    base16 = np.ones(16)
+    v = {}
+    v[0] = np.concatenate([base16, np.ones(48)])
+    v[200] = np.concatenate([base16, -np.ones(48)])
+    v[1] = np.concatenate([base16 * 0.9, np.ones(48) * 1.1])
+    v[2] = np.concatenate([base16 * 0.9, -np.ones(48) * 1.1])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vec]) for i, vec in v.items()],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.filter(F.col("vec_id") % 200 == 0)
+    full = {
+        r.vec_id: r.neighbor_id
+        for r in cosine_topk(
+            emb, queries=probes, k=1, exclude_self=False
+        ).collect()
+    }
+    emb16 = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    trunc = {
+        r.vec_id: r.neighbor_id
+        for r in cosine_topk(
+            emb16, queries=emb16.filter(F.col("vec_id") % 200 == 0),
+            k=1, exclude_self=False,
+        ).collect()
+    }
+    # full-d separates the tails; truncated-16 cannot (1 and 2 have
+    # IDENTICAL first-16 dims -> both pick the lowest-id probe)
+    assert full[1] == 0 and full[2] == 200
+    assert trunc[1] == trunc[2] == 0

@@ -2375,6 +2375,126 @@ def ann_top1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_truncation_agree",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS e
+      FROM embeddings
+    ),
+    nt AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, 1, 16), x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(list_slice(embedding, 1, 16),
+                                            y -> y::DOUBLE * y::DOUBLE))))
+               AS e
+      FROM embeddings
+    ),
+    pf AS (SELECT vec_id AS pid, e FROM n WHERE vec_id % 200 = 0),
+    pt AS (SELECT vec_id AS pid, e FROM nt WHERE vec_id % 200 = 0),
+    rf AS (
+      SELECT a.vec_id, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.e, p.e) DESC, p.pid ASC) AS rn
+      FROM n a CROSS JOIN pf p
+    ),
+    rt AS (
+      SELECT a.vec_id, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.e, p.e) DESC, p.pid ASC) AS rn
+      FROM nt a CROSS JOIN pt p
+    ),
+    f1 AS (SELECT vec_id, pid AS full_probe FROM rf WHERE rn = 1),
+    t1 AS (SELECT vec_id, pid AS trunc_probe FROM rt WHERE rn = 1)
+    SELECT f1.vec_id, full_probe, trunc_probe,
+           CAST(full_probe = trunc_probe AS INT) AS agree
+    FROM f1 JOIN t1 ON t1.vec_id = f1.vec_id
+    """,
+)
+def ann_truncation_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style TRUNCATION diagnostic: per corpus vector, its
+    nearest probe (vec_id % 200) under the full 64-d embedding vs
+    under the first-16-dims truncation (renormalized) — the agreement
+    rate is the number that says whether a 4× cheaper index (store,
+    shuffle, and ADC all shrink with d) keeps the same answers. Both
+    arms are the exact broadcast-matmul search (`cosine_topk`), so
+    the diagnostic isolates TRUNCATION loss from quantization loss
+    (SQ8/PQ measure those). Output is id-only + an agree flag —
+    float-jitter-proof like `ann_top1_cosine`. Scale shape: two
+    narrow Arrow passes over the corpus with the (bounded) probe
+    matrices in closures; zero corpus shuffle."""
+    from .operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 200 == 0)
+    full = cosine_topk(emb, queries=probes, k=1, exclude_self=False).select(
+        "vec_id", F.col("neighbor_id").alias("full_probe")
+    )
+    emb16 = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
+    )
+    probes16 = emb16.filter(F.col("vec_id") % 200 == 0)
+    trunc = cosine_topk(
+        emb16, queries=probes16, k=1, exclude_self=False
+    ).select("vec_id", F.col("neighbor_id").alias("trunc_probe"))
+    return full.join(trunc, "vec_id").select(
+        "vec_id",
+        "full_probe",
+        "trunc_probe",
+        (F.col("full_probe") == F.col("trunc_probe")).cast("int").alias(
+            "agree"
+        ),
+    )
+
+
+@query(
+    "sample_domain_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap1' || doc_id::VARCHAR) ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 10
+    """,
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document CAP (the Gopher/CCNet crawl rule: no
+    source may contribute more than N docs): keep the N
+    deterministically-chosen docs per source, selection by salted md5
+    rank so the kept set is a stable uniform sample, not a
+    first-N-by-id crawl-order artifact. Declaring it as
+    row_number + filter lets Catalyst insert **WindowGroupLimit
+    BELOW the exchange**: every map task pre-trims to its local
+    top-10 per source, so the shuffle moves ≤ N·sources·partitions
+    rows regardless of corpus size — measured 9.5 KB at BOTH 1× and
+    10× (the imperative cap a hand-rolled reducer would write ships
+    the whole corpus to the shuffle first). At crawl scale the domain
+    key is high-cardinality so the reduce side parallelizes; for the
+    few-hot-domains regime the rate-based `sample_domain_mix` (no
+    per-key total order) is the alternative. Salt/order replayed
+    verbatim in the twin."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap1"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     """
     WITH n AS (
