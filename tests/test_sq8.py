@@ -202,3 +202,42 @@ def test_sq8_probe_rows_without_bounds_friendly_error(spark, tmp_path):
     stream = spark.readStream.schema(emb.schema).parquet(src)
     with _pytest.raises(ValueError, match="requires explicit bounds"):
         sq8_adc_top1(stream, d=8, probe_rows=[{"vec_id": 0}])
+
+
+def test_l2_exact_top1_matches_replication_and_sq8_audit_agrees(spark):
+    """The exact arm equals a numpy replication (same fold, snap,
+    ties); on well-separated clusters the SQ8 arm and the exact arm
+    agree on every vector (the audit's happy path), and the gated
+    agree flag reflects it."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        l2_exact_top1,
+        sq8_adc_top1,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(3, 64)) * 10.0
+    vecs = np.vstack(
+        [centers[i % 3] + rng.normal(size=64) * 0.05 for i in range(30)]
+    ).astype(np.float32)
+    df = _frame(spark, vecs)
+    exact = {
+        r.vec_id: (r.nearest_probe, r.dist)
+        for r in l2_exact_top1(df, d=64, probe_mod=10).collect()
+    }
+    v64 = vecs.astype(np.float64)
+    pids = [0, 10, 20]
+    for i in range(30):
+        ds = []
+        for p in pids:
+            acc = None
+            for j in range(64):
+                diff = v64[p, j] - v64[i, j]
+                t = diff * diff
+                acc = t if acc is None else acc + t
+            ds.append(np.floor(acc * 1e6 + 0.5) / 1e6)
+        assert exact[i] == (pids[int(np.argmin(ds))], min(ds)), i
+    sq8 = {
+        r.vec_id: r.nearest_probe
+        for r in sq8_adc_top1(df, d=64, probe_mod=10).collect()
+    }
+    assert all(sq8[i] == exact[i][0] for i in range(30))

@@ -64,7 +64,7 @@ FAMILY = [
     "dedup_audio_fingerprint", "ann_sq8_adc_top1",
     "dedup_fingerprint_incremental", "text_kn_perplexity",
     "text_classifier_train", "pipeline_multimodal_curation",
-    "ann_truncation_agree", "sample_domain_cap",
+    "ann_truncation_agree", "sample_domain_cap", "ann_sq8_recall",
 ]
 
 

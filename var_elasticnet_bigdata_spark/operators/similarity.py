@@ -1752,6 +1752,68 @@ def sq8_adc_top1(
     )
 
 
+def l2_exact_top1(
+    df: DataFrame,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_mod: int = 100,
+    round_dp: int = 6,
+    max_probes: int = 4096,
+) -> DataFrame:
+    """Exact squared-L2 nearest probe over the RAW floats — the
+    brute-force arm the SQ8 audit compares against (`sq8_adc_top1`
+    with reconstruction replaced by the original vectors): same probe
+    rule, same ascending-i left-associated distance fold, same
+    ``round_dp`` snap, same lowest-pid ties, so any disagreement with
+    the quantized arm is QUANTIZATION, not harness skew. One narrow
+    Arrow pass, probe block in the closure, zero corpus shuffle.
+    Returns ``(id_col, nearest_probe, dist)``."""
+    from ..plans.guards import guarded_collect
+
+    probes = guarded_collect(
+        df.filter((F.col(id_col) % probe_mod) == 0).select(id_col, vec_col),
+        "l2_exact_top1's probe set",
+        "a larger probe_mod or batched calls",
+        max_rows=max_probes,
+    )
+    probes = sorted(probes, key=lambda r: r[id_col])
+    if not probes:
+        raise ValueError("l2_exact_top1: empty probe set")
+    pid_arr = np.array([int(r[id_col]) for r in probes], dtype=np.int64)
+    Q = np.array(
+        [[float(x) for x in r[vec_col]] for r in probes], dtype=np.float64
+    )
+    scale = float(10**round_dp)
+    idc, vc = id_col, vec_col
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.array(pdf[vc].tolist(), dtype=np.float64)  # (n, d)
+            dist = None
+            for i in range(d):
+                diff = Q[:, i][:, None] - M[None, :, i]
+                t = diff * diff
+                dist = t if dist is None else dist + t
+            dist = np.floor(dist * scale + 0.5) / scale
+            best = np.argmin(dist, axis=0)
+            yield pd.DataFrame(
+                {
+                    idc: pdf[idc].to_numpy(),
+                    "nearest_probe": pid_arr[best],
+                    "dist": dist[best, np.arange(M.shape[0])],
+                }
+            )
+
+    return df.select(idc, vc).select(
+        F.col(idc), F.col(vc).cast("array<double>").alias(vc)
+    ).mapInPandas(
+        score, schema=f"{idc} long, nearest_probe long, dist double"
+    )
+
+
 def ivfpq_train(
     df: DataFrame,
     nlist: int = 16,

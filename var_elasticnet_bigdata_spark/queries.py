@@ -2450,6 +2450,103 @@ def ann_truncation_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_sq8_recall",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    mm AS (
+      SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+      FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v)
+      GROUP BY 1
+    ),
+    mml AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+            FROM mm),
+    codes AS (
+      SELECT v.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN m.mx[i] = m.mn[i] THEN 0
+                    ELSE least(255, greatest(0, CAST(floor(
+                      ((v.e[i] - m.mn[i]) * 256.0) / (m.mx[i] - m.mn[i])
+                    ) AS BIGINT))) END) AS code
+      FROM v CROSS JOIN mml m
+    ),
+    recon AS (
+      SELECT c.vec_id,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN m.mx[i] = m.mn[i] THEN m.mn[i]
+                    ELSE m.mn[i] + (((CAST(c.code[i] AS DOUBLE) + 0.5)
+                         * (m.mx[i] - m.mn[i])) / 256.0) END) AS r
+      FROM codes c CROSS JOIN mml m
+    ),
+    probes AS (SELECT vec_id AS pid, e FROM v WHERE vec_id % 100 = 0),
+    dq AS (
+      SELECT rc.vec_id, pr.pid,
+             ROUND(list_reduce(list_transform(generate_series(1, 64),
+               i -> (pr.e[i] - rc.r[i]) * (pr.e[i] - rc.r[i])),
+               (a, b) -> a + b), 6) AS adc
+      FROM recon rc CROSS JOIN probes pr
+    ),
+    bq AS (
+      SELECT vec_id, pid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY adc ASC, pid ASC) AS rn
+      FROM dq
+    ),
+    sq8 AS (SELECT vec_id, pid AS sq8_probe FROM bq WHERE rn = 1),
+    de AS (
+      SELECT a.vec_id, pr.pid,
+             ROUND(list_reduce(list_transform(generate_series(1, 64),
+               i -> (pr.e[i] - a.e[i]) * (pr.e[i] - a.e[i])),
+               (a2, b2) -> a2 + b2), 6) AS dist
+      FROM v a CROSS JOIN probes pr
+    ),
+    be AS (
+      SELECT vec_id, pid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, pid ASC) AS rn
+      FROM de
+    ),
+    ex AS (SELECT vec_id, pid AS exact_probe FROM be WHERE rn = 1)
+    SELECT s.vec_id, sq8_probe, exact_probe,
+           CAST(sq8_probe = exact_probe AS INT) AS agree
+    FROM sq8 s JOIN ex ON ex.vec_id = s.vec_id
+    """,
+)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY audit for SQ8 serving — the number every quantized
+    index ships next to its latency (the `ann_ivfpq_recall` pattern
+    for the scalar quantizer): per corpus vector, the nearest probe
+    from the SQ8 codes (`sq8_adc_top1`) vs the EXACT squared-L2
+    nearest probe over the raw floats (`l2_exact_top1` — identical
+    probe rule, fold order, 6-dp snap, and tie rule, so disagreement
+    isolates quantization error). With truncation
+    (`ann_truncation_agree`) and IVF-PQ routing audits this closes
+    the audit matrix: every ANN shortcut in the repo has a gated
+    agreement query. Both arms are zero-corpus-shuffle narrow
+    passes."""
+    from .operators.similarity import l2_exact_top1, sq8_adc_top1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq8 = sq8_adc_top1(emb, d=64, probe_mod=100).select(
+        "vec_id", F.col("nearest_probe").alias("sq8_probe")
+    )
+    exact = l2_exact_top1(emb, d=64, probe_mod=100).select(
+        "vec_id", F.col("nearest_probe").alias("exact_probe")
+    )
+    return sq8.join(exact, "vec_id").select(
+        "vec_id",
+        "sq8_probe",
+        "exact_probe",
+        (F.col("sq8_probe") == F.col("exact_probe")).cast("int").alias(
+            "agree"
+        ),
+    )
+
+
+@query(
     "sample_domain_cap",
     """
     WITH ranked AS (
