@@ -216,3 +216,72 @@ def test_stream_fingerprint_dedup_matches_batch_chain(spark, tmp_path, clean_sto
     finally:
         spark.sql("DROP TABLE IF EXISTS sfp__fpb")
         spark.sql("DROP TABLE IF EXISTS bfp__fpb")
+
+
+def test_stream_multimodal_ingest_end_to_end(spark, tmp_path, clean_store):
+    """The REAL multimodal crawl loop end to end: a payload STREAM
+    (actual BMP bytes) decodes + fingerprints inside the stream plan
+    (`image_dhash` composes onto readStream unchanged — one narrow
+    Arrow stage), then dedups against the persisted fingerprint store
+    per micro-batch. The planted near-dup arriving in batch 2 is
+    dropped against batch 1's stored survivor; unrelated images
+    survive."""
+    import time as _time
+
+    import numpy as np
+
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+    )
+    from var_elasticnet_bigdata_spark.streaming.dedup import (
+        stream_fingerprint_dedup_against_store,
+    )
+
+    rng = np.random.default_rng(21)
+
+    def gray(seed_rng):
+        g = seed_rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+
+    base = gray(rng)
+    bright = np.minimum(base.astype(np.int64) + 2, 255).astype(np.uint8)
+    other1, other2 = gray(rng), gray(rng)
+    b1 = spark.createDataFrame(
+        [(0, bytearray(encode_bmp(base))),
+         (1, bytearray(encode_bmp(other1)))],
+        "doc_id long, payload binary",
+    )
+    b2 = spark.createDataFrame(
+        [(5, bytearray(encode_bmp(bright))),   # near-dup of stored 0
+         (6, bytearray(encode_bmp(other2)))],
+        "doc_id long, payload binary",
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    spark.sql("DROP TABLE IF EXISTS smm__fpb")
+    try:
+        hashed = image_dhash(stream).withColumnRenamed("dhash", "fp")
+        q = stream_fingerprint_dedup_against_store(
+            hashed,
+            "smm",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            out_path=str(tmp_path / "out"),
+            buckets=4,
+            store_path=str(tmp_path / "store"),
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        assert got == [0, 1, 6]  # 5 dropped vs stored 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS smm__fpb")
