@@ -920,3 +920,17 @@ def test_ann_truncation_agree_detects_tail_information(spark):
     # IDENTICAL first-16 dims -> both pick the lowest-id probe)
     assert full[1] == 0 and full[2] == 200
     assert trunc[1] == trunc[2] == 0
+
+
+def test_kn_perplexity_no_bigrams_friendly_error(spark):
+    import pytest as _pytest
+
+    from var_elasticnet_bigdata_spark.operators.text import (
+        kn_bigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="no bigrams"):
+        kn_bigram_perplexity(docs).collect()

@@ -65,6 +65,7 @@ FAMILY = [
     "dedup_fingerprint_incremental", "text_kn_perplexity",
     "text_classifier_train", "pipeline_multimodal_curation",
     "ann_truncation_agree", "sample_domain_cap", "ann_sq8_recall",
+    "text_heavy_hitters",
 ]
 
 

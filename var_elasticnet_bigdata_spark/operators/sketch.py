@@ -72,3 +72,76 @@ def distinct_count(
         else F.approx_count_distinct(col, rsd)
     )
     return df.groupBy(*keys).agg(fn.alias("n_distinct"))
+
+
+def mg_partition_summaries(
+    df: DataFrame, col: str, k: int = 64
+) -> DataFrame:
+    """Per-partition MISRA-GRIES frequent-items summaries — the
+    missing member of the mergeable-sketch family (quantiles =
+    percentile_approx, cardinality = HLL++, frequent items = THIS):
+    each task streams its rows through a ≤``k``-counter MG summary
+    (constant memory, one pass), emitting ≤ k ``(item, c)`` rows.
+    The shuffle/collect moves k·partitions rows instead of the corpus
+    — at 100 TB that is the difference between a top-N over billions
+    of distinct tokens and a few KB per task.
+
+    Guarantee (per summary, preserved by `mg_merge`): every item with
+    true frequency > n/(k+1) is present, and each reported count
+    under-estimates the true count by at most n/(k+1)."""
+    def run(it):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in it:
+            for v in pdf["item"]:
+                if v is None:
+                    continue
+                if v in counts:
+                    counts[v] += 1
+                elif len(counts) < k:
+                    counts[v] = 1
+                else:
+                    dead = [key for key in counts if counts[key] == 1]
+                    for key in counts:
+                        counts[key] -= 1
+                    for key in dead:
+                        del counts[key]
+        if counts:
+            yield pd.DataFrame(
+                {"item": list(counts), "c": list(counts.values())}
+            )
+
+    return df.select(F.col(col).alias("item")).mapInPandas(
+        run, schema="item string, c long"
+    )
+
+
+def mg_merge(summaries: list[tuple], k: int = 64) -> dict:
+    """Merge MG summaries (lists of ``(item, c)``): sum counts per
+    item, then decrement everything by the (k+1)-th largest combined
+    count and drop non-positives — the standard mergeable-MG rule
+    (Agarwal et al.): the merged summary keeps the same
+    n/(k+1)-error guarantee over the combined stream."""
+    combined: dict = {}
+    for item, c in summaries:
+        combined[item] = combined.get(item, 0) + int(c)
+    if len(combined) > k:
+        kth = sorted(combined.values(), reverse=True)[k]
+        combined = {
+            i: c - kth for i, c in combined.items() if c - kth > 0
+        }
+    return combined
+
+
+def heavy_hitters_mg(
+    df: DataFrame, col: str, k: int = 64
+) -> dict:
+    """Distributed frequent-items: per-partition MG summaries
+    (`mg_partition_summaries`) collected (≤ k rows per partition —
+    bounded, never the corpus) and merged driver-side (`mg_merge`).
+    Returns ``{item: lower_count}`` with the n/(k+1) guarantee. The
+    EXACT twin (`text_heavy_hitters`'s groupBy top-N) is the oracle
+    the tests measure this against."""
+    rows = mg_partition_summaries(df, col, k=k).collect()
+    return mg_merge([(r["item"], r["c"]) for r in rows], k=k)

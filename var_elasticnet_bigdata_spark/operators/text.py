@@ -904,6 +904,11 @@ def kn_bigram_perplexity(
         big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c2")),
     )
     B = pairs.count()
+    if B == 0:
+        raise ValueError(
+            "kn_bigram_perplexity: no bigrams in the corpus (every doc "
+            "has < 2 tokens) — the continuation distribution is undefined"
+        )
     ctx = pairs.groupBy("prev").agg(
         F.sum("c2").alias("cctx"), F.count(F.lit(1)).alias("n1f")
     )

@@ -2546,6 +2546,44 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_heavy_hitters", None)  # oracle registered below
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-level frequent tokens — top 20 by count (count
+    desc, token asc): the oracle arm of the frequent-items pair
+    (`sketch.heavy_hitters_mg` is the mergeable Misra-Gries scale
+    path whose n/(k+1) guarantee the tests measure against THIS).
+    One map-side-combined token count + TakeOrderedAndProject —
+    the shuffle moves one row per distinct token, the sort never
+    materializes beyond the top-N heap."""
+    from .operators.dedup import norm_sql_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = f"filter(split({norm_sql_spark('text')}, ' '), w -> w <> '')"
+    return (
+        docs.select(F.explode(F.expr(words)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
+def _register_heavy_hitters_oracle() -> None:
+    from .operators.dedup import NORM_SQL_DUCK
+
+    ORACLE["text_heavy_hitters"] = f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                                    x -> x <> '')) AS tok
+          FROM documents)
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok ASC LIMIT 20
+    """
+
+
+_register_heavy_hitters_oracle()
+
+
 @query(
     "sample_domain_cap",
     """
