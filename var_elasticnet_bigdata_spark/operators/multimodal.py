@@ -798,14 +798,20 @@ def synth_wav_payloads(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # positional ids (ADVICE r9): `payloads` is a positional
+            # list, so the id column must be positional too — a pandas
+            # Series aligns by INDEX when mixed into a dict, silently
+            # misaligning ids and payloads if an upstream filter left a
+            # non-RangeIndex on pdf.
+            ids = pdf[idc].to_numpy()
             payloads = [
                 encode_wav(
                     _afp_pcm(int(rid)).astype(np.float64) / 32767.0,
                     sample_rate=sample_rate,
                 )
-                for rid in pdf[idc]
+                for rid in ids
             ]
-            yield pd.DataFrame({idc: pdf[idc], "payload": payloads})
+            yield pd.DataFrame({idc: ids, "payload": payloads})
 
     schema = StructType(
         [StructField(id_col, LongType()), StructField("payload", BinaryType())]

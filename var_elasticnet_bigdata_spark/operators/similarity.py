@@ -72,11 +72,21 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for every corpus vector, its k nearest
     query vectors (queries default: the corpus itself). The query
     matrix is collected + broadcast; each corpus partition does one
-    matmul per Arrow batch. Ties break on smaller neighbor id."""
+    matmul per Arrow batch. Ties break on smaller neighbor id.
+
+    ``round_dp`` snaps the similarity matrix to that many decimals
+    (half-away, the Spark/DuckDB ROUND grid) BEFORE the ranking, so a
+    hash-gated twin that orders by ``ROUND(dot, dp)`` sees the exact
+    same argsort even when a near-tie sits below the float-ulp noise
+    between BLAS matmul and sequential list_dot_product (ADVICE r9:
+    the 16-d truncated arm concentrates similarities, raising tie
+    risk). Default None keeps the raw-score behavior for callers
+    whose gates were pinned on it."""
     qdf = (queries if queries is not None else df).select(id_col, vec_col)
     from ..plans.guards import guarded_collect
 
@@ -97,7 +107,7 @@ def cosine_topk(
             StructField("cosine", DoubleType()),
         ]
     )
-    idc, vc, ex, kk = id_col, vec_col, exclude_self, k
+    idc, vc, ex, kk, dp = id_col, vec_col, exclude_self, k, round_dp
 
     def run(batches):
         q_ids_, Q_ = bq.value
@@ -109,6 +119,8 @@ def cosine_topk(
             n = np.linalg.norm(M, axis=1, keepdims=True)
             n[n == 0] = 1.0
             S = (M / n) @ Q_.T  # (batch, Q)
+            if dp is not None:
+                S = snap_half_away(S, dp)
             out = []
             for i, rid in enumerate(ids):
                 s = S[i]

@@ -88,7 +88,14 @@ def mg_partition_summaries(
 
     Guarantee (per summary, preserved by `mg_merge`): every item with
     true frequency > n/(k+1) is present, and each reported count
-    under-estimates the true count by at most n/(k+1)."""
+    under-estimates the true count by at most n/(k+1).
+
+    Items of ANY input type are accepted: the column is cast to
+    string Spark-side before the Arrow boundary (ADVICE r9 — the
+    output schema is ``item string``, and a silent Arrow coercion of
+    e.g. int64 ids would otherwise be engine-dependent). Distinctness
+    is therefore string-distinctness, the same rule a SQL twin's
+    ``CAST(col AS VARCHAR)`` applies."""
     def run(it):
         import pandas as pd
 
@@ -112,7 +119,7 @@ def mg_partition_summaries(
                 {"item": list(counts), "c": list(counts.values())}
             )
 
-    return df.select(F.col(col).alias("item")).mapInPandas(
+    return df.select(F.col(col).cast("string").alias("item")).mapInPandas(
         run, schema="item string, c long"
     )
 

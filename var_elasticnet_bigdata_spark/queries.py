@@ -2397,13 +2397,15 @@ def ann_top1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf AS (
       SELECT a.vec_id, p.pid,
              ROW_NUMBER() OVER (PARTITION BY a.vec_id
-               ORDER BY list_dot_product(a.e, p.e) DESC, p.pid ASC) AS rn
+               ORDER BY ROUND(list_dot_product(a.e, p.e), 6) DESC,
+                        p.pid ASC) AS rn
       FROM n a CROSS JOIN pf p
     ),
     rt AS (
       SELECT a.vec_id, p.pid,
              ROW_NUMBER() OVER (PARTITION BY a.vec_id
-               ORDER BY list_dot_product(a.e, p.e) DESC, p.pid ASC) AS rn
+               ORDER BY ROUND(list_dot_product(a.e, p.e), 6) DESC,
+                        p.pid ASC) AS rn
       FROM nt a CROSS JOIN pt p
     ),
     f1 AS (SELECT vec_id, pid AS full_probe FROM rf WHERE rn = 1),
@@ -2422,22 +2424,27 @@ def ann_truncation_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms are the exact broadcast-matmul search (`cosine_topk`), so
     the diagnostic isolates TRUNCATION loss from quantization loss
     (SQ8/PQ measure those). Output is id-only + an agree flag —
-    float-jitter-proof like `ann_top1_cosine`. Scale shape: two
-    narrow Arrow passes over the corpus with the (bounded) probe
-    matrices in closures; zero corpus shuffle."""
+    float-jitter-proof like `ann_top1_cosine`, and BOTH arms snap
+    cosines to the repo-wide 6-dp grid before the (score desc, pid
+    asc) ranking (ADVICE r9: matching the sq8_adc_top1/l2_exact_top1
+    snap contract — without it a near-tie between two probes can
+    order differently under BLAS matmul vs DuckDB's sequential
+    list_dot_product, and the 16-d arm concentrates similarities).
+    Scale shape: two narrow Arrow passes over the corpus with the
+    (bounded) probe matrices in closures; zero corpus shuffle."""
     from .operators.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 200 == 0)
-    full = cosine_topk(emb, queries=probes, k=1, exclude_self=False).select(
-        "vec_id", F.col("neighbor_id").alias("full_probe")
-    )
+    full = cosine_topk(
+        emb, queries=probes, k=1, exclude_self=False, round_dp=6
+    ).select("vec_id", F.col("neighbor_id").alias("full_probe"))
     emb16 = emb.select(
         "vec_id", F.expr("slice(embedding, 1, 16)").alias("embedding")
     )
     probes16 = emb16.filter(F.col("vec_id") % 200 == 0)
     trunc = cosine_topk(
-        emb16, queries=probes16, k=1, exclude_self=False
+        emb16, queries=probes16, k=1, exclude_self=False, round_dp=6
     ).select("vec_id", F.col("neighbor_id").alias("trunc_probe"))
     return full.join(trunc, "vec_id").select(
         "vec_id",
