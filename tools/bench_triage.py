@@ -1,0 +1,155 @@
+"""Automated bench-flag disposition (VERDICT r9 item 6): re-time every
+query `check_bench` flags in a CLEAN session (warmed 3-run medians via
+the same protocol as tools/retime.py) and emit the disposition table
+SCALING.md §r9 produced by hand — so driver-session noise is
+adjudicated by machinery, not prose.
+
+Usage:
+    python tools/bench_triage.py [bench.json]   # default bench_full.json
+    python tools/bench_triage.py --json out.json bench_full.json
+
+For each flagged query the verdict is:
+  - NOISE      — clean median back inside the gate (ratio ≤ 1.3× or
+                 delta ≤ +0.5 s): the session measurement, not the
+                 tree, regressed.
+  - REGRESSION — clean median still outside the gate: real; fix or
+                 re-pin with rationale.
+The exit code is the number of REGRESSION rows, so CI can gate on
+"every flag either noise-dispositioned or acknowledged".
+
+The re-time runs in THIS process (one Spark session for all flagged
+queries) — clean by construction: no preceding 147-query session
+state, bench.py's warmup set first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RATIO = 1.3
+FLOOR_SEC = 0.5
+
+
+def flagged_queries(bench_path: str) -> list[tuple[str, float, float]]:
+    """(name, baseline_sec, session_sec) for every gate failure."""
+    from tools.check_bench import load_bench
+
+    bench = load_bench(bench_path)
+    base = json.load(open(os.path.join(REPO, "bench_baseline.json")))[
+        "queries"
+    ]
+    out = []
+    for q, t in sorted(bench["queries"].items()):
+        b = base.get(q)
+        if b is not None and t > max(b * RATIO, b + FLOOR_SEC):
+            out.append((q, b, t))
+    return out
+
+
+def retime(names: list[str], runs: int = 3) -> dict[str, dict]:
+    """Warmed clean-session 3-run medians for the named queries
+    (the retime.py protocol, in-process)."""
+    from var_elasticnet_bigdata_spark import queries as Q
+    from var_elasticnet_bigdata_spark.session import get_spark
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_triage")
+    spark.sparkContext.setLogLevel("ERROR")
+    Q.flagship_quarterly_revenue_growth(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).write.format("noop").mode("overwrite").save()
+    tiny = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    tiny.groupBy("k").applyInPandas(
+        lambda pdf: pdf, "k int, v double"
+    ).write.format("noop").mode("overwrite").save()
+    for t in ("documents", "embeddings", "events", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    Q.QUERIES["w4_lag_embed"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+
+    out: dict[str, dict] = {}
+    for name in names:
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.time()
+            Q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        samples.sort()
+        out[name] = {
+            "median": samples[len(samples) // 2],
+            "spread": [samples[0], samples[-1]],
+        }
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+        if json_out in args:
+            args.remove(json_out)
+    bench_path = args[0] if args else os.path.join(REPO, "bench_full.json")
+    flags = flagged_queries(bench_path)
+    if not flags:
+        print(f"0 gate flags in {bench_path} — nothing to triage")
+        return 0
+    print(
+        f"{len(flags)} gate flag(s) in {bench_path}; re-timing clean "
+        f"({3}-run medians)..."
+    )
+    clean = retime([q for q, _, _ in flags])
+    rows = []
+    n_real = 0
+    for q, b, t in flags:
+        med = clean[q]["median"]
+        lo, hi = clean[q]["spread"]
+        ok = med <= max(b * RATIO, b + FLOOR_SEC)
+        verdict = "NOISE" if ok else "REGRESSION"
+        n_real += 0 if ok else 1
+        rows.append(
+            {
+                "query": q,
+                "baseline": b,
+                "session": t,
+                "clean_median": med,
+                "clean_spread": [lo, hi],
+                "ratio_session": round(t / b, 2),
+                "ratio_clean": round(med / b, 2),
+                "verdict": verdict,
+            }
+        )
+        print(
+            f"{verdict:10s} {q}: pin {b:.2f}s, session {t:.2f}s "
+            f"({t / b:.2f}x), clean median {med:.2f}s ({med / b:.2f}x, "
+            f"spread {lo:.2f}-{hi:.2f})"
+        )
+    print(f"{n_real} real regression(s), {len(flags) - n_real} noise")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"bench": bench_path, "rows": rows}, f, indent=1)
+            f.write("\n")
+        print(f"disposition written to {json_out}")
+    return n_real
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

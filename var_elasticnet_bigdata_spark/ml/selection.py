@@ -81,11 +81,22 @@ def acf_var_selection(
     lag: int = 5,
     maxnrvar: int = 10,
     faithful_q10: bool = False,
+    precomputed: tuple[list[str], np.ndarray] | None = None,
     **cols,
 ) -> list[str]:
     """M15: top-N series by mean squared cross-ACF with the target
-    (lags 1..lag), target prepended."""
-    names, M = _cross_acf_matrix(df, target, lag, **cols)
+    (lags 1..lag), target prepended.
+
+    ``precomputed``: an already-collected ``_cross_acf_matrix``
+    result — M15 and M16 rank the SAME (target, lag) cross-ACF
+    matrix, so a caller running both should pay the windowed ACF
+    pass once (r10: halves the driver-job count of the combined
+    selection query)."""
+    names, M = (
+        precomputed
+        if precomputed is not None
+        else _cross_acf_matrix(df, target, lag, **cols)
+    )
     scores = (M**2).mean(axis=0)
     # descending, deterministic tiebreak on series name (Q8 fix)
     order = sorted(range(len(names)), key=lambda i: (-scores[i], names[i]))
@@ -156,10 +167,16 @@ def acf_var_selection2(
     lag: int = 10,
     maxnrvar: int = 10,
     faithful_q11: bool = False,
+    precomputed: tuple[list[str], np.ndarray] | None = None,
     **cols,
 ) -> list[str]:
-    """M16: diversity-aware ACF selection."""
-    names, M = _cross_acf_matrix(df, target, lag, **cols)
+    """M16: diversity-aware ACF selection. ``precomputed`` as in
+    `acf_var_selection` — the two operators share the matrix."""
+    names, M = (
+        precomputed
+        if precomputed is not None
+        else _cross_acf_matrix(df, target, lag, **cols)
+    )
     return _greedy_diverse(names, M, target, maxnrvar, faithful_q11)
 
 

@@ -98,13 +98,14 @@ def rolling_origin_tune(
     wide_df: DataFrame,
     series: list[str],
     lag: int,
-    init_window: int,
+    init_window: int | None,
     horizon: int,
     alpha_grid: np.ndarray | None = None,
     lambda_grid: np.ndarray | None = None,
     intercept: bool = False,
     date_col: str = "obs_date",
     distribute: str = "broadcast",
+    init_window_from_end: tuple[int, int] | None = None,
 ) -> pd.DataFrame:
     """enetVARtune: per-equation bestTune (α, λ) over the rolling-
     origin grid. Returns a pandas frame (equation, alpha, lambda,
@@ -122,7 +123,17 @@ def rolling_origin_tune(
     (origin, α) cell solves its λ path from its moment row inside
     ``mapInPandas``; only the (equation, α, λ) score frame reaches
     the driver. Equality with the broadcast path is pinned in
-    tests/test_tuning.py."""
+    tests/test_tuning.py.
+
+    ``init_window_from_end=(offset, floor)``: sets
+    ``init_window = max(n_wide − offset, floor)`` WITHOUT a separate
+    ``wide_df.count()`` Spark job — the broadcast path already
+    collects the embedded frame, so ``n_wide = len(pdf) + lag`` is
+    free (r10: the tuner queries' extra count job was one of the
+    small driver-coordinated jobs amplifying session noise, VERDICT
+    r9 item 1). Pass ``init_window=None`` with it; the join path
+    computes the same anchor with a scalar agg on the embedded
+    frame."""
     from ..operators.lag_embed import lag_col_name, var_z
     from pyspark.sql import functions as F
 
@@ -132,6 +143,9 @@ def rolling_origin_tune(
     )
     lambda_sorted = np.array(sorted(lambda_grid, reverse=True), dtype=float)
 
+    if init_window is None and init_window_from_end is None:
+        raise ValueError("pass init_window or init_window_from_end")
+
     vz = var_z(wide_df.select(date_col, *series), series, lag, date_col=date_col)
     z_cols = [lag_col_name(s, i) for i in range(1, lag + 1) for s in series]
     cond = None
@@ -139,6 +153,10 @@ def rolling_origin_tune(
         pred = F.col(f"`{c}`").isNotNull()
         cond = pred if cond is None else (cond & pred)
     if distribute == "join":
+        if init_window is None:
+            off, floor = init_window_from_end
+            n_emb = vz.df.filter(cond).count()
+            init_window = max(n_emb + lag - off, floor)
         scores = _tune_cells_distributed(
             spark, vz.df.filter(cond), z_cols, series, init_window,
             horizon, alpha_grid, lambda_sorted, intercept, date_col,
@@ -156,6 +174,9 @@ def rolling_origin_tune(
     )
     X = pdf[z_cols].to_numpy(dtype=float)
     Y = pdf[series].to_numpy(dtype=float)
+    if init_window is None:
+        off, floor = init_window_from_end
+        init_window = max(len(pdf) + lag - off, floor)
     sc = spark.sparkContext
     bdata = sc.broadcast((X, Y))
 

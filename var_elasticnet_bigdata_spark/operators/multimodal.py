@@ -582,6 +582,32 @@ def synth_gray_bmp_payloads(
     return df.select(id_col).mapInPandas(run, schema)
 
 
+def dhash_from_rgb(rgb: np.ndarray, hash_w: int = 9, hash_h: int = 8) -> int:
+    """The dHash bit arithmetic shared by `image_dhash` and the video
+    frame path: normalize channel layout, nearest-resize to the hash
+    grid, Rec.709 luminance, one bit per horizontally adjacent pixel
+    pair, packed little-endian into a SIGNED int64 (bit 63 = the
+    two's-complement sign bit, identical on both engines)."""
+    if rgb.ndim == 2:
+        rgb = np.repeat(rgb[:, :, None], 3, axis=2)
+    if rgb.shape[2] == 2:  # gray+alpha
+        rgb = np.repeat(rgb[:, :, :1], 3, axis=2)
+    if rgb.shape[2] == 4:
+        rgb = rgb[:, :, :3]
+    if rgb.shape[0] != hash_h or rgb.shape[1] != hash_w:
+        rgb = resize_nearest(rgb, hash_w, hash_h)
+    x = rgb.astype(np.float64) / 255.0
+    luma = 0.2126 * x[:, :, 0] + 0.7152 * x[:, :, 1] + 0.0722 * x[:, :, 2]
+    bits = luma[:, 1:] > luma[:, :-1]  # (hash_h, hash_w-1)
+    h = 0
+    for b, bit in enumerate(bits.ravel()):
+        if bit:
+            h |= 1 << b
+    if h >= 1 << 63:  # two's-complement int64, both engines
+        h -= 1 << 64
+    return h
+
+
 def image_dhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -620,30 +646,8 @@ def image_dhash(
                         continue
                 except (ValueError, TypeError, NotImplementedError):
                     continue
-                rgb = dec
-                if rgb.ndim == 2:
-                    rgb = np.repeat(rgb[:, :, None], 3, axis=2)
-                if rgb.shape[2] == 2:  # gray+alpha
-                    rgb = np.repeat(rgb[:, :, :1], 3, axis=2)
-                if rgb.shape[2] == 4:
-                    rgb = rgb[:, :, :3]
-                if rgb.shape[0] != hash_h or rgb.shape[1] != hash_w:
-                    rgb = resize_nearest(rgb, hash_w, hash_h)
-                x = rgb.astype(np.float64) / 255.0
-                luma = (
-                    0.2126 * x[:, :, 0]
-                    + 0.7152 * x[:, :, 1]
-                    + 0.0722 * x[:, :, 2]
-                )
-                bits = luma[:, 1:] > luma[:, :-1]  # (hash_h, hash_w-1)
-                h = 0
-                for b, bit in enumerate(bits.ravel()):
-                    if bit:
-                        h |= 1 << b
-                if h >= 1 << 63:  # two's-complement int64, both engines
-                    h -= 1 << 64
                 out_ids.append(rid)
-                out_h.append(h)
+                out_h.append(dhash_from_rgb(dec, hash_w, hash_h))
             yield pd.DataFrame(
                 {idc: np.array(out_ids, dtype=np.int64),
                  "dhash": np.array(out_h, dtype=np.int64)}
@@ -1850,3 +1854,287 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Video modality (r10, VERDICT r9 missing item 2): a REAL RIFF-AVI
+# container with uncompressed DIB frames, byte-stride frame sampling
+# (unsampled frame bytes are never decoded), per-frame dHash, and the
+# synthesized corpus that plants cross-container near-dup pairs.
+#
+# Why DIB ('00db') rather than MJPG ('00dc'): the hash-gate twin
+# replays the frame luminance INTEGER arithmetic in SQL, which needs
+# the decode to be exact; JPEG quantization is lossy, so an MJPG
+# member would take the whole query out of the hash gate. The
+# container/walk/stride machinery is codec-agnostic — an MJPG frame
+# chunk would flow through the same `decode_media` dispatch the image
+# path uses.
+
+VID_GROUP_OF = 4
+VID_FRAMES = 6
+VID_SAMPLE_EVERY = 2  # sampled frame indices: 0, 2, 4
+VID_ALT_FRAME = 2  # the ONE sampled frame the near-dup member redraws
+VID_MIN_MATCH = 2  # doc pair rule: >= this many matching frame pairs
+VID_W, VID_H = 9, 8  # dHash grid, 64 bits per frame
+
+
+def _avi_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+
+def _avi_list(fourcc: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", fourcc + body)
+
+
+def _dib_body(rgb: np.ndarray) -> bytes:
+    """Bottom-up BGR rows padded to 4 bytes — the uncompressed DIB
+    frame payload (same pixel layout as the BMP body)."""
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    return body.tobytes()
+
+
+def encode_avi(frames: list, fps: int = 10, extra_junk: bytes | None = None) -> bytes:
+    """Minimal REAL RIFF-AVI: hdrl(avih + strl(strh 'vids'/'DIB ' +
+    strf BITMAPINFOHEADER)) + movi('00db' DIB frames). ``extra_junk``
+    inserts a JUNK chunk before movi — a byte-level container change
+    that leaves every decoded frame identical (the cross-container
+    near-dup plant)."""
+    if not frames:
+        raise ValueError("encode_avi: no frames")
+    h, w = frames[0].shape[:2]
+    frame_bodies = [_dib_body(f) for f in frames]
+    buf_size = max(len(b) for b in frame_bodies)
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in (
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            buf_size * fps,  # dwMaxBytesPerSec
+            0,  # padding granularity
+            0x10,  # AVIF_HASINDEX off; 0x10 = WASCAPTUREFILE (benign)
+            len(frames),
+            0,  # initial frames
+            1,  # streams
+            buf_size,
+            w,
+            h,
+            0, 0, 0, 0,  # reserved
+        )
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + b"".join(
+            v.to_bytes(4, "little")
+            for v in (0, 0, 0, 1, fps, 0, len(frames), buf_size, 0xFFFFFFFF, 0)
+        )
+        + (0).to_bytes(4, "little")  # rcFrame (2x2 int16, zeros)
+        + (0).to_bytes(4, "little")
+    )
+    strf = b"".join(
+        v.to_bytes(4, "little")
+        for v in (40, w, h, 1 | (24 << 16), 0, len(frame_bodies[0]), 0, 0, 0, 0)
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    junk = _avi_chunk(b"JUNK", extra_junk) if extra_junk is not None else b""
+    movi = _avi_list(
+        b"movi", b"".join(_avi_chunk(b"00db", b) for b in frame_bodies)
+    )
+    riff_body = b"AVI " + hdrl + junk + movi
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def _avi_walk(payload: bytes):
+    """Yield (fourcc, list_type_or_None, offset, size) over the
+    top-level chunks inside RIFF/AVI — the stride-sampling substrate:
+    callers seek past chunk bodies they don't want."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    end = min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body_off = pos + 8
+        ltype = payload[body_off : body_off + 4] if fourcc == b"LIST" else None
+        yield fourcc, ltype, body_off, size
+        pos = body_off + size + (size % 2)
+
+
+def avi_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the strf BITMAPINFOHEADER — header-only
+    read, no frame bytes touched."""
+    for fourcc, ltype, off, size in _avi_walk(payload):
+        if fourcc == b"LIST" and ltype == b"hdrl":
+            hdrl = payload[off + 4 : off + size]
+            i = hdrl.find(b"strf")
+            if i < 0:
+                break
+            bih = hdrl[i + 8 :]
+            w = int.from_bytes(bih[4:8], "little")
+            h = int.from_bytes(bih[8:12], "little")
+            return w, h
+    raise ValueError("AVI: no strf header found")
+
+
+def sample_avi_frames(
+    payload: bytes, every: int = 1, max_frames: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Byte-stride frame sampling: walk the movi chunk index and
+    decode ONLY frames with ``idx % every == 0`` (up to
+    ``max_frames``) — skipped frames are seeked over, their bytes
+    never leave the page cache. Returns [(frame_idx, rgb)]."""
+    w, h = avi_dims(payload)
+    stride = (w * 3 + 3) // 4 * 4
+    out: list[tuple[int, np.ndarray]] = []
+    for fourcc, ltype, off, size in _avi_walk(payload):
+        if fourcc != b"LIST" or ltype != b"movi":
+            continue
+        pos = off + 4
+        end = off + size
+        idx = 0
+        while pos + 8 <= end:
+            cc = payload[pos : pos + 4]
+            csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cc in (b"00db", b"00dc"):
+                if idx % every == 0 and (
+                    max_frames is None or len(out) < max_frames
+                ):
+                    body = payload[pos + 8 : pos + 8 + csize]
+                    if cc == b"00db":
+                        if len(body) < stride * h:
+                            raise ValueError("AVI: truncated DIB frame")
+                        arr = np.frombuffer(
+                            body, dtype=np.uint8, count=stride * h
+                        ).reshape(h, stride)
+                        rgb = arr[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+                    else:  # compressed frame: dispatch like any image
+                        _, rgb = decode_media(bytes(body))
+                    out.append((idx, np.ascontiguousarray(rgb)))
+                idx += 1
+            pos += 8 + csize + (csize % 2)
+    return out
+
+
+def _vid_luma(doc_id: int, frame: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Per-(doc, frame) exact integer luminance, same md5 mixer as
+    `_phash_luma` with the frame index in the key. Group structure
+    (VID_GROUP_OF): members j=0/1/2 share the group seed; j=1 redraws
+    frame VID_ALT_FRAME entirely (keyed ':alt:'), j=2 keeps every
+    frame (its near-dup is container-level, see synth), j=3 is
+    unrelated."""
+    import hashlib
+
+    j = doc_id % VID_GROUP_OF
+    seed = doc_id - j if j <= 2 else doc_id
+    if j == 1 and frame == VID_ALT_FRAME:
+        key = f"{doc_id}:alt:{frame}"
+    else:
+        key = f"{seed}:{frame}"
+    out = np.empty(x.shape, dtype=np.uint8)
+    for yy in range(x.shape[0]):
+        for xx in range(x.shape[1]):
+            out[yy, xx] = int(
+                hashlib.md5(
+                    f"{key}:{x[yy, xx]}:{y[yy, xx]}".encode()
+                ).hexdigest()[:2],
+                16,
+            )
+    return out
+
+
+def synth_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, payload)`` — one REAL AVI per row: VID_FRAMES
+    deterministic `_vid_luma` frames as R=G=B gray DIB. Member j=2
+    re-containers the SAME frames (different fps + a JUNK chunk), so
+    its bytes differ everywhere an exact hash looks while every
+    decoded frame is identical — the cross-container near-dup plant.
+    One narrow Arrow pass, positional ids (the synth_wav contract)."""
+    yy, xx = np.mgrid[0:VID_H, 0:VID_W]
+    idc = id_col
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[idc].to_numpy()
+            payloads = []
+            for rid in ids:
+                rid = int(rid)
+                frames = [
+                    np.repeat(
+                        _vid_luma(rid, f, xx, yy)[:, :, None], 3, axis=2
+                    )
+                    for f in range(VID_FRAMES)
+                ]
+                if rid % VID_GROUP_OF == 2:
+                    payloads.append(
+                        encode_avi(frames, fps=25, extra_junk=b"recontainered")
+                    )
+                else:
+                    payloads.append(encode_avi(frames, fps=10))
+            yield pd.DataFrame({idc: ids, "payload": payloads})
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every: int = VID_SAMPLE_EVERY,
+    hash_w: int = VID_W,
+    hash_h: int = VID_H,
+) -> DataFrame:
+    """Per-video frame-sampled perceptual fingerprint SET: stride-walk
+    the AVI (`sample_avi_frames` — unsampled frames' bytes are never
+    decoded), dHash each sampled frame (`dhash_from_rgb` — the image
+    path's exact bit arithmetic), emit ``(id, frame_idx, dhash)``.
+
+    Scale shape: ONE narrow Arrow pass, container bytes in →
+    frames_sampled rows out; nothing shuffles until the banded join
+    (`dedup.video_near_dup_pairs`). Undecodable payloads are DROPPED
+    (status reporting is `extract_media_features`'s job)."""
+    idc, pc = id_col, payload_col
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_f, out_h = [], [], []
+            for rid, payload in zip(pdf[idc].to_numpy(), pdf[pc]):
+                try:
+                    frames = sample_avi_frames(
+                        bytes(payload) if payload is not None else b"",
+                        every=every,
+                    )
+                except (ValueError, TypeError):
+                    continue
+                for fidx, rgb in frames:
+                    out_ids.append(int(rid))
+                    out_f.append(fidx)
+                    out_h.append(dhash_from_rgb(rgb, hash_w, hash_h))
+            yield pd.DataFrame(
+                {
+                    idc: np.array(out_ids, dtype=np.int64),
+                    "frame_idx": np.array(out_f, dtype=np.int32),
+                    "dhash": np.array(out_h, dtype=np.int64),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

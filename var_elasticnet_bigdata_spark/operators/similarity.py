@@ -438,6 +438,83 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInPandas(run, schema)
 
 
+def _ivf_cell_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Shared IVF rerank core: cogroup ``probes(pcell, pid, pv)``
+    with ``corpus(cell, cid, cv)`` per cell — one block matmul per
+    cell emitting per-query LOCAL top-k — then a bounded global
+    window merges the ≤nprobe cells per query. ``round_dp`` snaps
+    cosines to the ROUND grid BEFORE every ranking (local and
+    global), the twin-hash discipline ADVICE r9 set for near-tie
+    robustness."""
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    kk, dp = k, round_dp
+
+    def cell_topk(key, probe_pdf: pd.DataFrame, corpus_pdf: pd.DataFrame):
+        if not len(probe_pdf) or not len(corpus_pdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        A = np.array(list(probe_pdf["pv"]), dtype=np.float64)
+        B = np.array(list(corpus_pdf["cv"]), dtype=np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        S = (A / na[:, None]) @ (B / nb[:, None]).T
+        if dp is not None:
+            S = snap_half_away(S, dp)
+        ia = probe_pdf["pid"].to_numpy()
+        ib = corpus_pdf["cid"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for r in range(S.shape[0]):
+            row = S[r]
+            mask = ib != ia[r]
+            cand_b, cand_c = ib[mask], row[mask]
+            if not len(cand_b):
+                continue
+            # local top-k with the global tie order (cosine desc, id asc)
+            order = np.lexsort((cand_b, -cand_c))[:kk]
+            out_a.extend([ia[r]] * len(order))
+            out_b.extend(cand_b[order])
+            out_c.extend(cand_c[order])
+        return pd.DataFrame(
+            {"id_a": out_a, "id_b": out_b, "cosine": out_c}
+        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+
+    scored = (
+        probes.groupBy("pcell")
+        .cogroup(corpus.groupBy("cell"))
+        .applyInPandas(cell_topk, schema)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            "rank",
+            F.col("id_b").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 1,
@@ -446,6 +523,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index —
     the k-means-bucketed alternative to ``lsh_topk``: corpus vectors
@@ -491,66 +569,133 @@ def ivf_topk(
         F.col(id_col).alias("pid"),
         F.col("__v").alias("pv"),
     )
+    return _ivf_cell_rerank(corpus, probes, k, id_col, round_dp)
 
-    schema = StructType(
-        [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
-            StructField("cosine", DoubleType()),
-        ]
+
+def choose_filter_mode(frac: float, threshold: float = 0.5) -> str:
+    """The filtered-ANN strategy rule, factored pure so the crossover
+    is unit-testable: qualifying fraction BELOW the threshold →
+    'pre' (scan-prune the corpus side; the second pass costs less
+    than the matmul work it saves), at/above → 'post' (one scan +
+    oversampled rerank; survivors are plentiful so the recall trade
+    is safe)."""
+    return "pre" if frac < threshold else "post"
+
+
+def filtered_ivf_topk(
+    df: DataFrame,
+    predicate,
+    k: int = 1,
+    nlist: int = 16,
+    nprobe: int = 4,
+    mode: str = "auto",
+    oversample: int = 4,
+    selectivity: float | None = None,
+    selectivity_threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """FILTERED ANN — metadata predicate × IVF cell-probe search, the
+    highest-frequency production retrieval shape (search only docs
+    with lang='en' / date>cutoff / label=1). Every vector in ``df``
+    probes for its ``k`` nearest PREDICATE-SATISFYING neighbors
+    (self excluded) against ONE shared index (``centroids`` — in
+    production trained once over the full corpus, not per-filter).
+
+    Two physical strategies, picked by predicate selectivity:
+
+    - ``mode='pre'`` (few rows match): the predicate is applied to
+      the CORPUS side *before* cell assignment, so Catalyst pushes it
+      into the parquet scan (`PushedFilters`) and the candidate
+      matmuls only ever see qualifying vectors. Result recall equals
+      unfiltered IVF recall restricted to the qualifying set — no
+      extra approximation. Cost: a second (narrow, pruned) scan for
+      the corpus side.
+    - ``mode='post'`` (most rows match): run the UNFILTERED search
+      with ``k·oversample`` candidates, then semi-join the neighbor
+      ids against the qualifying set and re-rank. One corpus scan
+      total; but if fewer than ``k`` of the oversampled candidates
+      qualify, the query under-returns — the classic post-filter
+      recall trade, bounded by the oversample factor.
+    - ``mode='auto'``: measure the qualifying fraction with one
+      scalar aggregate (or use the caller-provided ``selectivity``
+      estimate) and take 'pre' below ``selectivity_threshold``,
+      'post' above — the crossover where the pre-scan's savings stop
+      paying for its second pass.
+
+    The 100-TB shape: both strategies keep the banded IVF join
+    (never corpus×corpus); 'pre' additionally prunes the corpus-side
+    scan by the predicate — at 1 % selectivity the candidate matmul
+    work drops ~100×, which is the whole point of composing the
+    filter INTO the index instead of around it."""
+    chosen = mode
+    if mode == "auto":
+        frac = selectivity
+        if frac is None:
+            row = df.agg(
+                F.avg(F.when(predicate, 1.0).otherwise(0.0)).alias("f")
+            ).collect()[0]
+            frac = float(row["f"] or 0.0)
+        chosen = choose_filter_mode(frac, selectivity_threshold)
+    if chosen not in ("pre", "post"):
+        raise ValueError(f"mode must be pre/post/auto, got {mode!r}")
+    C = (
+        centroids
+        if centroids is not None
+        else seed_centroids(df, nlist, id_col=id_col, vec_col=vec_col)
     )
-    kk = k
-
-    def cell_topk(key, probe_pdf: pd.DataFrame, corpus_pdf: pd.DataFrame):
-        if not len(probe_pdf) or not len(corpus_pdf):
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        A = np.array(list(probe_pdf["pv"]), dtype=np.float64)
-        B = np.array(list(corpus_pdf["cv"]), dtype=np.float64)
-        na = np.linalg.norm(A, axis=1)
-        nb = np.linalg.norm(B, axis=1)
-        na[na == 0] = 1.0
-        nb[nb == 0] = 1.0
-        S = (A / na[:, None]) @ (B / nb[:, None]).T
-        ia = probe_pdf["pid"].to_numpy()
-        ib = corpus_pdf["cid"].to_numpy()
-        out_a, out_b, out_c = [], [], []
-        for r in range(S.shape[0]):
-            row = S[r]
-            mask = ib != ia[r]
-            cand_b, cand_c = ib[mask], row[mask]
-            if not len(cand_b):
-                continue
-            # local top-k with the global tie order (cosine desc, id asc)
-            order = np.lexsort((cand_b, -cand_c))[:kk]
-            out_a.extend([ia[r]] * len(order))
-            out_b.extend(cand_b[order])
-            out_c.extend(cand_c[order])
-        return pd.DataFrame(
-            {"id_a": out_a, "id_b": out_b, "cosine": out_c}
-        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
-
-    scored = (
-        probes.groupBy("pcell")
-        .cogroup(corpus.groupBy("cell"))
-        .applyInPandas(cell_topk, schema)
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("cosine").desc(), F.col("id_b").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("id_a").alias(id_col),
-            "rank",
-            F.col("id_b").alias("neighbor_id"),
-            "cosine",
+    if chosen == "post":
+        base = ivf_topk(
+            df,
+            k=k * oversample,
+            nlist=nlist,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=C,
+            round_dp=round_dp,
         )
+        qualifying = df.filter(predicate).select(
+            F.col(id_col).alias("neighbor_id")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            base.join(qualifying, "neighbor_id", "left_semi")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "neighbor_id", "cosine")
+        )
+    # pre-filter: corpus side scans ONLY qualifying rows (predicate
+    # reaches the parquet scan), probe side is the full frame
+    corpus = ivf_assign(
+        df.filter(predicate), C, 1, id_col, vec_col
+    ).join(
+        df.filter(predicate).select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        id_col,
+    ).filter(F.col("probe_rank") == 0).select(
+        "cell", F.col(id_col).alias("cid"), F.col("__v").alias("cv")
     )
+    probes = ivf_assign(df, C, nprobe, id_col, vec_col).join(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        id_col,
+    ).select(
+        F.col("cell").alias("pcell"),
+        F.col(id_col).alias("pid"),
+        F.col("__v").alias("pv"),
+    )
+    return _ivf_cell_rerank(corpus, probes, k, id_col, round_dp)
 
 
 def cosine_near_dup_pairs(
