@@ -492,11 +492,16 @@ def test_all_package_persists_are_registry_bounded():
     """Every .persist() in the package must go through the cachereg
     registry (one live cache per session+slot) — the only exception
     is queries._shared_frame, which memoizes deliberately per Spark
-    application. Guards against reintroducing the per-call persist
+    application (two call sites since r10: the initial persist and
+    the re-registration after an external clearCache stripped it —
+    both inside the one memoized slot, so the session bound is
+    unchanged). Guards against reintroducing the per-call persist
     leak class (ADVICE r3/r4)."""
+    import inspect
     import pathlib
 
     import var_elasticnet_bigdata_spark as pkg
+    from var_elasticnet_bigdata_spark import queries as Q
 
     root = pathlib.Path(pkg.__file__).parent
     offenders = []
@@ -504,7 +509,15 @@ def test_all_package_persists_are_registry_bounded():
         for i, line in enumerate(py.read_text().splitlines(), 1):
             if ".persist()" in line and "cachereg" not in str(py):
                 offenders.append(f"{py.relative_to(root)}:{i}")
-    assert len(offenders) == 1 and offenders[0].startswith("queries.py:"), offenders
+    assert len(offenders) == 2 and all(
+        o.startswith("queries.py:") for o in offenders
+    ), offenders
+    # both sites must be inside the memoized shared-frame helper
+    src, start = inspect.getsourcelines(Q._shared_frame)
+    lines = {int(o.split(":")[1]) for o in offenders}
+    assert all(
+        start <= n < start + len(src) for n in lines
+    ), (offenders, start, len(src))
 
 
 def test_release_session_drops_live_slots(spark):

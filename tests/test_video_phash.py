@@ -1,0 +1,161 @@
+"""Video near-dup (r10, VERDICT r9 item 4): real RIFF-AVI container
+round-trip, byte-stride frame sampling, per-frame dHash, the
+min-matching-frames pair rule, and the planted cross-container pair."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from var_elasticnet_bigdata_spark.operators.multimodal import (
+    VID_ALT_FRAME,
+    VID_FRAMES,
+    VID_GROUP_OF,
+    VID_MIN_MATCH,
+    VID_SAMPLE_EVERY,
+    _vid_luma,
+    avi_dims,
+    dhash_from_rgb,
+    encode_avi,
+    sample_avi_frames,
+)
+
+XX, YY = np.meshgrid(np.arange(9), np.arange(8))
+
+
+def _frames(doc_id: int) -> list[np.ndarray]:
+    return [
+        np.repeat(_vid_luma(doc_id, f, XX, YY)[:, :, None], 3, axis=2)
+        for f in range(VID_FRAMES)
+    ]
+
+
+def test_avi_round_trip_exact():
+    frames = _frames(0)
+    payload = encode_avi(frames, fps=10)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    assert avi_dims(payload) == (9, 8)
+    out = sample_avi_frames(payload, every=1)
+    assert [i for i, _ in out] == list(range(VID_FRAMES))
+    for (_, got), want in zip(out, frames):
+        assert np.array_equal(got, want)
+
+
+def test_stride_sampling_skips_decodes():
+    payload = encode_avi(_frames(4), fps=10)
+    out = sample_avi_frames(payload, every=VID_SAMPLE_EVERY)
+    assert [i for i, _ in out] == list(
+        range(0, VID_FRAMES, VID_SAMPLE_EVERY)
+    )
+    capped = sample_avi_frames(payload, every=1, max_frames=2)
+    assert [i for i, _ in capped] == [0, 1]
+
+
+def test_cross_container_bytes_differ_frames_equal():
+    """Member j=2: different container bytes (fps + JUNK chunk), every
+    decoded frame identical to the base — the pair an exact byte hash
+    can never find and the perceptual path must."""
+    base = encode_avi(_frames(8), fps=10)
+    recont = encode_avi(_frames(8), fps=25, extra_junk=b"recontainered")
+    assert base != recont and len(base) != len(recont)
+    a = sample_avi_frames(base, every=1)
+    b = sample_avi_frames(recont, every=1)
+    for (_, fa), (_, fb) in zip(a, b):
+        assert np.array_equal(fa, fb)
+
+
+def test_group_structure_hashes():
+    """Planted semantics at the hash level: the redrawn member differs
+    from base ONLY at VID_ALT_FRAME; the re-containered member matches
+    base everywhere; the j=3 member matches nowhere (w.h.p. — fixed
+    ids, deterministic)."""
+    g = 16  # group base (multiple of VID_GROUP_OF)
+
+    def hashes(doc):
+        return {
+            f: dhash_from_rgb(fr)
+            for f, fr in sample_avi_frames(
+                encode_avi(_frames(doc), fps=10), every=VID_SAMPLE_EVERY
+            )
+        }
+
+    h0, h1, h2, h3 = (hashes(g + j) for j in range(VID_GROUP_OF))
+    assert h2 == h0
+    assert {f for f in h0 if h1[f] != h0[f]} == {VID_ALT_FRAME}
+    assert all(h3[f] != h0[f] for f in h0)
+
+
+def test_corrupt_payload_dropped(spark):
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        video_frame_dhash,
+    )
+
+    good = encode_avi(_frames(0), fps=10)
+    rows = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(b"not an avi")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = video_frame_dhash(rows).collect()
+    assert {r["doc_id"] for r in out} == {0}
+    assert len(out) == len(range(0, VID_FRAMES, VID_SAMPLE_EVERY))
+
+
+def test_min_matching_frames_rule(spark):
+    """End to end on a 3-group corpus: (base, redrawn)=2 matches,
+    (base, recontainered)=3, (redrawn, recontainered)=2; a pair
+    sharing only ONE frame is excluded by the >=2 rule."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        video_near_dup_pairs,
+    )
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        synth_avi_payloads,
+        video_frame_dhash,
+    )
+
+    docs = spark.range(0, 3 * VID_GROUP_OF).selectExpr("id AS doc_id")
+    frames = video_frame_dhash(synth_avi_payloads(docs))
+    got = {
+        (r["id_a"], r["id_b"]): r["n_matching_frames"]
+        for r in video_near_dup_pairs(
+            frames, min_matching_frames=VID_MIN_MATCH
+        ).collect()
+    }
+    expect = {}
+    for g in range(0, 3 * VID_GROUP_OF, VID_GROUP_OF):
+        expect[(g, g + 1)] = 2
+        expect[(g, g + 2)] = 3
+        expect[(g + 1, g + 2)] = 2
+    assert got == expect
+
+    # the >=2 floor is live: with min_matching_frames=4 nothing passes
+    # (only 3 frames are sampled), with 3 only the recontainered pairs
+    n3 = video_near_dup_pairs(frames, min_matching_frames=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in n3} == {
+        (g, g + 2) for g in range(0, 3 * VID_GROUP_OF, VID_GROUP_OF)
+    }
+    assert not video_near_dup_pairs(frames, min_matching_frames=4).count()
+
+
+def test_mjpg_chunks_flow_through_decode_media():
+    """'00dc' (compressed) frames dispatch through decode_media like
+    any image payload — the container machinery is codec-agnostic
+    even though the gated corpus uses exact DIB frames."""
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        _avi_chunk,
+        _avi_list,
+        encode_bmp,
+    )
+
+    rgb = np.repeat(_vid_luma(0, 0, XX, YY)[:, :, None], 3, axis=2)
+    base = encode_avi([rgb], fps=10)
+    # splice: replace the movi body's 00db chunk with a 00dc chunk
+    # holding a real BMP payload (decode_media dispatches on magic)
+    movi = _avi_list(b"movi", _avi_chunk(b"00dc", encode_bmp(rgb)))
+    i = base.find(b"LIST")
+    # rebuild: header LISTs up to movi, then our movi
+    j = base.find(b"movi") - 8  # start of the movi LIST chunk
+    body = base[12:j] + movi
+    payload = b"RIFF" + len(b"AVI " + body).to_bytes(4, "little") + b"AVI " + body
+    out = sample_avi_frames(payload, every=1)
+    assert len(out) == 1 and np.array_equal(out[0][1], rgb)
+    assert i >= 0  # silence unused warning

@@ -1138,6 +1138,228 @@ def hamming_near_dup_pairs(
     )
 
 
+def video_near_dup_pairs(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "dhash",
+    min_matching_frames: int = 2,
+    frame_base: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+) -> DataFrame:
+    """Video near-dup from frame-sampled perceptual fingerprints
+    (r10, VERDICT r9 missing item 2): each video is a SET of
+    per-frame 64-bit dHashes (`multimodal.video_frame_dhash`); two
+    videos are near-dups when at least ``min_matching_frames``
+    distinct frame pairs match within ``max_hamming`` bits — the
+    rule that survives re-containering (different fps/mux/junk
+    chunks), re-encoding, and single-frame edits, none of which an
+    exact container hash survives.
+
+    Implementation: frames become pseudo-items with the composite id
+    ``doc_id·frame_base + frame_idx`` and ride the EXISTING
+    Hamming-banded join (`hamming_near_dup_pairs` — bands explode
+    narrow, ONE (band_idx, band_val) shuffle, ≤``max_ids_per_bucket``
+    gate); matched frame pairs then roll up per (doc_a, doc_b) with
+    one combinable count-distinct. Composite monotonicity gives
+    ``doc_a < doc_b`` for free on cross-doc pairs. Scale shape:
+    frames_per_doc × corpus rows through one banded shuffle — linear
+    in total sampled frames, never video×video.
+
+    Returns ``(id_a, id_b, n_matching_frames)``."""
+    comp = frames.select(
+        (F.col(id_col) * frame_base + F.col(frame_col))
+        .cast("long")
+        .alias("fid"),
+        F.col(hash_col),
+    )
+    pairs = hamming_near_dup_pairs(
+        comp,
+        id_col="fid",
+        hash_col=hash_col,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_ids_per_bucket=max_ids_per_bucket,
+    )
+    fb = frame_base
+    return (
+        pairs.select(
+            F.expr(f"id_a DIV {fb}").alias("doc_a"),
+            F.expr(f"id_b DIV {fb}").alias("doc_b"),
+            F.expr(f"id_a % {fb}").alias("fa"),
+            F.expr(f"id_b % {fb}").alias("fb"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.countDistinct(F.struct("fa", "fb"))
+            .cast("int")
+            .alias("n_matching_frames")
+        )
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "n_matching_frames",
+        )
+    )
+
+
+def incremental_video_dedup_bucketed(
+    frames: DataFrame,
+    store_name: str,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "dhash",
+    min_matching_frames: int = 2,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+    buckets: int = 32,
+    path: str | None = None,
+    on_survivors=None,
+    fresh: bool = False,
+) -> DataFrame:
+    """VIDEO dedup of a NEW batch against ALL accepted history — the
+    SIXTH member of the incremental-store family, composing the
+    frame-SET near-dup rule (`video_near_dup_pairs`) with the banded
+    fingerprint store shape (`incremental_fingerprint_dedup_bucketed`):
+    a batch video drops iff ≥ ``min_matching_frames`` DISTINCT frame
+    pairs match (Hamming ≤ ``max_hamming``) against a LOWER-id batch
+    video or against ANY stored survivor — re-containered or
+    single-frame-edited re-crawls of accepted videos drop without
+    re-hashing or re-reading any earlier batch.
+
+    Store ``{store_name}__vfpb`` holds ``(bk, id_col, frame_col, h)``
+    — one row per (band, accepted frame) — BUCKETED and sorted on the
+    composite band key ``bk``, so the per-batch candidate join reads
+    the store with ZERO store-side Exchange (broadcast semi on the
+    batch's bk set prunes it); fingerprints ride in the rows so the
+    exact verify needs no join back. Hot-bucket gate = ONE
+    union-distinct COUNT(DISTINCT frame identity) over store ∪ batch
+    scoped to the batch's buckets; upper bound only (the replay
+    self-match argument of the fingerprint store applies per frame).
+
+    Input is the FRAME fingerprint table (`video_frame_dhash` output),
+    not payloads — hashing stays the caller's narrow pass. Crash
+    contract identical to the sibling stores: compaction recovery
+    before the exists-probe, drops pinned by eager localCheckpoint
+    BEFORE the append, ``on_survivors`` (receives the surviving
+    frame rows) fires before the append — sink-first, at-least-once;
+    a replayed batch re-matches the store per-frame and re-drops.
+    Returns the surviving frame rows (all frames of surviving docs)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "guarantee needs more bands than tolerated bit flips"
+        )
+    spark = frames.sparkSession
+    vfpb_t = f"{store_name}__vfpb"
+    recover_orphaned_compaction(spark, vfpb_t)
+    exists = spark.catalog.tableExists(vfpb_t) and not fresh
+
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = swap_cache(
+        "dedup.incremental_vfp_bands",
+        frames.select(
+            F.col(id_col),
+            F.col(frame_col),
+            F.col(hash_col).alias("h"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" b -> (cast(b as bigint) << {band_bits})"
+                    f" | (shiftright({hash_col}, b * {band_bits}) & {mask}))"
+                )
+            ).alias("bk"),
+        ),
+    )
+    batch_bks = banded.select("bk").distinct()
+    fident = F.concat_ws(":", F.col(id_col), F.col(frame_col))
+    gate_rows = banded.select("bk", fident.alias("fid"))
+    store_hits = None
+    if exists:
+        store_hits = swap_cache(
+            "dedup.incremental_vfp_store_hits",
+            spark.table(vfpb_t).join(F.broadcast(batch_bks), "bk"),
+        )
+        gate_rows = gate_rows.unionByName(
+            store_hits.select("bk", fident.alias("fid"))
+        )
+    ok_bk = (
+        gate_rows.groupBy("bk")
+        .agg(F.countDistinct("fid").alias("__nd"))
+        .filter(F.col("__nd") <= max_ids_per_bucket)
+        .select("bk")
+    )
+    a = banded.select(
+        "bk", F.col(id_col).alias("doc_a"), F.col(frame_col).alias("fa"),
+        F.col("h").alias("h_a"),
+    )
+    b = banded.select(
+        "bk", F.col(id_col).alias("doc_b"), F.col(frame_col).alias("fb"),
+        F.col("h").alias("h_b"),
+    )
+    ham = f"cast(bit_count(h_a ^ h_b) as int) <= {max_hamming}"
+
+    def rollup(matched: DataFrame) -> DataFrame:
+        # distinct matched frame pairs per (doc_a, doc_b), then the
+        # >= min_matching_frames rule; only doc_b (the higher/batch
+        # side) ever drops
+        return (
+            matched.select("doc_a", "doc_b", "fa", "fb")
+            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .filter(F.col("__m") >= min_matching_frames)
+            .select(F.col("doc_b").alias(id_col))
+        )
+
+    in_batch = rollup(
+        a.join(F.broadcast(ok_bk), "bk")
+        .join(b, "bk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr(ham))
+    )
+    dropped = in_batch
+    if exists:
+        vs_store = rollup(
+            store_hits.select(
+                "bk", F.col(id_col).alias("doc_a"),
+                F.col(frame_col).alias("fa"), F.col("h").alias("h_a"),
+            )
+            .join(F.broadcast(ok_bk), "bk")
+            .join(b, "bk")
+            .filter(F.expr(ham))
+        )
+        dropped = dropped.unionByName(vs_store)
+    drops = dropped.distinct().localCheckpoint(eager=True)
+    survivors = frames.join(drops, id_col, "left_anti")
+    if on_survivors is not None:
+        on_survivors(survivors)
+
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        banded.join(drops, id_col, "left_anti").select(
+            "bk", id_col, frame_col, "h"
+        ),
+        vfpb_t,
+        "bk",
+        buckets=buckets,
+        sort_cols="bk",
+        path=None if path is None else f"{path}/{vfpb_t}",
+        mode="append" if exists else "overwrite",
+    )
+    return survivors
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

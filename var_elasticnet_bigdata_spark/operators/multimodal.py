@@ -2066,12 +2066,20 @@ def synth_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 continue
             ids = pdf[idc].to_numpy()
             payloads = []
+            flat = np.full((VID_H, VID_W, 3), 128, dtype=np.uint8)
             for rid in ids:
                 rid = int(rid)
+                # unsampled frames (odd indices) are flat gray: the
+                # stride path never decodes them, so md5-synthesizing
+                # their pixels would only tax the bench — they exist
+                # to be SKIPPED (and the skip is what the stride test
+                # proves)
                 frames = [
                     np.repeat(
                         _vid_luma(rid, f, xx, yy)[:, :, None], 3, axis=2
                     )
+                    if f % VID_SAMPLE_EVERY == 0
+                    else flat
                     for f in range(VID_FRAMES)
                 ]
                 if rid % VID_GROUP_OF == 2:
@@ -2138,3 +2146,98 @@ def video_frame_dhash(
         ]
     )
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def duck_video_dhash_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """The synth-frame-luminance → per-sampled-frame dHash CTE chain
+    (``g``/``fr``/``bits``/``hh``, yielding ``hh({id_col}, f, dh)``)
+    shared by the one-pass video twin and the incremental
+    video-store twin — both replay byte-identical frame-fingerprint
+    arithmetic."""
+    w, h = VID_W, VID_H
+    nbits = (w - 1) * h
+    top = nbits - 1
+    sampled = ", ".join(
+        str(f) for f in range(0, VID_FRAMES, VID_SAMPLE_EVERY)
+    )
+
+    def lum(x_expr: str) -> str:
+        key = (
+            f"CASE WHEN altm AND fr.f = {VID_ALT_FRAME} "
+            f"THEN {id_col}::VARCHAR || ':alt:' || fr.f::VARCHAR "
+            f"ELSE seed::VARCHAR || ':' || fr.f::VARCHAR END"
+        )
+        return (
+            f"('0x'||substr(md5({key} || ':' || ({x_expr})::VARCHAR"
+            f" || ':' || y.y::VARCHAR), 1, 2))::INT"
+        )
+
+    return f"""g AS (
+          SELECT {id_col},
+                 CASE WHEN {id_col} % {VID_GROUP_OF} <= 2
+                      THEN {id_col} - ({id_col} % {VID_GROUP_OF})
+                      ELSE {id_col} END AS seed,
+                 {id_col} % {VID_GROUP_OF} = 1 AS altm
+          FROM {table}),
+        fr AS (SELECT unnest([{sampled}]) AS f),
+        bits AS (
+          SELECT {id_col}, fr.f, (y.y * {w - 1} + x.x) AS b,
+                 CASE WHEN {lum("x.x + 1")} > {lum("x.x")} THEN 1 ELSE 0 END
+                   AS bit
+          FROM g, fr, UNNEST(range(0, {w - 1})) x(x),
+                      UNNEST(range(0, {h})) y(y)),
+        hh AS (
+          SELECT {id_col}, f,
+                 CAST(SUM(CASE WHEN bit = 1 THEN
+                   CASE WHEN b = {top} THEN -9223372036854775807 - 1
+                        ELSE (1::BIGINT << b) END
+                 ELSE 0 END) AS BIGINT) AS dh
+          FROM bits GROUP BY 1, 2)"""
+
+
+def duck_video_near_dup_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of synth_avi → stride-sample → per-frame dHash →
+    banded frame join → min-matching-frames rollup: replays the
+    `_vid_luma` INTEGER arithmetic per sampled frame (the Spark side
+    round-trips the same grids through REAL RIFF-AVI bytes — encode,
+    container walk, DIB decode, Rec.709 luminance on R=G=B gray, a
+    strictly monotone map of the uint8 grid, so every adjacent-pixel
+    comparison matches the integer comparison exactly), then the
+    identical composite-id banding, bucket gate, hamming verify, and
+    the per-doc-pair distinct-frame-pair count."""
+    w, h = VID_W, VID_H
+    nbits = (w - 1) * h
+    band_bits = nbits // 4
+    mask = (1 << band_bits) - 1
+
+    return f"""
+        WITH {duck_video_dhash_cte(table, id_col)},
+        cidf AS (
+          SELECT {id_col} * 16 + f AS fid, {id_col} AS doc, f, dh FROM hh),
+        bd AS (
+          SELECT fid, doc, f, dh, t.b AS band_idx,
+                 (dh >> (t.b * {band_bits})) & {mask} AS band_val
+          FROM cidf, UNNEST(range(0, 4)) t(b)),
+        ok AS (
+          SELECT band_idx, band_val FROM bd GROUP BY 1, 2
+          HAVING COUNT(*) BETWEEN 2 AND 64),
+        cand AS (
+          SELECT DISTINCT a.fid AS fa, c.fid AS fb, a.doc AS da, c.doc AS db,
+                 a.f AS sfa, c.f AS sfb,
+                 CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
+          FROM bd a
+          JOIN ok USING (band_idx, band_val)
+          JOIN bd c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
+                    AND a.fid < c.fid),
+        fp AS (SELECT * FROM cand WHERE hamming <= 3 AND da <> db)
+        SELECT da AS id_a, db AS id_b,
+               CAST(COUNT(DISTINCT (sfa, sfb)) AS INT) AS n_matching_frames
+        FROM fp GROUP BY 1, 2
+        HAVING COUNT(DISTINCT (sfa, sfb)) >= {VID_MIN_MATCH}
+    """

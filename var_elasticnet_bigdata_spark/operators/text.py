@@ -1763,3 +1763,239 @@ def bpe_encode_token_counts(
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (r10, VERDICT r9 missing item 3):
+# the SentencePiece-style counterpart to `bpe_train` — seed a piece
+# inventory from word substrings, then EM: E-step = Viterbi
+# segmentation of the DISTINCT vocabulary under the current piece
+# model, M-step = one combinable piece-count aggregation. Completing
+# the tokenizer family (BPE merges + unigram pieces).
+
+UNI_PIECE_MAX_LEN = 3
+UNI_EM_ROUNDS = 2
+
+
+def unigram_seed_counts(vocab: DataFrame) -> DataFrame:
+    """Seed piece inventory: EVERY substring of length 1..P of every
+    distinct word, weighted by word count (overlapping occurrences
+    all count — the standard suffix-substring seeding). Vocab-sided:
+    the corpus was already collapsed to (w, cnt); the piece alphabet
+    is bounded by |charset|^P (<~50k at P=3 for [a-z0-9]), so the
+    MODEL is broadcastable at any corpus scale. Returns (piece, c)."""
+    P = UNI_PIECE_MAX_LEN
+    expr = (
+        f"flatten(transform(sequence(1, length(w)), i ->"
+        f" transform(sequence(1, least({P}, length(w) - i + 1)),"
+        f" l -> substring(w, i, l))))"
+    )
+    return (
+        vocab.select(F.explode(F.expr(expr)).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _viterbi_segment(w: str, model: dict, total: int, P: int) -> list[str]:
+    """Viterbi under the unigram model: maximize the PRODUCT of piece
+    probabilities p = c/total (plain IEEE division and sequential
+    multiplication along the word — the DuckDB twin performs the
+    identical operations in the identical order, so scores are
+    bit-equal and ties cannot diverge). Tie rule: scanning piece
+    length l ascending, strictly-greater wins — shortest last piece
+    on equal score, same CASE order as the twin's fold."""
+    n = len(w)
+    score: list[float | None] = [None] * (n + 1)
+    score[0] = 1.0
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best = None
+        bl = 0
+        for l in range(1, min(P, i) + 1):
+            prev = score[i - l]
+            if prev is None:
+                continue
+            c = model.get(w[i - l : i])
+            if not c:
+                continue
+            s = prev * (c / total)
+            if best is None or s > best:
+                best, bl = s, l
+        score[i] = best
+        back[i] = bl
+    out: list[str] = []
+    i = n
+    while i > 0 and back[i]:
+        l = back[i]
+        out.append(w[i - l : i])
+        i -= l
+    out.reverse()
+    return out
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    rounds: int = UNI_EM_ROUNDS,
+    piece_max_len: int = UNI_PIECE_MAX_LEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed unigram-LM tokenizer training (Kudo 2018 shape,
+    fixed-inventory EM): corpus → ONE (word, count) shuffle; seed
+    pieces from substrings (`unigram_seed_counts`); then per EM
+    round: broadcast the model (alphabet-bounded — see seed), Viterbi
+    the DISTINCT vocabulary in one narrow Arrow pass (corpus never
+    re-read), and M-step piece counts with one combinable groupBy.
+    Between rounds, single-char pieces that received zero E-count are
+    kept at count 1 (the coverage backstop — SentencePiece never
+    drops base characters, and Viterbi must stay total on any word).
+
+    Returns the FINAL M-step counts as a DataFrame ``(piece, c)`` —
+    the last round's aggregation stays a lazy Spark plan so callers
+    compose (top-N, probability normalization) without an extra
+    collect. Reference analogue: none in VAR_ElasticNet (tokenizer
+    family is north-star scope, SURVEY §2.10)."""
+    from .dedup import norm_sql_spark
+
+    P = piece_max_len
+    norm = norm_sql_spark(text_col)
+    vocab = (
+        df.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from ..plans.cachereg import swap_cache
+
+    vocab = swap_cache("text.unigram_vocab", vocab)
+
+    # model r0: the seed counts. Collected (alphabet-bounded, the
+    # broadcastable MODEL — same contract as the classifier weights /
+    # KN stats frames), not corpus-sized.
+    cur = {
+        r["piece"]: int(r["c"])
+        for r in unigram_seed_counts(vocab).collect()
+    }
+    chars = {p for p in cur if len(p) == 1}
+    out_schema = "piece string, c long"
+    for rnd in range(rounds):
+        total = sum(cur.values())
+        sc = df.sparkSession.sparkContext
+        bm = sc.broadcast((cur, total))
+
+        def estep(batches, _P=P):
+            import pandas as pd
+
+            model, tot = bm.value
+            for pdf in batches:
+                pieces: dict[str, int] = {}
+                for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                    for p in _viterbi_segment(str(w), model, tot, _P):
+                        pieces[p] = pieces.get(p, 0) + int(cnt)
+                yield pd.DataFrame(
+                    {"piece": list(pieces), "c": list(pieces.values())}
+                )
+
+        ecounts = vocab.mapInPandas(estep, out_schema).groupBy("piece").agg(
+            F.sum("c").alias("c")
+        )
+        if rnd == rounds - 1:
+            return ecounts
+        nxt = {r["piece"]: int(r["c"]) for r in ecounts.collect()}
+        for ch in chars:  # coverage backstop
+            if ch not in nxt:
+                nxt[ch] = 1
+        cur = nxt
+    # rounds == 0: the seed model itself
+    return unigram_seed_counts(vocab)
+
+
+def duck_unigram_lm_sql(
+    rounds: int = UNI_EM_ROUNDS,
+    piece_max_len: int = UNI_PIECE_MAX_LEN,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of ``unigram_lm_train`` + the top-N report: the EM
+    rounds are UNROLLED — per round a RECURSIVE-CTE Viterbi walks
+    every distinct word one character at a time carrying the last P
+    dynamic-programming states (score = the same IEEE product of
+    c/total divisions, in the same order), picks extensions with the
+    same l-ascending strictly-greater fold, and the M-step re-counts
+    pieces; single-char zero-count backstop between rounds. The
+    recursion is vocabulary-sided: |distinct words| rows per step,
+    max-word-length steps."""
+    from .dedup import NORM_SQL_DUCK
+
+    P = piece_max_len
+    assert P == 3, "the unrolled twin is written for P=3"
+    parts = [
+        f"""
+    WITH RECURSIVE words(w, cnt) AS (
+      SELECT w, COUNT(*) FROM
+        (SELECT unnest(string_split({NORM_SQL_DUCK}, ' ')) AS w
+         FROM documents)
+      WHERE length(w) >= 1 GROUP BY 1
+    ),
+    m0(piece, c) AS (
+      SELECT piece, SUM(cnt) FROM (
+        SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+          i -> list_transform(range(1, least({P}, length(w) - i + 1) + 1),
+               l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece,
+               cnt
+        FROM words)
+      GROUP BY 1
+    ),
+    chars(piece) AS (SELECT piece FROM m0 WHERE length(piece) = 1)"""
+    ]
+    for r in range(rounds):
+        m, t, vit, e = f"m{r}", f"t{r}", f"vit{r}", f"e{r}"
+        cand = []
+        for l in (1, 2, 3):
+            start = {1: "v.i + 1", 2: "v.i", 3: "v.i - 1"}[l]
+            cand.append(
+                f"CASE WHEN p{l}.c IS NOT NULL AND len(v.win) >= {l}"
+                f" THEN {{'s': v.win[{l}].s * (p{l}.c / {t}.total),"
+                f" 'seg': list_append(v.win[{l}].seg,"
+                f" substr(v.w, CAST({start} AS INT), {l}))}} END"
+            )
+        cands = "[" + ", ".join(cand) + "]"
+        parts.append(f"""
+    {t} AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM {m}),
+    {vit}(w, cnt, i, win) AS (
+      SELECT w, cnt, 0,
+             [{{'s': CAST(1.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[])}}]
+      FROM words
+      UNION ALL
+      SELECT v.w, v.cnt, v.i + 1,
+        list_prepend(
+          list_reduce(list_filter({cands}, x -> x IS NOT NULL),
+            (a, b) -> CASE WHEN b.s > a.s THEN b ELSE a END),
+          v.win[1:{P - 1}])
+      FROM {vit} v
+      CROSS JOIN {t}
+      LEFT JOIN {m} p1 ON p1.piece = substr(v.w, CAST(v.i + 1 AS INT), 1)
+      LEFT JOIN {m} p2 ON v.i >= 1 AND p2.piece = substr(v.w, CAST(v.i AS INT), 2)
+      LEFT JOIN {m} p3 ON v.i >= 2 AND p3.piece = substr(v.w, CAST(v.i - 1 AS INT), 3)
+      WHERE v.i < length(v.w)
+    ),
+    {e}(piece, c) AS (
+      SELECT piece, SUM(cnt) FROM (
+        SELECT unnest(win[1].seg) AS piece, cnt
+        FROM {vit} WHERE i = length(w))
+      GROUP BY 1
+    ),
+    m{r + 1}(piece, c) AS (
+      SELECT piece, c FROM {e}
+      UNION ALL
+      SELECT ch.piece, 1 FROM chars ch
+      WHERE ch.piece NOT IN (SELECT piece FROM {e})
+    )""")
+    # the final model m{rounds} is the backstopped last E-step; the
+    # REPORT uses the raw final E-counts (what the Spark side returns)
+    parts.append(f"""
+    tot_f AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM e{rounds - 1})
+    SELECT piece, CAST(c AS BIGINT) AS c,
+           ROUND(c / tot_f.total, 9) AS p
+    FROM e{rounds - 1}, tot_f
+    ORDER BY c DESC, piece ASC LIMIT {top_n}""")
+    return ",".join(parts[:1] + parts[1:-1]) + "," + parts[-1] if rounds else ""

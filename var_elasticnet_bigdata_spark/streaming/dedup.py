@@ -431,3 +431,72 @@ def stream_fingerprint_dedup_against_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_video_dedup_against_store(
+    frames: DataFrame,
+    store_name: str,
+    checkpoint_dir: str,
+    out_path: str,
+    frame_col: str = "frame_idx",
+    hash_col: str = "dhash",
+    min_matching_frames: int = 2,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+    buckets: int = 32,
+    store_path: str | None = None,
+    compact_every: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous VIDEO dedup against the persisted banded store
+    (`operators/dedup.incremental_video_dedup_bucketed`) — the SIXTH
+    streaming crawl loop: ``frames`` carries per-video frame-sampled
+    fingerprints (`multimodal.video_frame_dhash` composes onto the
+    stream unchanged — payload bytes in, (id, frame_idx, dhash) rows
+    out); each micro-batch's videos check against ALL accepted
+    history under the ≥``min_matching_frames`` rule, surviving frame
+    rows commit to parquet FIRST (sink-before-store: replay
+    duplicates the sink, never loses a video; a replayed batch
+    re-matches its own stored frames per-frame and re-drops).
+
+    ``compact_every``: in-loop compaction of ``{store}__vfpb`` —
+    the store grows ``bands × frames_sampled`` rows per accepted
+    video, so crawl-scale ingests want bounded file counts.
+
+    Returns the StreamingQuery; caller awaits termination."""
+    from ..operators.dedup import incremental_video_dedup_bucketed
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_video_dedup_bucketed(
+            batch_df,
+            store_name,
+            frame_col=frame_col,
+            hash_col=hash_col,
+            min_matching_frames=min_matching_frames,
+            bits=bits,
+            bands=bands,
+            max_hamming=max_hamming,
+            max_ids_per_bucket=max_ids_per_bucket,
+            buckets=buckets,
+            path=store_path,
+            on_survivors=lambda surv: surv.write.mode("append").parquet(
+                out_path
+            ),
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from ..sources.compaction import compact_bucketed
+
+            compact_bucketed(batch_df.sparkSession, f"{store_name}__vfpb")
+
+    writer = (
+        frames.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
