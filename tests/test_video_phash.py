@@ -159,3 +159,17 @@ def test_mjpg_chunks_flow_through_decode_media():
     out = sample_avi_frames(payload, every=1)
     assert len(out) == 1 and np.array_equal(out[0][1], rgb)
     assert i >= 0  # silence unused warning
+
+
+def test_frame_base_alias_guard(spark):
+    """frame_idx >= frame_base must fail loudly (assert_true), not
+    silently alias composite ids across docs."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        video_near_dup_pairs,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, 17, 5)], "doc_id long, frame_idx int, dhash long"
+    )
+    with pytest.raises(Exception, match="frame_base"):
+        video_near_dup_pairs(bad).collect()

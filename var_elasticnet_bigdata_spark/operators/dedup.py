@@ -1170,9 +1170,16 @@ def video_near_dup_pairs(
 
     Returns ``(id_a, id_b, n_matching_frames)``."""
     comp = frames.select(
-        (F.col(id_col) * frame_base + F.col(frame_col))
-        .cast("long")
-        .alias("fid"),
+        # assert_true makes a frame index >= frame_base a loud task
+        # failure instead of a silent composite-id alias (doc X frame
+        # 17 colliding with doc X+1 frame 1)
+        F.when(
+            F.assert_true(
+                F.col(frame_col) < F.lit(frame_base),
+                f"frame_idx must be < frame_base={frame_base}",
+            ).isNull(),
+            (F.col(id_col) * frame_base + F.col(frame_col)).cast("long"),
+        ).alias("fid"),
         F.col(hash_col),
     )
     pairs = hamming_near_dup_pairs(
