@@ -188,3 +188,40 @@ def test_pre_filter_brute_force_parity(spark, emb, cents):
         ).collect()
     }
     assert got == expect
+
+
+def test_post_mode_respects_oversample_budget(spark, emb, cents):
+    """With oversample=o, a probe returns a row iff one of its o
+    unfiltered top candidates qualifies — verified against the
+    unfiltered ranking computed independently."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        filtered_ivf_topk,
+        ivf_topk,
+    )
+
+    o = 3
+    unfiltered = ivf_topk(
+        emb, k=o, nlist=8, nprobe=3, centroids=cents, round_dp=6
+    ).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    expect = {}
+    by_probe: dict = {}
+    for r in unfiltered:
+        by_probe.setdefault(r["vec_id"], []).append(r)
+    for pid, rows in by_probe.items():
+        rows.sort(key=lambda r: r["rank"])
+        for r in rows[:o]:
+            if labels[r["neighbor_id"]] == 1:
+                expect[pid] = r["neighbor_id"]
+                break
+    got = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in filtered_ivf_topk(
+            emb, F.col("label") == 1, k=1, nlist=8, nprobe=3,
+            mode="post", oversample=o, centroids=cents, round_dp=6,
+        ).collect()
+    }
+    assert got == expect

@@ -173,3 +173,27 @@ def test_frame_base_alias_guard(spark):
     )
     with pytest.raises(Exception, match="frame_base"):
         video_near_dup_pairs(bad).collect()
+
+
+def test_extract_media_features_video_kind(spark):
+    """RIFF-AVI payloads flow through the media feature extractor as
+    kind='video' with (n_frames, duration_ms, w, h, luma, motion)
+    features; corrupt rows still degrade to status rows."""
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    good = encode_avi(_frames(0), fps=10)
+    rows = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(b"RIFF    AVI junk"))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in extract_media_features(rows).collect()}
+    ok = out[0]
+    assert ok["kind"] == "video" and ok["status"] == "ok"
+    n_frames, duration_ms, w, h, luma, motion = ok["features"]
+    assert n_frames == VID_FRAMES
+    assert duration_ms == VID_FRAMES / 10 * 1000.0
+    assert (w, h) == (9.0, 8.0)
+    assert 0.0 < luma < 255.0 and motion > 0.0
+    assert out[1]["status"].startswith("undecodable")

@@ -320,14 +320,18 @@ def resize_nearest(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def decode_media(payload: bytes) -> tuple[str, object]:
     """Magic-byte dispatch: returns ``(kind, decoded)`` where kind is
-    'image' (BMP → ndarray) or 'audio' (WAV → (rate, samples)).
-    Compressed formats are the documented codec seam."""
+    'image' (BMP/PNG/JPEG → ndarray), 'audio' (WAV → (rate,
+    samples)), or 'video' (RIFF-AVI → (fps, [(frame_idx, rgb)...])
+    via `decode_avi`). Compressed formats are the documented codec
+    seam."""
     if payload is None or len(payload) < 12:
         raise ValueError("empty/short payload")
     if payload[:2] == b"BM":
         return "image", decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio", decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "video", decode_avi(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "image", decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff" or payload[:2] == b"\xff\xd8":
@@ -438,10 +442,11 @@ MEDIA_FEATURE_SCHEMA = StructType(
 
 def extract_media_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """REAL decode → features, Arrow-batched: WAV payloads get audio
-    features, BMP payloads image features; corrupt or
-    compressed-format payloads degrade to a ``status`` row (decoded
-    rows carry status 'ok') — a bad byte never fails the task. One
-    narrow ``mapInPandas`` pass; at 100 TB this is the
+    features, BMP/PNG/JPEG image features, RIFF-AVI video features
+    (frame count / duration_ms / dims / luminance / motion proxy);
+    corrupt or compressed-format payloads degrade to a ``status`` row
+    (decoded rows carry status 'ok') — a bad byte never fails the
+    task. One narrow ``mapInPandas`` pass; at 100 TB this is the
     embarrassingly-parallel stage of a media pipeline."""
     idc = id_col
 
@@ -453,11 +458,12 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id") -> DataFrame
                     kind, dec = decode_media(
                         bytes(payload) if payload is not None else None
                     )
-                    feats = (
-                        audio_features(*dec)
-                        if kind == "audio"
-                        else image_features(dec)
-                    )
+                    if kind == "audio":
+                        feats = audio_features(*dec)
+                    elif kind == "video":
+                        feats = video_features(*dec)
+                    else:
+                        feats = image_features(dec)
                     rows.append((rid, kind, "ok", feats))
                 except NotImplementedError:
                     rows.append((rid, "unknown", "codec_unavailable", None))
@@ -2241,3 +2247,56 @@ def duck_video_near_dup_sql(
         FROM fp GROUP BY 1, 2
         HAVING COUNT(DISTINCT (sfa, sfb)) >= {VID_MIN_MATCH}
     """
+
+
+def avi_fps(payload: bytes) -> float:
+    """Frames-per-second from the avih header (dwMicroSecPerFrame) —
+    header-only read."""
+    for fourcc, ltype, off, size in _avi_walk(payload):
+        if fourcc == b"LIST" and ltype == b"hdrl":
+            hdrl = payload[off + 4 : off + size]
+            i = hdrl.find(b"avih")
+            if i < 0:
+                break
+            us = int.from_bytes(hdrl[i + 8 : i + 12], "little")
+            if us <= 0:
+                raise ValueError("AVI: non-positive frame interval")
+            return 1_000_000.0 / us
+    raise ValueError("AVI: no avih header found")
+
+
+def decode_avi(payload: bytes) -> tuple[float, list]:
+    """Full decode: ``(fps, [(frame_idx, rgb), ...])`` — the 'video'
+    arm of `decode_media`. Frame-sampling callers should use
+    `sample_avi_frames` directly and never touch the skipped frames'
+    bytes; this full form exists for the feature-extraction path."""
+    return avi_fps(payload), sample_avi_frames(payload, every=1)
+
+
+def video_features(fps: float, frames: list) -> list[float]:
+    """Summary features for a decoded video: frame count, duration
+    (ms), width, height, mean luminance over frames, and mean
+    inter-frame absolute pixel delta (a motion proxy — 0 for a
+    still-repeated clip). Mirrors `audio_features`/`image_features`
+    for the 'video' kind."""
+    if not frames:
+        raise ValueError("video with no frames")
+    h, w = frames[0][1].shape[:2]
+    lumas = [float(rgb.astype(np.float64).mean()) for _, rgb in frames]
+    deltas = [
+        float(
+            np.abs(
+                frames[i + 1][1].astype(np.float64)
+                - frames[i][1].astype(np.float64)
+            ).mean()
+        )
+        for i in range(len(frames) - 1)
+    ]
+    return [
+        float(len(frames)),
+        float(len(frames) / fps * 1000.0),
+        float(w),
+        float(h),
+        sum(lumas) / len(lumas),
+        (sum(deltas) / len(deltas)) if deltas else 0.0,
+    ]

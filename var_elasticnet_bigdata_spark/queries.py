@@ -6361,6 +6361,104 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_filtered_post",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
+               AS e,
+             CAST(vec_id % 16 AS INT) AS seed_cell
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT seed_cell AS cell, pos, ROUND(AVG(x), 12) AS cx
+      FROM (SELECT seed_cell, unnest(e) AS x,
+                   generate_subscripts(e, 1) AS pos FROM n)
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT cell, list(cx ORDER BY pos) AS c FROM comp GROUP BY 1),
+    centn AS (
+      SELECT cell,
+             list_transform(c, x -> x / sqrt(list_sum(
+               list_transform(c, y -> y * y)))) AS c
+      FROM cent
+    ),
+    sims AS (
+      SELECT n.vec_id, cn.cell, list_dot_product(n.e, cn.c) AS s
+      FROM n CROSS JOIN centn cn
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC)
+               AS rn
+      FROM sims
+    ),
+    corpus AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= 4),
+    cand AS (
+      SELECT p.vec_id, c.vec_id AS nb
+      FROM probe p JOIN corpus c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.vec_id, cand.nb,
+             ROUND(list_dot_product(a.e, b.e), 6) AS s
+      FROM cand JOIN n a ON a.vec_id = cand.vec_id
+                JOIN n b ON b.vec_id = cand.nb
+    ),
+    oversampled AS (
+      SELECT vec_id, nb, s
+      FROM (SELECT vec_id, nb, s,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY s DESC, nb ASC) AS rn
+            FROM scored)
+      WHERE rn <= 4
+    ),
+    refiltered AS (
+      SELECT o.vec_id, o.nb, o.s
+      FROM oversampled o JOIN embeddings em ON em.vec_id = o.nb
+      WHERE em.label = 1
+    )
+    SELECT vec_id, nb AS neighbor_id
+    FROM (SELECT vec_id, nb,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, nb ASC)
+                   AS rn
+          FROM refiltered)
+    WHERE rn = 1
+    """,
+)
+def ann_filtered_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POST-FILTER strategy of `filtered_ivf_topk` in the hash
+    gate (the pre-filter arm is `ann_filtered_search`): unfiltered
+    IVF search keeps k·oversample=4 snapped candidates per probe,
+    the metadata predicate then semi-joins the neighbor ids and the
+    survivors re-rank to top-1. The twin replays the oversampled
+    ranking, the label filter, and the re-rank — so the recall trade
+    itself (probes whose 4 unfiltered candidates contain no label-1
+    vector return NO row; at sf0.01 that drops ~2/3 of probes vs the
+    pre arm) is pinned in the hash, not just in pytest. Scale shape:
+    identical to the unfiltered search (one cogroup pass) plus a
+    result-sized semi-join — the strategy that wins when most rows
+    qualify and the corpus scan dominates."""
+    from .operators.similarity import filtered_ivf_topk, seed_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    C = seed_centroids(e, nlist=16)
+    out = filtered_ivf_topk(
+        e,
+        F.col("label") == 1,
+        k=1,
+        nlist=16,
+        nprobe=4,
+        mode="post",
+        oversample=4,
+        centroids=C,
+        round_dp=6,
+    )
+    return out.select("vec_id", "neighbor_id")
+
+
+@query(
     "stat_hosking",
     _QUARTERLY_PAIR_CTE
     + """,
