@@ -2023,6 +2023,276 @@ def ivfpq_train(
     return C, cb
 
 
+def ivfpq_postings_append(
+    batch: DataFrame,
+    store_name: str,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 32,
+    path: str | None = None,
+    fresh: bool = False,
+) -> None:
+    """INCREMENTAL INDEX MAINTENANCE (r10): encode a NEW batch with
+    the PINNED train-once artifacts (coarse centroids + residual PQ
+    codebook — no Lloyd pass, no codebook fit) and append its
+    postings to the persisted table ``{store_name}__pq`` —
+    ``(cell, id, codes)`` BUCKETED and sorted on ``cell``. This is
+    how a production vector index grows with the corpus: retrain
+    offline (`ivfpq_train` / the pinned-artifact JSON), append
+    online; `ivfpq_postings_search` then serves any probe set from
+    the postings of its probed cells ONLY — no re-encode, no
+    full-corpus scan, zero store-side Exchange.
+
+    The encode is the EXACT serving-path arithmetic
+    (normalize → assign → residual → `pq_encode` with constant-folded
+    artifacts — one narrow JVM pass), so postings written across ANY
+    batch split are bit-identical to a one-shot encode of the union:
+    append order cannot change a single code. Same crash contract as
+    the dedup stores: compaction recovery before the exists-probe;
+    appends are idempotent per batch only if the caller keys batches
+    (postings are index rows, not survivors — a replayed batch
+    double-appends, which serving tolerates as duplicate candidates
+    with identical ADC; compact-and-distinct or exactly-once batch
+    bookkeeping is the ingest loop's job, as with any append sink)."""
+    from ..sources.bucketing import write_bucketed
+    from ..sources.compaction import recover_orphaned_compaction
+
+    spark = batch.sparkSession
+    t = f"{store_name}__pq"
+    recover_orphaned_compaction(spark, t)
+    exists = spark.catalog.tableExists(t) and not fresh
+    C = np.asarray(centroids, dtype=np.float64)
+    d = C.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    v = batch.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
+    normed = v.select(
+        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
+    )
+    resid = with_assigned_cell(normed, C, vec_expr="e").withColumn(
+        "r",
+        F.expr(
+            f"zip_with(e, element_at({_centroid_lit(C)}, cell + 1),"
+            " (x, c) -> x - c)"
+        ),
+    )
+    coded = pq_encode(
+        resid.select(id_col, "cell", "r"),
+        m=m,
+        k=k,
+        id_col=id_col,
+        vec_col="r",
+        codebook=np.asarray(codebook, dtype=np.float64),
+        extra_cols=("cell",),
+    )
+    write_bucketed(
+        coded.select("cell", F.col(id_col), "codes"),
+        t,
+        "cell",
+        buckets=buckets,
+        sort_cols="cell",
+        path=None if path is None else f"{path}/{t}",
+        mode="append" if exists else "overwrite",
+    )
+
+
+def ivfpq_postings_search(
+    spark: SparkSession,
+    store_name: str,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    m: int = 4,
+    k: int = 16,
+    nprobe: int = 2,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_probes: int = 512,
+    round_dp: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve a probe set from the PERSISTED postings table — the
+    index-side half of the append/search split: route probes
+    driver-side (the shared `_ivfpq_route` arithmetic), read ONLY the
+    probed cells' postings (broadcast semi on the cell set; the table
+    is bucketed on ``cell`` so the store side joins with ZERO
+    Exchange and scans only matching buckets), then the shared ADC
+    arm (`_ivfpq_score`). At 100 TB this is the difference between
+    serving cost ∝ probed-cell postings and serving cost ∝ corpus:
+    the corpus is neither re-encoded nor re-scanned per query batch.
+
+    Returns ``(qid, rank, id_col, adc)`` like `ivfpq_search`."""
+    from ..plans.guards import guarded_collect
+    from ..sources.bucketing import read_bucketed
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebook, dtype=np.float64)
+    rows = guarded_collect(
+        probes.select(id_col, vec_col),
+        "ivfpq_postings_search's probe set",
+        "a smaller probe frame or batched calls (the probe LUT must "
+        "stay bounded driver-side)",
+        max_rows=max_probes,
+    )
+    pids, Q, probed = _ivfpq_route(
+        rows, C, nprobe, round_dp, id_col, vec_col,
+        "ivfpq_postings_search",
+    )
+    cells = sorted({int(c) for row in probed for c in row})
+    cells_df = spark.createDataFrame([(c,) for c in cells], "cell int")
+    coded = read_bucketed(spark, f"{store_name}__pq").join(
+        F.broadcast(cells_df), "cell"
+    )
+    scored = _ivfpq_score(
+        coded, pids, Q, probed, C, cb, m, k, topk, round_dp,
+        exclude_self, id_col,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "rank", id_col, "adc")
+    )
+
+
+def _ivfpq_route(
+    probes: list,
+    C: np.ndarray,
+    nprobe: int,
+    round_dp: int,
+    id_col: str,
+    vec_col: str,
+    caller: str,
+) -> tuple[list[int], np.ndarray, np.ndarray]:
+    """Driver-side probe routing shared by `ivfpq_search` and the
+    postings store: sort probes by id, normalize with the SAME
+    sequential fold as the corpus side, pick each probe's ``nprobe``
+    nearest cells by snapped sequential-fold distance. Returns
+    ``(pids, Q, probed)``."""
+    probes = sorted(probes, key=lambda r: r[id_col])
+    if not probes:
+        raise ValueError(f"{caller}: empty probe set")
+    d = C.shape[1]
+    ncells = C.shape[0]
+    pids = [int(r[id_col]) for r in probes]
+    nq = len(pids)
+    Q = np.zeros((nq, d), dtype=np.float64)
+    for qi, r in enumerate(probes):
+        x = [float(t) for t in r[vec_col]]
+        s = 0.0
+        for t in x:  # sequential fold, exactly the corpus-side norm
+            s = s + t * t
+        n = math.sqrt(s) if s != 0 else 1.0
+        for i in range(d):
+            Q[qi, i] = x[i] / n
+    scale = float(10**round_dp)
+    probed = np.zeros((nq, nprobe), dtype=np.int64)
+    for qi in range(nq):
+        dists = []
+        for c in range(ncells):
+            t = None  # sequential ascending-component left fold
+            for i in range(d):
+                diff = Q[qi, i] - C[c, i]
+                dd = diff * diff
+                t = dd if t is None else t + dd
+            dists.append((math.floor(t * scale + 0.5) / scale, c))
+        dists.sort()
+        probed[qi] = [c for _, c in dists[:nprobe]]
+    return pids, Q, probed
+
+
+def _ivfpq_score(
+    coded: DataFrame,
+    pids: list[int],
+    Q: np.ndarray,
+    probed: np.ndarray,
+    C: np.ndarray,
+    cb: np.ndarray,
+    m: int,
+    k: int,
+    topk: int,
+    round_dp: int,
+    exclude_self: bool,
+    id_col: str,
+) -> DataFrame:
+    """The ADC serving arm shared by `ivfpq_search` and the postings
+    store: LUT over probed cells, one Arrow pass over the coded rows
+    emitting per-batch local candidates — identical arithmetic and
+    snap/tie discipline wherever the coded rows come from (an inline
+    encode pass or the persisted postings table)."""
+    d = C.shape[1]
+    sub = d // m
+    ncells = C.shape[0]
+    nq = len(pids)
+    scale = float(10**round_dp)
+    # LUT[q, cell, s, code]: the residual-target distance table
+    L = np.zeros((nq, ncells, m, k), dtype=np.float64)
+    for qi in range(nq):
+        for c in map(int, probed[qi]):
+            for s in range(m):
+                for code in range(k):
+                    t = None
+                    for i in range(sub):
+                        gi = s * sub + i
+                        diff = Q[qi, gi] - C[c, gi] - float(cb[code, gi])
+                        dd = diff * diff
+                        t = dd if t is None else t + dd
+                    L[qi, c, s, code] = t
+
+    # --- Arrow serving pass: per-batch local top-k per query -------
+    pid_arr = np.array(pids, dtype=np.int64)
+    probed_sets = [probed[qi] for qi in range(nq)]
+    kk, mm = topk, m
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            cc = pdf["cell"].to_numpy(dtype=np.int64)
+            vv = pdf[id_col].to_numpy(dtype=np.int64)
+            out_q, out_v, out_a = [], [], []
+            for qi in range(nq):
+                mask = np.isin(cc, probed_sets[qi])
+                if exclude_self:
+                    mask &= vv != pid_arr[qi]
+                if not mask.any():
+                    continue
+                mc, md, mv = cc[mask], codes[mask], vv[mask]
+                adc = L[qi, mc, 0, md[:, 0]]
+                for s in range(1, mm):
+                    adc = adc + L[qi, mc, s, md[:, s]]
+                adc = np.floor(adc * scale + 0.5) / scale
+                order = np.lexsort((mv, adc))[:kk]
+                out_q.extend([pid_arr[qi]] * len(order))
+                out_v.extend(mv[order])
+                out_a.extend(adc[order])
+            yield pd.DataFrame(
+                {
+                    "qid": np.array(out_q, dtype=np.int64),
+                    id_col: np.array(out_v, dtype=np.int64),
+                    "adc": np.array(out_a, dtype=np.float64),
+                }
+            )
+
+    return coded.mapInPandas(
+        score, schema=f"qid long, {id_col} long, adc double"
+    )
+
+
 def ivfpq_search(
     df: DataFrame,
     nlist: int = 16,
@@ -2142,85 +2412,12 @@ def ivfpq_search(
         "bounded driver-side)",
         max_rows=max_probes,
     )
-    probes = sorted(probes, key=lambda r: r[id_col])
-    if not probes:
-        raise ValueError("ivfpq_search: empty probe set")
-    pids = [int(r[id_col]) for r in probes]
-    nq = len(pids)
-    Q = np.zeros((nq, d), dtype=np.float64)
-    for qi, r in enumerate(probes):
-        x = [float(t) for t in r[vec_col]]
-        s = 0.0
-        for t in x:  # sequential fold, exactly the corpus-side norm
-            s = s + t * t
-        n = math.sqrt(s) if s != 0 else 1.0
-        for i in range(d):
-            Q[qi, i] = x[i] / n
-    scale = float(10**round_dp)
-    probed = np.zeros((nq, nprobe), dtype=np.int64)
-    for qi in range(nq):
-        dists = []
-        for c in range(ncells):
-            t = None  # sequential ascending-component left fold
-            for i in range(d):
-                diff = Q[qi, i] - C[c, i]
-                dd = diff * diff
-                t = dd if t is None else t + dd
-            dists.append((math.floor(t * scale + 0.5) / scale, c))
-        dists.sort()
-        probed[qi] = [c for _, c in dists[:nprobe]]
-    # LUT[q, cell, s, code]: the residual-target distance table
-    L = np.zeros((nq, ncells, m, k), dtype=np.float64)
-    for qi in range(nq):
-        for c in map(int, probed[qi]):
-            for s in range(m):
-                for code in range(k):
-                    t = None
-                    for i in range(sub):
-                        gi = s * sub + i
-                        diff = Q[qi, gi] - C[c, gi] - float(cb[code, gi])
-                        dd = diff * diff
-                        t = dd if t is None else t + dd
-                    L[qi, c, s, code] = t
-
-    # --- Arrow serving pass: per-batch local top-k per query -------
-    pid_arr = np.array(pids, dtype=np.int64)
-    probed_sets = [probed[qi] for qi in range(nq)]
-    kk, mm = topk, m
-
-    def score(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            cc = pdf["cell"].to_numpy(dtype=np.int64)
-            vv = pdf[id_col].to_numpy(dtype=np.int64)
-            out_q, out_v, out_a = [], [], []
-            for qi in range(nq):
-                mask = np.isin(cc, probed_sets[qi])
-                if exclude_self:
-                    mask &= vv != pid_arr[qi]
-                if not mask.any():
-                    continue
-                mc, md, mv = cc[mask], codes[mask], vv[mask]
-                adc = L[qi, mc, 0, md[:, 0]]
-                for s in range(1, mm):
-                    adc = adc + L[qi, mc, s, md[:, s]]
-                adc = np.floor(adc * scale + 0.5) / scale
-                order = np.lexsort((mv, adc))[:kk]
-                out_q.extend([pid_arr[qi]] * len(order))
-                out_v.extend(mv[order])
-                out_a.extend(adc[order])
-            yield pd.DataFrame(
-                {
-                    "qid": np.array(out_q, dtype=np.int64),
-                    id_col: np.array(out_v, dtype=np.int64),
-                    "adc": np.array(out_a, dtype=np.float64),
-                }
-            )
-
-    scored = coded.mapInPandas(
-        score, schema=f"qid long, {id_col} long, adc double"
+    pids, Q, probed = _ivfpq_route(
+        probes, C, nprobe, round_dp, id_col, vec_col, "ivfpq_search"
+    )
+    scored = _ivfpq_score(
+        coded, pids, Q, probed, C, cb, m, k, topk, round_dp,
+        exclude_self, id_col,
     )
     from pyspark.sql import Window
 

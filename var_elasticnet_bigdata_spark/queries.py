@@ -7959,6 +7959,61 @@ if _ivfpq_serve_pin is not None:
     ORACLE["ann_ivfpq_serve"] = _ivfpq_serve_pin
 
 
+@query("ann_ivfpq_postings", None)  # pinned-artifact oracle set below
+def ann_ivfpq_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL INDEX MAINTENANCE end to end (r10 — the
+    production lifecycle `ann_ivfpq_serve` prices only half of):
+    TWO id-ordered batches PQ-encode with the pinned train-once
+    artifacts and append postings to the persisted ``__pq`` table
+    (bucketed + sorted on cell — `similarity.ivfpq_postings_append`,
+    no Lloyd pass, no codebook fit, one narrow constant-folded pass
+    per batch); serving then routes the probe set driver-side and
+    reads ONLY the probed cells' postings (broadcast semi on the
+    cell set; ZERO store-side Exchange, no re-encode, no full-corpus
+    scan — serving cost ∝ probed postings, the 100-TB property).
+    Because the encode arithmetic is batch-split-invariant, the twin
+    is the SAME pinned serve SQL as `ann_ivfpq_serve` — the hash gate
+    pins that growing the index by appends changes NOTHING vs a
+    one-shot encode. Store isolation/exchange-freeness/append
+    mechanics are pinned in tests/test_pq_postings.py."""
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+
+    from .operators.similarity import (
+        ivfpq_postings_append,
+        ivfpq_postings_search,
+    )
+
+    path = _os.path.join(
+        _os.path.dirname(__file__), "pinned", "ivfpq_artifacts.json"
+    )
+    with open(path) as f:
+        art = _json.load(f)
+    C = _np.array(art["centroids"], dtype=_np.float64)
+    cb = _np.array(art["codebook"], dtype=_np.float64)
+    store = "q_ann_pq_postings"
+    spath = _session_store_dir("spark_graft_pq_store_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_half = 250
+    for i, pred in enumerate(
+        (F.col("vec_id") < n_half, F.col("vec_id") >= n_half)
+    ):
+        ivfpq_postings_append(
+            emb.filter(pred), store, C, cb, m=4, k=16,
+            buckets=8, path=spath, fresh=(i == 0),
+        )
+    return ivfpq_postings_search(
+        spark, store, emb.filter(F.col("vec_id") % 200 == 0),
+        C, cb, m=4, k=16, nprobe=2, topk=3,
+    )
+
+
+if _ivfpq_serve_pin is not None:
+    ORACLE["ann_ivfpq_postings"] = _ivfpq_serve_pin
+
+
 # planted near-neighbor families (VERDICT r7 item 2): the synthetic
 # corpus is near-uniform in 64-d, so recall@1 was 0 BY CONSTRUCTION
 # and the audit could not catch a routing regression. For every probe
