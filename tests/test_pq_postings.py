@@ -32,12 +32,14 @@ def artifacts():
 
 @pytest.fixture
 def clean_store(spark):
-    names = ["pqs1", "pqs2", "pqs3"]
+    names = ["pqs1", "pqs2", "pqs3", "pqs4", "pqs5"]
     for n in names:
         spark.sql(f"DROP TABLE IF EXISTS {n}__pq")
+        spark.sql(f"DROP TABLE IF EXISTS {n}__pq_ledger")
     yield
     for n in names:
         spark.sql(f"DROP TABLE IF EXISTS {n}__pq")
+        spark.sql(f"DROP TABLE IF EXISTS {n}__pq_ledger")
 
 
 def test_append_split_invariance(spark, tmp_path, clean_store, artifacts):
@@ -169,3 +171,114 @@ def test_new_batch_candidates_appear_after_append(
         ).collect()
     }
     assert any(v >= 250 for v in after)
+
+
+def _postings_files(spark, table):
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+    out = {}
+    for root, _, files in os.walk(loc):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, loc)] = os.path.getsize(p)
+    return out
+
+
+def test_replayed_batch_is_ledger_noop(spark, tmp_path, clean_store, artifacts):
+    """Exactly-once append (r11, VERDICT r10 item 1): replaying an
+    acknowledged batch_id is a no-op — append returns False and the
+    postings files on disk are byte-identical (same set, same sizes),
+    so served results cannot change."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivfpq_postings_append,
+        ivfpq_postings_search,
+    )
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    C, cb = artifacts
+    e = load_table(spark, SF, "embeddings")
+    assert ivfpq_postings_append(
+        e.filter("vec_id < 250"), "pqs4", C, cb, buckets=4,
+        path=str(tmp_path), fresh=True, batch_id="b1",
+    )
+    assert ivfpq_postings_append(
+        e.filter("vec_id >= 250"), "pqs4", C, cb, buckets=4,
+        path=str(tmp_path), batch_id="b2",
+    )
+    files_before = _postings_files(spark, "pqs4__pq")
+    probes = e.filter("vec_id % 200 = 0")
+    served_before = sorted(
+        tuple(r)
+        for r in ivfpq_postings_search(
+            spark, "pqs4", probes, C, cb, nprobe=2, topk=3
+        ).collect()
+    )
+    # replay both batches — ledger makes each a no-op
+    assert not ivfpq_postings_append(
+        e.filter("vec_id < 250"), "pqs4", C, cb, buckets=4,
+        path=str(tmp_path), batch_id="b1",
+    )
+    assert not ivfpq_postings_append(
+        e.filter("vec_id >= 250"), "pqs4", C, cb, buckets=4,
+        path=str(tmp_path), batch_id="b2",
+    )
+    assert _postings_files(spark, "pqs4__pq") == files_before
+    served_after = sorted(
+        tuple(r)
+        for r in ivfpq_postings_search(
+            spark, "pqs4", probes, C, cb, nprobe=2, topk=3
+        ).collect()
+    )
+    assert served_after == served_before
+
+
+def test_crash_window_replay_serves_exactly_once(
+    spark, tmp_path, clean_store, artifacts
+):
+    """The one crash window (sink committed, ledger row lost): the
+    replayed batch re-appends bit-identical postings, and serving's
+    distinct on (cell, id, codes) collapses them — top-k identical to
+    the single-append store, no duplicate ranks displacing the
+    genuine k-th result (ADVICE r10)."""
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivfpq_postings_append,
+        ivfpq_postings_search,
+    )
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    C, cb = artifacts
+    e = load_table(spark, SF, "embeddings")
+    ivfpq_postings_append(
+        e, "pqs5", C, cb, buckets=4, path=str(tmp_path), fresh=True,
+        batch_id="b1",
+    )
+    probes = e.filter("vec_id % 200 = 0")
+    single = sorted(
+        tuple(r)
+        for r in ivfpq_postings_search(
+            spark, "pqs5", probes, C, cb, nprobe=2, topk=3
+        ).collect()
+    )
+    # simulate the crash-window replay: same rows appended again
+    # WITHOUT the ledger guard (no batch_id)
+    ivfpq_postings_append(e, "pqs5", C, cb, buckets=4, path=str(tmp_path))
+    doubled = sorted(
+        tuple(r)
+        for r in ivfpq_postings_search(
+            spark, "pqs5", probes, C, cb, nprobe=2, topk=3
+        ).collect()
+    )
+    assert doubled == single
+    # and ranks stay dense 1..topk per probe, no duplicate ids
+    by_q = {}
+    for qid, rank, vid, _ in doubled:
+        by_q.setdefault(qid, []).append((rank, vid))
+    for qid, rows in by_q.items():
+        ranks = [r for r, _ in rows]
+        ids = [v for _, v in rows]
+        assert ranks == list(range(1, len(rows) + 1)), (qid, rows)
+        assert len(set(ids)) == len(ids), (qid, rows)

@@ -173,6 +173,19 @@ def test_frame_base_alias_guard(spark):
     )
     with pytest.raises(Exception, match="frame_base"):
         video_near_dup_pairs(bad).collect()
+    # negative frame_idx (ADVICE r10): Spark's % and DIV follow the
+    # dividend's sign, so -1 would silently alias into doc-1's range
+    neg_frame = spark.createDataFrame(
+        [(1, -1, 5)], "doc_id long, frame_idx int, dhash long"
+    )
+    with pytest.raises(Exception, match="frame_base"):
+        video_near_dup_pairs(neg_frame).collect()
+    # negative doc id: same decomposition hazard
+    neg_doc = spark.createDataFrame(
+        [(-1, 2, 5)], "doc_id long, frame_idx int, dhash long"
+    )
+    with pytest.raises(Exception, match="frame_base"):
+        video_near_dup_pairs(neg_doc).collect()
 
 
 def test_extract_media_features_video_kind(spark):

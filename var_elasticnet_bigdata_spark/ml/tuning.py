@@ -133,7 +133,19 @@ def rolling_origin_tune(
     small driver-coordinated jobs amplifying session noise, VERDICT
     r9 item 1). Pass ``init_window=None`` with it; the join path
     computes the same anchor with a scalar agg on the embedded
-    frame."""
+    frame.
+
+    COMPLETE-SERIES ASSUMPTION (ADVICE r10): ``len(embedded) + lag``
+    equals ``wide_df.count()`` only when every series is non-null at
+    every interior date — an interior null also drops its
+    lag-embedded rows, so on gappy series this anchor shifts relative
+    to the old count()-based one (fewer embedded rows ⇒ smaller
+    ``n_wide`` ⇒ earlier anchor). That is the intended semantics
+    here: the reference's tune grids run on complete aligned
+    quarterly frames (na.omit happens upstream), and the rolling
+    origin should anchor to ESTIMABLE rows, not raw rows. Callers
+    with possible interior gaps who need the raw-row anchor must pass
+    ``init_window`` explicitly from their own count."""
     from ..operators.lag_embed import lag_col_name, var_z
     from pyspark.sql import functions as F
 

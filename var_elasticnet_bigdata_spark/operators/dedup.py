@@ -1170,13 +1170,18 @@ def video_near_dup_pairs(
 
     Returns ``(id_a, id_b, n_matching_frames)``."""
     comp = frames.select(
-        # assert_true makes a frame index >= frame_base a loud task
-        # failure instead of a silent composite-id alias (doc X frame
-        # 17 colliding with doc X+1 frame 1)
+        # assert_true makes an out-of-range frame index or a negative
+        # doc id a loud task failure instead of a silent composite-id
+        # alias (doc X frame 17 colliding with doc X+1 frame 1;
+        # Spark's % and DIV follow the dividend's sign, so negative
+        # ids would also decompose to the wrong (doc, frame) pair)
         F.when(
             F.assert_true(
-                F.col(frame_col) < F.lit(frame_base),
-                f"frame_idx must be < frame_base={frame_base}",
+                (F.col(frame_col) >= F.lit(0))
+                & (F.col(frame_col) < F.lit(frame_base))
+                & (F.col(id_col) >= F.lit(0)),
+                f"need 0 <= frame_idx < frame_base={frame_base} "
+                f"and {id_col} >= 0",
             ).isNull(),
             (F.col(id_col) * frame_base + F.col(frame_col)).cast("long"),
         ).alias("fid"),

