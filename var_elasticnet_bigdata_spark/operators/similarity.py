@@ -2036,6 +2036,7 @@ def ivfpq_postings_append(
     path: str | None = None,
     fresh: bool = False,
     batch_id: str | None = None,
+    store_vectors: bool = False,
 ) -> bool:
     """INCREMENTAL INDEX MAINTENANCE (r10): encode a NEW batch with
     the PINNED train-once artifacts (coarse centroids + residual PQ
@@ -2069,6 +2070,16 @@ def ivfpq_postings_append(
     Without ``batch_id`` the pre-r11 at-least-once contract applies
     (replays double-append; serving still dedups).
 
+    ``store_vectors=True`` (r11, VERDICT r10 item 2) additionally
+    persists the batch's NORMALIZED original vectors beside the
+    postings — ``{store_name}__vec`` (cell, id, e) bucketed on
+    ``cell`` with the same layout contract — so
+    `ivfpq_postings_refine_search` can exact-re-rank ADC survivors
+    with ONE bucket-pruned lookup instead of a corpus scan. Same
+    replay/crash contract: the ledger no-op skips both sinks, and the
+    refine path's vector fetch dedups (cell, id) to absorb the
+    crash-window double append.
+
     Returns True if the batch was applied, False on a ledger no-op."""
     from ..sources.bucketing import write_bucketed
     from ..sources.compaction import recover_orphaned_compaction
@@ -2080,6 +2091,12 @@ def ivfpq_postings_append(
     exists = spark.catalog.tableExists(t) and not fresh
     if fresh and spark.catalog.tableExists(ledger):
         spark.sql(f"DROP TABLE {ledger}")
+    if fresh and not store_vectors and spark.catalog.tableExists(
+        f"{store_name}__vec"
+    ):
+        # a fresh rebuild without vectors must not leave a stale
+        # sidecar for the refine path to serve from
+        spark.sql(f"DROP TABLE {store_name}__vec")
     if batch_id is not None and not fresh:
         # ledger probe: the committed-batch set is model-sized (one
         # string per applied batch) — a driver-side membership check,
@@ -2129,6 +2146,18 @@ def ivfpq_postings_append(
         path=None if path is None else f"{path}/{t}",
         mode="append" if exists else "overwrite",
     )
+    if store_vectors:
+        vt = f"{store_name}__vec"
+        vec_exists = spark.catalog.tableExists(vt) and not fresh
+        write_bucketed(
+            resid.select("cell", F.col(id_col), F.col("e")),
+            vt,
+            "cell",
+            buckets=buckets,
+            sort_cols="cell",
+            path=None if path is None else f"{path}/{vt}",
+            mode="append" if vec_exists else "overwrite",
+        )
     if batch_id is not None:
         # commit point: ledger row lands only after the sink write
         # succeeded (sink-first ⇒ at-least-once, never loss)
@@ -2214,6 +2243,145 @@ def ivfpq_postings_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("qid", "rank", id_col, "adc")
+    )
+
+
+def ivfpq_postings_refine_search(
+    spark: SparkSession,
+    store_name: str,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    codebook: np.ndarray,
+    m: int = 4,
+    k: int = 16,
+    nprobe: int = 2,
+    topk: int = 3,
+    refine_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_probes: int = 512,
+    round_dp: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ADC→EXACT REFINE serving (r11, VERDICT r10 item 2) — the
+    standard production recall-recovery stage the pure-ADC path
+    lacks: PQ codes lose precision by construction (the
+    `ann_ivfpq_recall` audit measures exactly that loss), so real
+    stores over-fetch by a refine factor r and re-rank the r·k ADC
+    survivors against their ORIGINAL vectors before answering.
+
+    Pipeline: route probes driver-side (shared `_ivfpq_route`) → ADC
+    top-(topk·refine_factor) per query from the probed cells'
+    postings only (the `ivfpq_postings_search` arm: broadcast semi on
+    the cell set, zero store-side Exchange, replay-dup distinct) →
+    fetch ONLY the survivors' true vectors from the ``__vec`` sidecar
+    (`ivfpq_postings_append(store_vectors=True)`): the sidecar is
+    bucketed on ``cell`` and pruned to probed cells by the same
+    broadcast semi, then the survivor-id set (≤ n_q·topk·r rows — a
+    constant at scale) broadcasts INTO it, so the lookup is one
+    bucket-pruned broadcast join — never a corpus scan, and the
+    corpus is never re-encoded. Exact distances are then recomputed
+    over the bounded survivor set with the twin's sequential
+    ascending fold and ``round_dp`` snap, re-ranked (d ASC, id ASC).
+
+    At 100 TB: serving cost stays ∝ probed-cell postings + r·k
+    vector fetches per query; the refine stage adds one broadcast
+    join over bucket-pruned data and a driver-side solve over a
+    probe-bounded frame. Returns
+    ``(qid, rank, id_col, d_exact, adc)`` — rank by TRUE distance,
+    with the surviving candidate's ADC kept for the approximation
+    audit."""
+    from ..plans.guards import guarded_collect
+    from ..sources.bucketing import read_bucketed
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebook, dtype=np.float64)
+    rows = guarded_collect(
+        probes.select(id_col, vec_col),
+        "ivfpq_postings_refine_search's probe set",
+        "a smaller probe frame or batched calls (the probe LUT must "
+        "stay bounded driver-side)",
+        max_rows=max_probes,
+    )
+    pids, Q, probed = _ivfpq_route(
+        rows, C, nprobe, round_dp, id_col, vec_col,
+        "ivfpq_postings_refine_search",
+    )
+    cells = sorted({int(c) for row in probed for c in row})
+    cells_df = spark.createDataFrame([(c,) for c in cells], "cell int")
+    coded = (
+        read_bucketed(spark, f"{store_name}__pq")
+        .join(F.broadcast(cells_df), "cell")
+        .dropDuplicates(["cell", id_col, "codes"])
+    )
+    n_fetch = topk * refine_factor
+    scored = _ivfpq_score(
+        coded, pids, Q, probed, C, cb, m, k, n_fetch, round_dp,
+        exclude_self, id_col,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    survivors = guarded_collect(
+        scored.withColumn("arank", F.row_number().over(w)).filter(
+            F.col("arank") <= n_fetch
+        ),
+        "ivfpq_postings_refine_search's ADC survivor set",
+        "a smaller topk*refine_factor or batched probes (survivors "
+        "are n_q * topk * refine_factor rows by construction)",
+        max_rows=max_probes * n_fetch,
+    )
+    surv_adc = {(int(r["qid"]), int(r[id_col])): float(r["adc"])
+                for r in survivors}
+    surv_ids = sorted({int(r[id_col]) for r in survivors})
+    ids_df = spark.createDataFrame([(i,) for i in surv_ids], f"{id_col} long")
+    # sidecar fetch: bucket-pruned to probed cells, survivor ids
+    # broadcast in; (cell, id) distinct absorbs a crash-window
+    # double-appended vector batch
+    vrows = guarded_collect(
+        read_bucketed(spark, f"{store_name}__vec")
+        .join(F.broadcast(cells_df), "cell")
+        .dropDuplicates(["cell", id_col])
+        .join(F.broadcast(ids_df), id_col),
+        "ivfpq_postings_refine_search's survivor vectors",
+        "a smaller topk*refine_factor (one vector per ADC survivor)",
+        max_rows=max_probes * n_fetch,
+    )
+    evec = {int(r[id_col]): [float(x) for x in r["e"]] for r in vrows}
+    missing = [i for i in surv_ids if i not in evec]
+    if missing:
+        raise ValueError(
+            f"ivfpq_postings_refine_search: {len(missing)} survivor "
+            f"ids missing from {store_name}__vec (e.g. {missing[:3]}) "
+            "— was the store appended with store_vectors=True for "
+            "every batch?"
+        )
+    d = C.shape[1]
+    scale = float(10**round_dp)
+    qvec = {pids[qi]: Q[qi] for qi in range(len(pids))}
+
+    def true_d(qid: int, vid: int) -> float:
+        q, e = qvec[qid], evec[vid]
+        t = None  # sequential ascending fold, the twin's list_reduce
+        for i in range(d):
+            diff = q[i] - e[i]
+            dd = diff * diff
+            t = dd if t is None else t + dd
+        return math.floor(t * scale + 0.5) / scale
+
+    by_q: dict[int, list] = {}
+    for (qid, vid), adc in surv_adc.items():
+        by_q.setdefault(qid, []).append((true_d(qid, vid), vid, adc))
+    out = []
+    for qid in sorted(by_q):
+        ranked = sorted(by_q[qid], key=lambda t: (t[0], t[1]))[:topk]
+        for rk, (dx, vid, adc) in enumerate(ranked, start=1):
+            out.append((qid, rk, vid, dx, adc))
+    return spark.createDataFrame(
+        out,
+        f"qid long, rank int, {id_col} long, d_exact double, adc double",
     )
 
 

@@ -7801,15 +7801,21 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pinned_ivfpq_serve_sql() -> str | None:
-    """Serve-only IVF-PQ twin: the SAME CTE pipeline as
+def _pinned_ivfpq_core_sql(
+    source: str = "embeddings", probe_mod: int = 200
+) -> str | None:
+    """Shared serve-from-pinned-artifacts CTE prefix (through the
+    per-candidate ``adcv`` ADC table): the SAME pipeline as
     `_IVFPQ_CTE`'s serving half, but with the coarse centroids and
     the residual PQ codebook injected as repr-string-cast literal
     VALUES from the pinned artifact JSON (`tools/gen_ivfpq_pinned.py`
     — trained once at sf0.01 by the repo's own deterministic
     pipeline). No Lloyd CTEs, no codebook derivation: both engines
-    serve from identical bit-exact constants, so the hash gate covers
-    the pure serving path the bench isolates."""
+    serve from identical bit-exact constants. ``source`` swaps the
+    corpus CTE (the planted-recall twin reads ``aug``);
+    ``probe_mod`` picks the probe id rule. Tails: the serve/postings
+    twins rank adcv directly; the refine twins re-rank the ADC
+    survivor set by exact distance (r11)."""
     import json
     import os
 
@@ -7835,12 +7841,12 @@ def _pinned_ivfpq_serve_sql() -> str | None:
         f"({j}, {dlist(row)})" for j, row in enumerate(art["codebook"])
     )
     return f"""
-    WITH n AS (
+    n AS (
       SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE /
                sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE))))
                AS e
-      FROM embeddings
+      FROM {source}
     ),
     centr(cell, c) AS (VALUES
         {centr_vals}),
@@ -7880,7 +7886,7 @@ def _pinned_ivfpq_serve_sql() -> str | None:
                                   ORDER BY dd ASC, code ASC) AS rn
         FROM pdist) WHERE rn = 1
     ),
-    qp AS (SELECT vec_id AS qid, e FROM n WHERE vec_id % 200 = 0),
+    qp AS (SELECT vec_id AS qid, e FROM n WHERE vec_id % {probe_mod} = 0),
     qcell AS (
       SELECT q.qid, cr.cell,
              ROUND(list_reduce(list_transform(generate_series(1, 64),
@@ -7916,7 +7922,18 @@ def _pinned_ivfpq_serve_sql() -> str | None:
              ROUND(list_reduce(list(t ORDER BY s), (a, b) -> a + b), 6)
                AS adc
       FROM term GROUP BY 1, 2
-    )
+    )"""
+
+
+def _pinned_ivfpq_serve_sql() -> str | None:
+    """Serve twin: pinned core + pure-ADC rank tail (rank <= topk=3)."""
+    core = _pinned_ivfpq_core_sql()
+    if core is None:
+        return None
+    return (
+        "\n    WITH "
+        + core
+        + """
     SELECT qid, rank, vec_id, adc FROM (
       SELECT qid, vec_id, adc,
              CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -7924,6 +7941,48 @@ def _pinned_ivfpq_serve_sql() -> str | None:
                AS rank
       FROM adcv) WHERE rank <= 3
     """
+    )
+
+
+def _pinned_ivfpq_refine_sql() -> str | None:
+    """Refine twin (r11, VERDICT r10 item 2): pinned core through
+    ``adcv``, then the EXACT refine replay — ADC top-(topk·r)=9
+    survivors per query, each survivor's TRUE squared-L2 against the
+    normalized corpus vector (the sequential list_reduce fold, 6-dp
+    snap), re-ranked (d_exact ASC, id ASC), top-3 served. The hash
+    gate therefore pins the over-fetch bound, the exact re-rank
+    arithmetic, AND the surviving candidates' ADC values."""
+    core = _pinned_ivfpq_core_sql()
+    if core is None:
+        return None
+    return (
+        "\n    WITH "
+        + core
+        + """,
+    surv AS (
+      SELECT qid, vec_id, adc FROM (
+        SELECT qid, vec_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM adcv) WHERE rn <= 9
+    ),
+    rex AS (
+      SELECT s.qid, s.vec_id, s.adc,
+             ROUND(list_reduce(list_transform(generate_series(1, 64),
+               i -> (q.e[i] - n2.e[i]) * (q.e[i] - n2.e[i])),
+               (a, b) -> a + b), 6) AS d_exact
+      FROM surv s
+      JOIN qp q ON q.qid = s.qid
+      JOIN n n2 ON n2.vec_id = s.vec_id
+    )
+    SELECT qid, rank, vec_id, d_exact, adc FROM (
+      SELECT qid, vec_id, d_exact, adc,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY d_exact ASC, vec_id ASC)
+                  AS INT) AS rank
+      FROM rex) WHERE rank <= 3
+    """
+    )
 
 
 @query("ann_ivfpq_serve", None)  # pinned-artifact oracle set below
@@ -8016,6 +8075,67 @@ def ann_ivfpq_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _ivfpq_serve_pin is not None:
     ORACLE["ann_ivfpq_postings"] = _ivfpq_serve_pin
+
+
+def _load_ivfpq_artifacts():
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+
+    path = _os.path.join(
+        _os.path.dirname(__file__), "pinned", "ivfpq_artifacts.json"
+    )
+    with open(path) as f:
+        art = _json.load(f)
+    return (
+        _np.array(art["centroids"], dtype=_np.float64),
+        _np.array(art["codebook"], dtype=_np.float64),
+    )
+
+
+@query("ann_ivfpq_refine", None)  # pinned-artifact oracle set below
+def ann_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC→EXACT REFINE serving (r11, VERDICT r10 item 2): the
+    production recall-recovery stage on top of the postings store —
+    append batches persist BOTH the PQ postings and the normalized
+    original vectors (``__vec`` sidecar, bucketed on cell beside the
+    postings), then serving over-fetches ADC top-(3·3)=9 per probe
+    from the probed cells' postings and exact-re-ranks the survivors
+    against their true vectors via ONE bucket-pruned broadcast join
+    (`similarity.ivfpq_postings_refine_search` — the corpus is never
+    re-scanned or re-encoded; refine cost ∝ r·k per probe, a
+    constant at 100 TB). The twin replays the pinned-artifact ADC
+    serve through the survivor cut AND the sequential-fold exact
+    re-rank, so the hash pins the over-fetch bound, the true-distance
+    arithmetic, and the surviving ADC values together."""
+    from .operators.similarity import (
+        ivfpq_postings_append,
+        ivfpq_postings_refine_search,
+    )
+
+    C, cb = _load_ivfpq_artifacts()
+    store = "q_ann_pq_refine"
+    spath = _session_store_dir("spark_graft_pqr_store_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_half = 250
+    for i, pred in enumerate(
+        (F.col("vec_id") < n_half, F.col("vec_id") >= n_half)
+    ):
+        ivfpq_postings_append(
+            emb.filter(pred), store, C, cb, m=4, k=16,
+            buckets=8, path=spath, fresh=(i == 0), store_vectors=True,
+        )
+    return ivfpq_postings_refine_search(
+        spark, store, emb.filter(F.col("vec_id") % 200 == 0),
+        C, cb, m=4, k=16, nprobe=2, topk=3, refine_factor=3,
+    )
+
+
+_ivfpq_refine_pin = _pinned_ivfpq_refine_sql()
+if _ivfpq_refine_pin is not None:
+    ORACLE["ann_ivfpq_refine"] = _ivfpq_refine_pin
+
 
 
 # planted near-neighbor families (VERDICT r7 item 2): the synthetic
@@ -8133,6 +8253,111 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _planted_embeddings(spark, sf_dir),
         nlist=16, m=4, k=16, nprobe=2, probe_mod=100,
     )
+
+
+@query("ann_ivfpq_refine_recall", None)  # planted oracle set below
+def ann_ivfpq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL LIFT of the refine stage (r11, VERDICT r10 item 2): on
+    the planted-companion corpus (`_planted_embeddings` — every probe
+    has exactly one true nearest neighbor at qid+7777777, the
+    alternating tiny/large-δ schedule of `ann_ivfpq_recall`), serve
+    each probe BOTH ways from the same postings+vectors store:
+    pure-ADC top-1 vs ADC top-9 → exact re-rank top-1. Returns one
+    row per probe with both winners and both hit flags, so the hash
+    gate pins the per-probe lift itself: a tiny-δ companion the
+    16-bit PQ code cannot separate at rank 1 IS separated by the
+    exact re-rank (hit_refined ≥ hit_adc row-wise wherever routing
+    reached the companion), while a large-δ routing miss stays
+    missed — refine recovers quantization loss, not routing loss.
+    The aggregate lift is additionally pinned in
+    tests/test_ivfpq_refine.py."""
+    from .operators.similarity import (
+        ivfpq_postings_append,
+        ivfpq_postings_refine_search,
+        ivfpq_postings_search,
+    )
+
+    C, cb = _load_ivfpq_artifacts()
+    store = "q_ann_pq_refine_recall"
+    spath = _session_store_dir("spark_graft_pqrr_store_")
+    aug = _planted_embeddings(spark, sf_dir)
+    ivfpq_postings_append(
+        aug, store, C, cb, m=4, k=16, buckets=8, path=spath,
+        fresh=True, store_vectors=True,
+    )
+    probes = aug.filter((F.col("vec_id") % 100) == 0)
+    a1 = ivfpq_postings_search(
+        spark, store, probes, C, cb, m=4, k=16, nprobe=2, topk=1,
+        exclude_self=True,
+    ).select("qid", F.col("vec_id").alias("adc_id"))
+    r1 = ivfpq_postings_refine_search(
+        spark, store, probes, C, cb, m=4, k=16, nprobe=2, topk=1,
+        refine_factor=9, exclude_self=True,
+    ).select("qid", F.col("vec_id").alias("refined_id"))
+    return (
+        a1.join(r1, "qid")
+        .select(
+            "qid",
+            "adc_id",
+            "refined_id",
+            (F.col("adc_id") == F.col("qid") + F.lit(7777777))
+            .cast("int")
+            .alias("hit_adc"),
+            (F.col("refined_id") == F.col("qid") + F.lit(7777777))
+            .cast("int")
+            .alias("hit_refined"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _pinned_ivfpq_refine_recall_sql() -> str | None:
+    core = _pinned_ivfpq_core_sql(source="aug", probe_mod=100)
+    if core is None:
+        return None
+    return (
+        _PLANT_DUCK
+        + core
+        + """,
+    adcx AS (SELECT qid, vec_id, adc FROM adcv WHERE vec_id <> qid),
+    a1 AS (
+      SELECT qid, vec_id AS adc_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM adcx) WHERE rn = 1),
+    surv AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM adcx) WHERE rn <= 9),
+    rex AS (
+      SELECT s.qid, s.vec_id,
+             ROUND(list_reduce(list_transform(generate_series(1, 64),
+               i -> (q.e[i] - n2.e[i]) * (q.e[i] - n2.e[i])),
+               (a, b) -> a + b), 6) AS d
+      FROM surv s
+      JOIN qp q ON q.qid = s.qid
+      JOIN n n2 ON n2.vec_id = s.vec_id),
+    r1 AS (
+      SELECT qid, vec_id AS refined_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d ASC, vec_id ASC) AS rn
+        FROM rex) WHERE rn = 1)
+    SELECT a.qid, a.adc_id, r.refined_id,
+           CAST(a.adc_id = a.qid + 7777777 AS INT) AS hit_adc,
+           CAST(r.refined_id = r.qid + 7777777 AS INT) AS hit_refined
+    FROM a1 a JOIN r1 r ON r.qid = a.qid
+    ORDER BY a.qid
+    """
+    )
+
+
+_ivfpq_refine_recall_pin = _pinned_ivfpq_refine_recall_sql()
+if _ivfpq_refine_recall_pin is not None:
+    ORACLE["ann_ivfpq_refine_recall"] = _ivfpq_refine_recall_pin
 
 
 # mean-centered Gram + 3 unrolled power-iteration rounds — shared by
