@@ -210,3 +210,62 @@ def test_extract_media_features_video_kind(spark):
     assert (w, h) == (9.0, 8.0)
     assert 0.0 < luma < 255.0 and motion > 0.0
     assert out[1]["status"].startswith("undecodable")
+
+
+def test_still_from_video_planted_structure(spark):
+    """Cross-modal plant (r11): every planted still (doc_id % 8 == 0,
+    a pixel-exact extraction of video doc_id's sampled frame 2) pairs
+    with the BASE video at hamming 0 AND the re-containered group
+    member (doc_id + 2, same decoded frames), but NOT the redrawn
+    member (doc_id + 1 redraws exactly frame 2); no un-planted still
+    ever pairs."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        still_from_video_pairs,
+    )
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        STILL_FROM_VID_EVERY,
+        STILL_VID_FRAME,
+        image_dhash,
+        synth_avi_payloads,
+        synth_still_payloads,
+        video_frame_dhash,
+    )
+
+    docs = spark.range(0, 64).selectExpr("id AS doc_id")
+    frames = video_frame_dhash(synth_avi_payloads(docs))
+    stills = image_dhash(synth_still_payloads(docs))
+    rows = still_from_video_pairs(frames, stills).collect()
+    assert rows
+    by_still = {}
+    for r in rows:
+        by_still.setdefault(r["still_id"], []).append(r)
+    for sid, matches in by_still.items():
+        assert sid % STILL_FROM_VID_EVERY == 0, sid
+        vids = {r["video_id"] for r in matches}
+        assert sid in vids, (sid, matches)  # the base video, exact
+        assert sid + 2 in vids, (sid, matches)  # re-containered member
+        assert sid + 1 not in vids, (sid, matches)  # redrawn frame 2
+        for r in matches:
+            assert r["frame_idx"] == STILL_VID_FRAME, r
+            if r["video_id"] == sid:
+                assert r["hamming"] == 0, r
+    # every planted still in range was found
+    planted = {i for i in range(64) if i % STILL_FROM_VID_EVERY == 0}
+    assert set(by_still) == planted
+
+
+def test_still_from_video_negative_id_guard(spark):
+    """Negative still or video ids must fail loudly — the parity +
+    composite decomposition would silently alias them otherwise."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        still_from_video_pairs,
+    )
+
+    frames = spark.createDataFrame(
+        [(0, 2, 5)], "doc_id long, frame_idx int, dhash long"
+    )
+    bad_stills = spark.createDataFrame(
+        [(-3, 5)], "doc_id long, dhash long"
+    )
+    with pytest.raises(Exception, match="doc_id"):
+        still_from_video_pairs(frames, bad_stills).collect()

@@ -1883,6 +1883,17 @@ VID_ALT_FRAME = 2  # the ONE sampled frame the near-dup member redraws
 VID_MIN_MATCH = 2  # doc pair rule: >= this many matching frame pairs
 VID_W, VID_H = 9, 8  # dHash grid, 64 bits per frame
 
+# cross-modal still-from-video plant (r11, VERDICT r10 item 3):
+# stills with doc_id % STILL_FROM_VID_EVERY == 0 are pixel-exact
+# extractions of sampled frame STILL_VID_FRAME of video doc_id (the
+# id is ≡ 0 mod VID_GROUP_OF, i.e. a group BASE video). Frame 2 is
+# deliberately VID_ALT_FRAME: the redrawn group member (j=1) redraws
+# exactly that frame, so the still must match the base (j=0) and the
+# re-containered member (j=2) but NOT the redrawn one — the plant
+# discriminates within the video group, not just across modalities.
+STILL_FROM_VID_EVERY = 8
+STILL_VID_FRAME = 2
+
 
 def _avi_chunk(fourcc: bytes, body: bytes) -> bytes:
     pad = b"\x00" if len(body) % 2 else b""
@@ -2247,6 +2258,94 @@ def duck_video_near_dup_sql(
         FROM fp GROUP BY 1, 2
         HAVING COUNT(DISTINCT (sfa, sfb)) >= {VID_MIN_MATCH}
     """
+
+
+def synth_still_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, payload)`` — the STILL-IMAGE corpus for the
+    cross-modal still-from-video query: one REAL 24-bit BMP per row.
+    Rows with ``doc_id % STILL_FROM_VID_EVERY == 0`` carry the
+    pixel-exact `_vid_luma` grid of video ``doc_id``'s sampled frame
+    ``STILL_VID_FRAME`` (a frame EXTRACTED from the video — the
+    curation case: finding thumbnails/screenshots lifted from video
+    content); every other row is an independent md5-keyed grid
+    (``still:{id}``) unrelated to any video or image family. Same
+    narrow Arrow synth pass + real codec round-trip contract as
+    `synth_gray_bmp_payloads`."""
+    import hashlib
+
+    yy, xx = np.mgrid[0:VID_H, 0:VID_W]
+    idc = id_col
+
+    def still_luma(rid: int) -> np.ndarray:
+        if rid % STILL_FROM_VID_EVERY == 0:
+            return _vid_luma(rid, STILL_VID_FRAME, xx, yy)
+        out = np.empty(xx.shape, dtype=np.uint8)
+        for y in range(xx.shape[0]):
+            for x in range(xx.shape[1]):
+                out[y, x] = int(
+                    hashlib.md5(
+                        f"still:{rid}:{xx[y, x]}:{yy[y, x]}".encode()
+                    ).hexdigest()[:2],
+                    16,
+                )
+        return out
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for rid in pdf[idc]:
+                luma = still_luma(int(rid))
+                payloads.append(
+                    encode_bmp(np.repeat(luma[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame({idc: pdf[idc], "payload": payloads})
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(run, schema)
+
+
+def duck_still_dhash_cte(
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """The still-corpus luminance → dHash CTE chain (``sg``/``sbits``/
+    ``sh``, yielding ``sh({id_col}, dh)``): planted rows replay the
+    `_vid_luma` key of video ``{id_col}``'s frame STILL_VID_FRAME
+    (the id is a group base, so seed = id and no alt redraw), the
+    rest the ``still:{id}`` key."""
+    w, h = VID_W, VID_H
+    nbits = (w - 1) * h
+    top = nbits - 1
+
+    def lum(x_expr: str) -> str:
+        key = (
+            f"CASE WHEN {id_col} % {STILL_FROM_VID_EVERY} = 0 "
+            f"THEN {id_col}::VARCHAR || ':{STILL_VID_FRAME}' "
+            f"ELSE 'still:' || {id_col}::VARCHAR END"
+        )
+        return (
+            f"('0x'||substr(md5({key} || ':' || ({x_expr})::VARCHAR"
+            f" || ':' || y.y::VARCHAR), 1, 2))::INT"
+        )
+
+    return f"""sg AS (SELECT {id_col} FROM {table}),
+        sbits AS (
+          SELECT {id_col}, (y.y * {w - 1} + x.x) AS b,
+                 CASE WHEN {lum("x.x + 1")} > {lum("x.x")} THEN 1 ELSE 0 END
+                   AS bit
+          FROM sg, UNNEST(range(0, {w - 1})) x(x),
+                   UNNEST(range(0, {h})) y(y)),
+        sh AS (
+          SELECT {id_col},
+                 CAST(SUM(CASE WHEN bit = 1 THEN
+                   CASE WHEN b = {top} THEN -9223372036854775807 - 1
+                        ELSE (1::BIGINT << b) END
+                 ELSE 0 END) AS BIGINT) AS dh
+          FROM sbits GROUP BY 1)"""
 
 
 def avi_fps(payload: bytes) -> float:

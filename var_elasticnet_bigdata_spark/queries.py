@@ -2136,6 +2136,88 @@ def _register_video_phash_oracle() -> None:
 _register_video_phash_oracle()
 
 
+@query("dedup_still_from_video", None)  # oracle registered below
+def dedup_still_from_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL still-from-video near-dup (r11, VERDICT r10
+    item 3): find still images that are frames EXTRACTED from videos
+    — the curation case neither single-modality pass can see
+    (thumbnails/screenshots lifted from video content). The still
+    corpus (`multimodal.synth_still_payloads`) plants a pixel-exact
+    extraction of video ``doc_id``'s sampled frame 2 at every
+    ``doc_id % 8 == 0``, real-BMP round-tripped through the image
+    dHash byte path (`multimodal.image_dhash`); the video corpus is
+    the SAME RIFF-AVI synth + stride-sample + per-frame dHash chain
+    as `dedup_video_phash`. Both fingerprint sets then ride ONE
+    Hamming-banded join via the parity-tagged composite-id scheme
+    (`dedup.still_from_video_pairs`: video frames even, stills odd —
+    one (band_idx, band_val) shuffle, ≤64-id gate, mixed-parity
+    filter, composite decomposition). Expected structure per planted
+    still: it pairs with the BASE video (exact frame, hamming 0) and
+    the re-containered group member (same frames, different
+    container) but NOT the redrawn member — frame 2 is exactly the
+    frame that member redraws, so the gate pins cross-modal matching
+    AND within-group discrimination. The twin replays both luminance
+    paths, both hash-bit chains, the union banding, gate, hamming,
+    parity filter, and decomposition."""
+    from .operators.dedup import still_from_video_pairs
+    from .operators.multimodal import (
+        image_dhash,
+        synth_avi_payloads,
+        synth_still_payloads,
+        video_frame_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = video_frame_dhash(synth_avi_payloads(docs))
+    stills = image_dhash(synth_still_payloads(docs))
+    return still_from_video_pairs(frames, stills)
+
+
+def _register_still_from_video_oracle() -> None:
+    from .operators.multimodal import (
+        duck_still_dhash_cte,
+        duck_video_dhash_cte,
+    )
+
+    ORACLE["dedup_still_from_video"] = f"""
+        WITH {duck_video_dhash_cte("documents")},
+        {duck_still_dhash_cte("documents")},
+        cidf AS (
+          SELECT (doc_id * 16 + f) * 2 AS fid, dh FROM hh
+          UNION ALL
+          SELECT doc_id * 2 + 1 AS fid, dh FROM sh),
+        bd AS (
+          SELECT fid, dh, t.b AS band_idx,
+                 (dh >> (t.b * 16)) & 65535 AS band_val
+          FROM cidf, UNNEST(range(0, 4)) t(b)),
+        ok AS (
+          SELECT band_idx, band_val FROM bd GROUP BY 1, 2
+          HAVING COUNT(*) BETWEEN 2 AND 64),
+        cand AS (
+          SELECT DISTINCT a.fid AS fa, c.fid AS fb,
+                 CAST(bit_count(xor(a.dh, c.dh)) AS INT) AS hamming
+          FROM bd a
+          JOIN ok USING (band_idx, band_val)
+          JOIN bd c ON c.band_idx = a.band_idx
+                   AND c.band_val = a.band_val
+                   AND a.fid < c.fid),
+        x AS (SELECT * FROM cand
+              WHERE hamming <= 3 AND (fa % 2) <> (fb % 2)),
+        pairs AS (
+          SELECT CASE WHEN fa % 2 = 0 THEN fa ELSE fb END AS vfid,
+                 CASE WHEN fa % 2 = 1 THEN fa ELSE fb END AS sfid,
+                 hamming
+          FROM x)
+        SELECT (vfid // 2) // 16 AS video_id,
+               CAST((vfid // 2) % 16 AS INT) AS frame_idx,
+               (sfid - 1) // 2 AS still_id, hamming
+        FROM pairs
+    """
+
+
+_register_still_from_video_oracle()
+
+
 @query("dedup_audio_fingerprint", None)  # oracle registered below
 def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual AUDIO near-dup — completes the multimodal dedup
