@@ -1775,6 +1775,7 @@ def bpe_encode_token_counts(
 
 UNI_PIECE_MAX_LEN = 3
 UNI_EM_ROUNDS = 2
+UNI_PRUNE_FRAC = 0.25  # fraction of multi-char pieces dropped per prune
 
 
 def unigram_seed_counts(vocab: DataFrame) -> DataFrame:
@@ -1797,14 +1798,18 @@ def unigram_seed_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _viterbi_segment(w: str, model: dict, total: int, P: int) -> list[str]:
+def _viterbi_segment(
+    w: str, model: dict, total: int, P: int, banned: str | None = None
+) -> list[str]:
     """Viterbi under the unigram model: maximize the PRODUCT of piece
     probabilities p = c/total (plain IEEE division and sequential
     multiplication along the word — the DuckDB twin performs the
     identical operations in the identical order, so scores are
     bit-equal and ties cannot diverge). Tie rule: scanning piece
     length l ascending, strictly-greater wins — shortest last piece
-    on equal score, same CASE order as the twin's fold."""
+    on equal score, same CASE order as the twin's fold. ``banned``
+    (r11, the leave-one-out prune pass) excludes ONE piece from the
+    inventory for this segmentation."""
     n = len(w)
     score: list[float | None] = [None] * (n + 1)
     score[0] = 1.0
@@ -1815,6 +1820,8 @@ def _viterbi_segment(w: str, model: dict, total: int, P: int) -> list[str]:
         for l in range(1, min(P, i) + 1):
             prev = score[i - l]
             if prev is None:
+                continue
+            if banned is not None and w[i - l : i] == banned:
                 continue
             c = model.get(w[i - l : i])
             if not c:
@@ -1832,6 +1839,22 @@ def _viterbi_segment(w: str, model: dict, total: int, P: int) -> list[str]:
         i -= l
     out.reverse()
     return out
+
+
+def _unigram_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The (word, count) frame every unigram-LM stage trains on —
+    corpus pays ONE shuffle here; cached so the EM rounds and the
+    prune pass re-read it for free."""
+    from .dedup import norm_sql_spark
+
+    norm = norm_sql_spark(text_col)
+    vocab = (
+        df.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return swap_cache("text.unigram_vocab", vocab)
 
 
 def unigram_lm_train(
@@ -1855,19 +1878,8 @@ def unigram_lm_train(
     compose (top-N, probability normalization) without an extra
     collect. Reference analogue: none in VAR_ElasticNet (tokenizer
     family is north-star scope, SURVEY §2.10)."""
-    from .dedup import norm_sql_spark
-
     P = piece_max_len
-    norm = norm_sql_spark(text_col)
-    vocab = (
-        df.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
-        .filter(F.length("w") >= 1)
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-    )
-    from ..plans.cachereg import swap_cache
-
-    vocab = swap_cache("text.unigram_vocab", vocab)
+    vocab = _unigram_vocab(df, text_col)
 
     # model r0: the seed counts. Collected (alphabet-bounded, the
     # broadcastable MODEL — same contract as the classifier weights /
@@ -1910,6 +1922,116 @@ def unigram_lm_train(
     return unigram_seed_counts(vocab)
 
 
+def unigram_lm_prune_train(
+    df: DataFrame,
+    rounds: int = UNI_EM_ROUNDS,
+    prune_frac: float = UNI_PRUNE_FRAC,
+    piece_max_len: int = UNI_PIECE_MAX_LEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """SentencePiece-style INVENTORY PRUNING on top of the
+    fixed-inventory EM (r11, VERDICT r10 item 4 — Kudo 2018 §4.2's
+    shrink step): after ``rounds`` EM rounds, score every multi-char
+    piece by its LEAVE-ONE-OUT likelihood loss and drop the bottom
+    ``prune_frac``, then re-run one EM round on the pruned inventory.
+
+    The loss is EXACT, not the usual approximation: removing piece p
+    only changes words whose Viterbi segmentation USES p (for any
+    other word the maximizing segmentation survives the removal
+    untouched), so
+    ``loss(p) = Σ_{w: p∈seg(w)} cnt_w · ln(score(w)/score_-p(w))``
+    needs one banned-piece re-Viterbi per DISTINCT piece in each
+    word's segmentation — Σ_w |seg(w)| extra DP runs, still
+    vocabulary-sided (ONE additional Arrow pass over the cached
+    (word, count) frame; nothing corpus-sized moves). Single-char
+    pieces are never pruned (the coverage backstop invariant), so
+    every banned DP stays total. Losses round at 6 dp before the
+    (loss ASC, piece ASC) cut so the prune set is engine-exact; the
+    twin (`duck_unigram_prune_sql`) unrolls the loss pass as a
+    banned-piece recursive-CTE Viterbi and replays the identical
+    cut + final EM round.
+
+    Returns the post-prune M-step counts ``(piece, c)`` — lazy, like
+    `unigram_lm_train`."""
+    import math
+
+    P = piece_max_len
+    final = unigram_lm_train(
+        df, rounds=rounds, piece_max_len=P, text_col=text_col
+    )
+    model = {r["piece"]: int(r["c"]) for r in final.collect()}
+    vocab = _unigram_vocab(df, text_col)
+    chars = {
+        r["piece"]
+        for r in unigram_seed_counts(vocab).collect()
+        if len(r["piece"]) == 1
+    }
+    for ch in chars:  # coverage backstop, same rule as between rounds
+        model.setdefault(ch, 1)
+    total = sum(model.values())
+    sc = df.sparkSession.sparkContext
+    bm = sc.broadcast((model, total))
+
+    def loss_pass(batches, _P=P):
+        import math as _math
+
+        import pandas as pd
+
+        mdl, tot = bm.value
+        for pdf in batches:
+            acc: dict[str, float] = {}
+            for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                w, cnt = str(w), int(cnt)
+                seg = _viterbi_segment(w, mdl, tot, _P)
+                s = 1.0
+                for p in seg:  # refold = the DP's own product order
+                    s = s * (mdl[p] / tot)
+                for p in sorted({q for q in seg if len(q) >= 2}):
+                    seg_b = _viterbi_segment(w, mdl, tot, _P, banned=p)
+                    sb = 1.0
+                    for q in seg_b:
+                        sb = sb * (mdl[q] / tot)
+                    acc[p] = acc.get(p, 0.0) + cnt * _math.log(s / sb)
+            yield pd.DataFrame(
+                {"piece": list(acc), "loss": list(acc.values())}
+            )
+
+    losses = {
+        r["piece"]: float(r["loss"])
+        for r in vocab.mapInPandas(loss_pass, "piece string, loss double")
+        .groupBy("piece")
+        .agg(F.sum("loss").alias("loss"))
+        .collect()
+    }
+    multi = [p for p in model if len(p) >= 2]
+    ranked = sorted((round(losses.get(p, 0.0), 6), p) for p in multi)
+    k = int(len(multi) * prune_frac)
+    drop = {p for _, p in ranked[:k]}
+    pruned = {p: c for p, c in model.items() if p not in drop}
+
+    total2 = sum(pruned.values())
+    bm2 = sc.broadcast((pruned, total2))
+
+    def estep(batches, _P=P):
+        import pandas as pd
+
+        mdl, tot = bm2.value
+        for pdf in batches:
+            pieces: dict[str, int] = {}
+            for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                for p in _viterbi_segment(str(w), mdl, tot, _P):
+                    pieces[p] = pieces.get(p, 0) + int(cnt)
+            yield pd.DataFrame(
+                {"piece": list(pieces), "c": list(pieces.values())}
+            )
+
+    return (
+        vocab.mapInPandas(estep, "piece string, c long")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def duck_unigram_lm_sql(
     rounds: int = UNI_EM_ROUNDS,
     piece_max_len: int = UNI_PIECE_MAX_LEN,
@@ -1924,72 +2046,7 @@ def duck_unigram_lm_sql(
     pieces; single-char zero-count backstop between rounds. The
     recursion is vocabulary-sided: |distinct words| rows per step,
     max-word-length steps."""
-    from .dedup import NORM_SQL_DUCK
-
-    P = piece_max_len
-    assert P == 3, "the unrolled twin is written for P=3"
-    parts = [
-        f"""
-    WITH RECURSIVE words(w, cnt) AS (
-      SELECT w, COUNT(*) FROM
-        (SELECT unnest(string_split({NORM_SQL_DUCK}, ' ')) AS w
-         FROM documents)
-      WHERE length(w) >= 1 GROUP BY 1
-    ),
-    m0(piece, c) AS (
-      SELECT piece, SUM(cnt) FROM (
-        SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
-          i -> list_transform(range(1, least({P}, length(w) - i + 1) + 1),
-               l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece,
-               cnt
-        FROM words)
-      GROUP BY 1
-    ),
-    chars(piece) AS (SELECT piece FROM m0 WHERE length(piece) = 1)"""
-    ]
-    for r in range(rounds):
-        m, t, vit, e = f"m{r}", f"t{r}", f"vit{r}", f"e{r}"
-        cand = []
-        for l in (1, 2, 3):
-            start = {1: "v.i + 1", 2: "v.i", 3: "v.i - 1"}[l]
-            cand.append(
-                f"CASE WHEN p{l}.c IS NOT NULL AND len(v.win) >= {l}"
-                f" THEN {{'s': v.win[{l}].s * (p{l}.c / {t}.total),"
-                f" 'seg': list_append(v.win[{l}].seg,"
-                f" substr(v.w, CAST({start} AS INT), {l}))}} END"
-            )
-        cands = "[" + ", ".join(cand) + "]"
-        parts.append(f"""
-    {t} AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM {m}),
-    {vit}(w, cnt, i, win) AS (
-      SELECT w, cnt, 0,
-             [{{'s': CAST(1.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[])}}]
-      FROM words
-      UNION ALL
-      SELECT v.w, v.cnt, v.i + 1,
-        list_prepend(
-          list_reduce(list_filter({cands}, x -> x IS NOT NULL),
-            (a, b) -> CASE WHEN b.s > a.s THEN b ELSE a END),
-          v.win[1:{P - 1}])
-      FROM {vit} v
-      CROSS JOIN {t}
-      LEFT JOIN {m} p1 ON p1.piece = substr(v.w, CAST(v.i + 1 AS INT), 1)
-      LEFT JOIN {m} p2 ON v.i >= 1 AND p2.piece = substr(v.w, CAST(v.i AS INT), 2)
-      LEFT JOIN {m} p3 ON v.i >= 2 AND p3.piece = substr(v.w, CAST(v.i - 1 AS INT), 3)
-      WHERE v.i < length(v.w)
-    ),
-    {e}(piece, c) AS (
-      SELECT piece, SUM(cnt) FROM (
-        SELECT unnest(win[1].seg) AS piece, cnt
-        FROM {vit} WHERE i = length(w))
-      GROUP BY 1
-    ),
-    m{r + 1}(piece, c) AS (
-      SELECT piece, c FROM {e}
-      UNION ALL
-      SELECT ch.piece, 1 FROM chars ch
-      WHERE ch.piece NOT IN (SELECT piece FROM {e})
-    )""")
+    parts = _duck_unigram_prefix_parts(rounds, piece_max_len)
     # the final model m{rounds} is the backstopped last E-step; the
     # REPORT uses the raw final E-counts (what the Spark side returns)
     parts.append(f"""
@@ -1999,3 +2056,173 @@ def duck_unigram_lm_sql(
     FROM e{rounds - 1}, tot_f
     ORDER BY c DESC, piece ASC LIMIT {top_n}""")
     return ",".join(parts[:1] + parts[1:-1]) + "," + parts[-1] if rounds else ""
+
+
+def _duck_viterbi_cte(
+    name: str,
+    src: str,
+    m: str,
+    t: str,
+    P: int,
+    extra_cols: str = "",
+    ban_col: str | None = None,
+) -> str:
+    """One recursive-CTE Viterbi block over ``src(w, cnt, ...)``
+    under model ``m`` with total ``t`` — the shared generator for the
+    EM rounds, the prune pass's segment/loss DPs, and the final
+    pruned E-step. ``extra_cols`` (e.g. ``, banned, s``) are carried
+    through the recursion; ``ban_col`` excludes that column's piece
+    from candidate extensions (the leave-one-out DP)."""
+    cand = []
+    for l in (1, 2, 3):
+        start = {1: "v.i + 1", 2: "v.i", 3: "v.i - 1"}[l]
+        ban = f" AND p{l}.piece <> v.{ban_col}" if ban_col else ""
+        cand.append(
+            f"CASE WHEN p{l}.c IS NOT NULL{ban} AND len(v.win) >= {l}"
+            f" THEN {{'s': v.win[{l}].s * (p{l}.c / {t}.total),"
+            f" 'seg': list_append(v.win[{l}].seg,"
+            f" substr(v.w, CAST({start} AS INT), {l}))}} END"
+        )
+    cands = "[" + ", ".join(cand) + "]"
+    vcols = "".join(f", v.{c.strip()}" for c in extra_cols.split(",") if c.strip())
+    return f"""
+    {name}(w, cnt{extra_cols}, i, win) AS (
+      SELECT w, cnt{extra_cols}, 0,
+             [{{'s': CAST(1.0 AS DOUBLE), 'seg': CAST([] AS VARCHAR[])}}]
+      FROM {src}
+      UNION ALL
+      SELECT v.w, v.cnt{vcols}, v.i + 1,
+        list_prepend(
+          list_reduce(list_filter({cands}, x -> x IS NOT NULL),
+            (a, b) -> CASE WHEN b.s > a.s THEN b ELSE a END),
+          v.win[1:{P - 1}])
+      FROM {name} v
+      CROSS JOIN {t}
+      LEFT JOIN {m} p1 ON p1.piece = substr(v.w, CAST(v.i + 1 AS INT), 1)
+      LEFT JOIN {m} p2 ON v.i >= 1 AND p2.piece = substr(v.w, CAST(v.i AS INT), 2)
+      LEFT JOIN {m} p3 ON v.i >= 2 AND p3.piece = substr(v.w, CAST(v.i - 1 AS INT), 3)
+      WHERE v.i < length(v.w)
+    )"""
+
+
+def _duck_unigram_prefix_parts(rounds: int, piece_max_len: int) -> list[str]:
+    """words/m0/chars + the unrolled EM rounds (m1..m{rounds},
+    e0..e{rounds-1}) — the prefix shared by the fixed-inventory twin
+    and the prune twin."""
+    from .dedup import NORM_SQL_DUCK
+
+    P = piece_max_len
+    assert P == 3, "the unrolled twin is written for P=3"
+    parts = [
+        f"""
+    WITH RECURSIVE words(w, cnt) AS MATERIALIZED (
+      SELECT w, COUNT(*) FROM
+        (SELECT unnest(string_split({NORM_SQL_DUCK}, ' ')) AS w
+         FROM documents)
+      WHERE length(w) >= 1 GROUP BY 1
+    ),
+    m0(piece, c) AS MATERIALIZED (
+      SELECT piece, SUM(cnt) FROM (
+        SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+          i -> list_transform(range(1, least({P}, length(w) - i + 1) + 1),
+               l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece,
+               cnt
+        FROM words)
+      GROUP BY 1
+    ),
+    chars(piece) AS MATERIALIZED (SELECT piece FROM m0 WHERE length(piece) = 1)"""
+    ]
+    for r in range(rounds):
+        m, t, vit, e = f"m{r}", f"t{r}", f"vit{r}", f"e{r}"
+        parts.append(f"""
+    {t} AS MATERIALIZED (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM {m}),"""
+            + _duck_viterbi_cte(vit, "words", m, t, P)
+            + f""",
+    {e}(piece, c) AS MATERIALIZED (
+      SELECT piece, SUM(cnt) FROM (
+        SELECT unnest(win[1].seg) AS piece, cnt
+        FROM {vit} WHERE i = length(w))
+      GROUP BY 1
+    ),
+    m{r + 1}(piece, c) AS MATERIALIZED (
+      SELECT piece, c FROM {e}
+      UNION ALL
+      SELECT ch.piece, 1 FROM chars ch
+      WHERE ch.piece NOT IN (SELECT piece FROM {e})
+    )""")
+    return parts
+
+
+def duck_unigram_prune_sql(
+    rounds: int = UNI_EM_ROUNDS,
+    prune_frac: float = UNI_PRUNE_FRAC,
+    piece_max_len: int = UNI_PIECE_MAX_LEN,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of ``unigram_lm_prune_train``: the EM prefix
+    (shared generator), then the prune round unrolled — a Viterbi
+    under the backstopped final model m{rounds} yielding each word's
+    segmentation AND score, a banned-piece DP per (word, multi-char
+    piece in its segmentation) for the exact leave-one-out score, the
+    6-dp-rounded loss ranking with the (loss ASC, piece ASC)
+    bottom-``prune_frac`` cut, and one more EM round on the pruned
+    inventory feeding the top-N report."""
+    P = piece_max_len
+    R = rounds
+    parts = _duck_unigram_prefix_parts(rounds, P)
+    mR, tR = f"m{R}", f"t{R}"
+    parts.append(
+        f"""
+    {tR} AS MATERIALIZED (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM {mR}),"""
+        + _duck_viterbi_cte("fvit", "words", mR, tR, P)
+        + f""",
+    wseg AS MATERIALIZED (
+      SELECT w, cnt, win[1].s AS s, win[1].seg AS seg
+      FROM fvit WHERE i = length(w)),
+    loo AS MATERIALIZED (
+      SELECT w, cnt, s,
+             unnest(list_distinct(list_filter(seg,
+               p -> length(p) >= 2))) AS banned
+      FROM wseg),"""
+        + _duck_viterbi_cte(
+            "bvit", "loo", mR, tR, P,
+            extra_cols=", banned, s", ban_col="banned",
+        )
+        + f""",
+    bsc AS MATERIALIZED (
+      SELECT banned, cnt, s, win[1].s AS sb
+      FROM bvit WHERE i = length(w)),
+    lossx AS MATERIALIZED (
+      SELECT banned AS piece, SUM(cnt * ln(s / sb)) AS loss
+      FROM bsc GROUP BY 1),
+    losses AS MATERIALIZED (
+      SELECT m.piece, ROUND(COALESCE(l.loss, 0.0), 6) AS loss
+      FROM {mR} m LEFT JOIN lossx l USING (piece)
+      WHERE length(m.piece) >= 2),
+    cut AS (SELECT CAST(FLOOR({prune_frac!r} * COUNT(*)) AS BIGINT) AS k
+            FROM losses),
+    dropped AS MATERIALIZED (
+      SELECT piece FROM (
+        SELECT piece,
+               ROW_NUMBER() OVER (ORDER BY loss ASC, piece ASC) AS rn
+        FROM losses), cut
+      WHERE rn <= cut.k),
+    mp(piece, c) AS MATERIALIZED (
+      SELECT piece, c FROM {mR}
+      WHERE piece NOT IN (SELECT piece FROM dropped)),
+    tp AS MATERIALIZED (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM mp),"""
+        + _duck_viterbi_cte("pvit", "words", "mp", "tp", P)
+        + f""",
+    ep(piece, c) AS MATERIALIZED (
+      SELECT piece, SUM(cnt) FROM (
+        SELECT unnest(win[1].seg) AS piece, cnt
+        FROM pvit WHERE i = length(w))
+      GROUP BY 1
+    ),
+    tot_p AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM ep)
+    SELECT piece, CAST(c AS BIGINT) AS c,
+           ROUND(c / tot_p.total, 9) AS p
+    FROM ep, tot_p
+    ORDER BY c DESC, piece ASC LIMIT {top_n}"""
+    )
+    return ",".join(parts[:1] + parts[1:-1]) + "," + parts[-1]

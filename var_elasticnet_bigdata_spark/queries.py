@@ -8946,6 +8946,51 @@ def _register_unigram_lm_oracle() -> None:
     )
 
 
+@query("text_unigram_lm_pruned", None)  # oracle registered below
+def text_unigram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM INVENTORY PRUNING (r11, VERDICT r10 item 4 — the
+    SentencePiece shrink step `text_unigram_lm_pieces` stops short
+    of): after the two fixed-inventory EM rounds, every multi-char
+    piece is scored by its EXACT leave-one-out likelihood loss
+    (`text.unigram_lm_prune_train`: removing a piece only re-routes
+    words whose Viterbi segmentation used it, so one banned-piece DP
+    per distinct segment piece per word — still vocabulary-sided,
+    one extra Arrow pass over the cached (word, count) frame), the
+    bottom 25% are dropped under the 6-dp-rounded (loss ASC, piece
+    ASC) cut, and one more EM round runs on the pruned inventory.
+    Reports the post-prune top-20 ``(piece, c, p)``. The twin unrolls
+    the WHOLE chain — both EM rounds, the segmentation+score DP, the
+    per-(word, banned-piece) leave-one-out DP as a recursive CTE, the
+    ln-loss aggregation, the ranked cut, and the final pruned EM —
+    so the prune decision itself sits inside the hash gate."""
+    from .operators.text import unigram_lm_prune_train
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = unigram_lm_prune_train(d, rounds=2)
+    tot = counts.agg(F.sum("c").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "c",
+            F.round(F.col("c") / F.col("total"), 9).alias("p"),
+        )
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(20)
+    )
+
+
+def _register_unigram_prune_oracle() -> None:
+    from .operators.text import duck_unigram_prune_sql
+
+    ORACLE["text_unigram_lm_pruned"] = duck_unigram_prune_sql(
+        rounds=2, top_n=20
+    )
+
+
+_register_unigram_prune_oracle()
+
+
 _register_unigram_lm_oracle()
 
 
