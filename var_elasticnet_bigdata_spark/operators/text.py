@@ -984,6 +984,171 @@ def duck_kn_perplexity_sql(
     """
 
 
+def kn_trigram_perplexity(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED TRIGRAM
+    Kneser-Ney model (r11, VERDICT r10 item 6 — the 5-gram-KN
+    direction modern perplexity filters use, one order up from
+    `kn_bigram_perplexity`). Chen & Goodman's continuation-count
+    formulation, all lower orders derived from the TRIGRAM types:
+
+        P₃(w|u,v) = (max(c₃(u,v,w)−D, 0) + D·N1+(uv·)·P₂(w|v)) / c(uv·)
+        P₂(w|v)   = (max(t₂(v,w)−D, 0) + D·N1+(v·)·P₁(w)) / t(v·)
+        P₁(w)     = t₁(w) / T
+
+    with t₂(v,w) = N1+(·vw) (distinct left contexts of the bigram —
+    the continuation count, NOT the raw bigram count: the "San
+    Francisco" fix applied at the middle order), t(v·) = Σ_w t₂,
+    N1+(v·) = |{w : t₂(v,w)>0}|, t₁(w) = |{v : t₂(v,w)>0}|, and
+    T = |t₂ types|. Trained on the corpus being scored, so every
+    scored position has c₃ ≥ 1 and strictly positive probability;
+    docs with fewer than three tokens have no scored positions and
+    are omitted.
+
+    Scale shape: the `kn_bigram_perplexity` aggregate-first pattern
+    one order up — the corpus pays ONE (u,v,w) shuffle into the
+    trigram TYPES frame; every other statistic (context sums, the
+    continuation table, its margins, T) is a groupBy over types or
+    over the continuation table (model-sized, Heaps-sublinear);
+    the token stream then joins the finished model once on
+    (u,v,tok). No corpus-sized COUNT(DISTINCT) window anywhere.
+
+    Float discipline: fixed parenthesization of the two-level
+    interpolation from integer counts on both engines; per-doc
+    AVG(LN p) engine-order accumulation absorbed by the 6-dp round.
+    Returns ``(id_col, n_trigrams, perplexity)``."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    from .dedup import norm_sql_spark
+
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    toks = swap_cache(
+        "text.kn_tokens",
+        df.withColumn("__w", F.expr(words)).select(
+            F.col(id_col),
+            F.posexplode(F.expr("transform(__w, w -> w)")).alias("pos", "tok"),
+        ),
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    tri_stream = swap_cache(
+        "text.kn3_stream",
+        toks.withColumn("v", F.lag("tok", 1).over(w_doc))
+        .withColumn("u", F.lag("tok", 2).over(w_doc))
+        .filter(F.col("u").isNotNull())
+        .select(id_col, "u", "v", "tok"),
+    )
+    tri = swap_cache(
+        "text.kn3_types",
+        tri_stream.groupBy("u", "v", "tok").agg(
+            F.count(F.lit(1)).alias("c3")
+        ),
+    )
+    t2 = swap_cache(
+        "text.kn3_cont",
+        tri.groupBy("v", "tok").agg(F.count(F.lit(1)).alias("t2")),
+    )
+    T = t2.count()
+    if T == 0:
+        raise ValueError(
+            "kn_trigram_perplexity: no trigrams in the corpus (every "
+            "doc has < 3 tokens) — the continuation table is undefined"
+        )
+    ctx3 = tri.groupBy("u", "v").agg(
+        F.sum("c3").alias("cctx"), F.count(F.lit(1)).alias("n1f3")
+    )
+    tv = t2.groupBy("v").agg(
+        F.sum("t2").alias("tv"), F.count(F.lit(1)).alias("nfol")
+    )
+    t1 = t2.groupBy("tok").agg(F.count(F.lit(1)).alias("t1"))
+    D = float(discount)
+    p1 = F.col("t1") / F.lit(float(T))
+    p2 = (
+        F.greatest(F.col("t2") - F.lit(D), F.lit(0.0))
+        + F.lit(D) * F.col("nfol") * p1
+    ) / F.col("tv")
+    p3 = (
+        F.greatest(F.col("c3") - F.lit(D), F.lit(0.0))
+        + F.lit(D) * F.col("n1f3") * p2
+    ) / F.col("cctx")
+    model = (
+        tri.join(ctx3, ["u", "v"])
+        .join(t2, ["v", "tok"])
+        .join(tv, "v")
+        .join(t1, "tok")
+        .select("u", "v", "tok", p3.alias("__p"))
+    )
+    return (
+        tri_stream.join(model, ["u", "v", "tok"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.exp(-F.avg(F.log("__p"))), 6).alias("perplexity"),
+        )
+    )
+
+
+def duck_kn3_perplexity_sql(
+    discount: float = 0.75, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB twin of ``kn_trigram_perplexity`` — same trigram-types
+    model build, same continuation-count lower orders, same fixed
+    parenthesization, same 6-dp round."""
+    from .dedup import NORM_SQL_DUCK
+
+    D = float(discount)
+    return f"""
+        WITH wl AS (
+          SELECT {id_col},
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                             x -> x <> '') AS l
+          FROM {table}),
+        toks AS (
+          SELECT {id_col}, CAST(p.pos AS INT) AS pos, l[p.pos] AS tok
+          FROM wl, UNNEST(range(1, len(l) + 1)) AS p(pos)),
+        tstream AS (
+          SELECT {id_col}, u, v, tok FROM (
+            SELECT {id_col}, tok,
+                   LAG(tok, 1) OVER (PARTITION BY {id_col} ORDER BY pos)
+                     AS v,
+                   LAG(tok, 2) OVER (PARTITION BY {id_col} ORDER BY pos)
+                     AS u
+            FROM toks) WHERE u IS NOT NULL),
+        tri AS (SELECT u, v, tok, COUNT(*) AS c3
+                FROM tstream GROUP BY 1, 2, 3),
+        t2 AS (SELECT v, tok, COUNT(*) AS t2 FROM tri GROUP BY 1, 2),
+        tt AS (SELECT COUNT(*) AS t FROM t2),
+        ctx3 AS (SELECT u, v, SUM(c3) AS cctx, COUNT(*) AS n1f3
+                 FROM tri GROUP BY 1, 2),
+        tv AS (SELECT v, SUM(t2) AS tv, COUNT(*) AS nfol
+               FROM t2 GROUP BY 1),
+        t1 AS (SELECT tok, COUNT(*) AS t1 FROM t2 GROUP BY 1),
+        model AS (
+          SELECT tri.u, tri.v, tri.tok,
+                 (GREATEST(tri.c3 - {D!r}, 0.0)
+                  + {D!r} * ctx3.n1f3
+                    * ((GREATEST(t2.t2 - {D!r}, 0.0)
+                        + {D!r} * tv.nfol
+                          * (t1.t1 / CAST(tt.t AS DOUBLE)))
+                       / tv.tv))
+                 / ctx3.cctx AS p
+          FROM tri
+          JOIN ctx3 ON ctx3.u = tri.u AND ctx3.v = tri.v
+          JOIN t2 ON t2.v = tri.v AND t2.tok = tri.tok
+          JOIN tv ON tv.v = tri.v
+          JOIN t1 ON t1.tok = tri.tok
+          CROSS JOIN tt)
+        SELECT s.{id_col}, COUNT(*) AS n_trigrams,
+               ROUND(EXP(-AVG(LN(m.p))), 6) AS perplexity
+        FROM tstream s
+        JOIN model m ON m.u = s.u AND m.v = s.v AND m.tok = s.tok
+        GROUP BY 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # vocabulary coverage — top-V vocab + per-document OOV rate
 # ---------------------------------------------------------------------------

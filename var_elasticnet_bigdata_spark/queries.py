@@ -464,6 +464,32 @@ def _register_kn_perplexity_oracle() -> None:
 _register_kn_perplexity_oracle()
 
 
+@query("text_kn3_perplexity", None)  # oracle registered below
+def text_kn3_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under INTERPOLATED TRIGRAM Kneser-Ney
+    (`text.kn_trigram_perplexity`, r11 VERDICT r10 item 6): the
+    aggregate-first KN shape one order up — corpus pays ONE (u,v,w)
+    shuffle into the trigram TYPES frame, all lower-order statistics
+    are continuation counts derived from it (t2 = N1+(.vw), its
+    margins, T), and the token stream joins the finished model once;
+    no corpus-sized COUNT(DISTINCT) window anywhere. The twin replays
+    the full two-level interpolation with identical parenthesization;
+    a hand-derived micro-corpus pin lives in tests/test_kn3.py."""
+    from .operators.text import kn_trigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_trigram_perplexity(docs, discount=0.75)
+
+
+def _register_kn3_perplexity_oracle() -> None:
+    from .operators.text import duck_kn3_perplexity_sql
+
+    ORACLE["text_kn3_perplexity"] = duck_kn3_perplexity_sql(discount=0.75)
+
+
+_register_kn3_perplexity_oracle()
+
+
 @query("text_classifier_train", None)  # oracle registered below
 def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED classifier training (`text.train_quality_classifier`)
