@@ -14,8 +14,24 @@ For each flagged query the verdict is:
                  tree, regressed.
   - REGRESSION — clean median still outside the gate: real; fix or
                  re-pin with rationale.
-The exit code is the number of REGRESSION rows, so CI can gate on
-"every flag either noise-dispositioned or acknowledged".
+  - SESSION_DEGRADED — (r11, VERDICT r10 item 5) the SENTINEL check
+                 failed: before any flag is adjudicated, three
+                 pin-stable IO-light sentinel queries re-time in the
+                 same clean session; if their MEDIAN clean/pin ratio
+                 exceeds the sentinel band the host itself is slow
+                 (thermal, co-tenant, IO contention) and NO verdict
+                 this session is trustworthy — every row gets
+                 SESSION_DEGRADED and the tool exits nonzero without
+                 emitting a single REGRESSION/NOISE claim. This makes
+                 the r10 failure mode (committed REGRESSION verdicts
+                 overridden in prose because the evening host was
+                 degraded) machine-checkable: the artifact can no
+                 longer disagree with the shipped disposition without
+                 a machine-readable reason.
+
+The exit code is the number of REGRESSION rows (or the flag count on
+a degraded session), so CI can gate on "every flag either
+noise-dispositioned or acknowledged".
 
 The re-time runs in THIS process (one Spark session for all flagged
 queries) — clean by construction: no preceding 147-query session
@@ -34,6 +50,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RATIO = 1.3
 FLOOR_SEC = 0.5
+
+# Pin-stable, IO-light sentinels spanning three execution shapes
+# (broadcast join, text aggregation, Arrow/Gram CPU pass). The
+# session is DEGRADED when the median clean/pin ratio across them
+# exceeds SENTINEL_BAND — deliberately tighter than the 1.3x flag
+# gate: a host that can't hold known-stable sub-second queries
+# within 25% of pin can't adjudicate anything.
+SENTINELS = ["j1_align_join", "text_heavy_hitters", "ann_pca_power"]
+SENTINEL_BAND = 1.25
 
 
 def flagged_queries(bench_path: str) -> list[tuple[str, float, float]]:
@@ -114,17 +139,54 @@ def main() -> int:
         return 0
     print(
         f"{len(flags)} gate flag(s) in {bench_path}; re-timing clean "
-        f"({3}-run medians)..."
+        f"({3}-run medians, sentinels first)..."
     )
-    clean = retime([q for q, _, _ in flags])
+    base = json.load(open(os.path.join(REPO, "bench_baseline.json")))[
+        "queries"
+    ]
+    flag_names = [q for q, _, _ in flags]
+    names = SENTINELS + [q for q in flag_names if q not in SENTINELS]
+    clean = retime(names)
+
+    # sentinel gate BEFORE any adjudication (r11, VERDICT r10 item 5)
+    sent_ratios = sorted(
+        clean[s]["median"] / base[s] for s in SENTINELS if s in base
+    )
+    sent_median = sent_ratios[len(sent_ratios) // 2]
+    sentinel_report = {
+        s: {
+            "pin": base.get(s),
+            "clean_median": clean[s]["median"],
+            "ratio": round(clean[s]["median"] / base[s], 2)
+            if s in base
+            else None,
+        }
+        for s in SENTINELS
+    }
+    degraded = sent_median > SENTINEL_BAND
+    for s in SENTINELS:
+        r = sentinel_report[s]
+        print(
+            f"sentinel   {s}: pin {r['pin']:.2f}s, clean "
+            f"{r['clean_median']:.2f}s ({r['ratio']:.2f}x)"
+        )
+    print(
+        f"sentinel median ratio {sent_median:.2f}x "
+        f"(band {SENTINEL_BAND}x) -> "
+        + ("SESSION DEGRADED" if degraded else "session healthy")
+    )
+
     rows = []
     n_real = 0
     for q, b, t in flags:
         med = clean[q]["median"]
         lo, hi = clean[q]["spread"]
-        ok = med <= max(b * RATIO, b + FLOOR_SEC)
-        verdict = "NOISE" if ok else "REGRESSION"
-        n_real += 0 if ok else 1
+        if degraded:
+            verdict = "SESSION_DEGRADED"
+        else:
+            ok = med <= max(b * RATIO, b + FLOOR_SEC)
+            verdict = "NOISE" if ok else "REGRESSION"
+            n_real += 0 if ok else 1
         rows.append(
             {
                 "query": q,
@@ -138,17 +200,33 @@ def main() -> int:
             }
         )
         print(
-            f"{verdict:10s} {q}: pin {b:.2f}s, session {t:.2f}s "
+            f"{verdict:16s} {q}: pin {b:.2f}s, session {t:.2f}s "
             f"({t / b:.2f}x), clean median {med:.2f}s ({med / b:.2f}x, "
             f"spread {lo:.2f}-{hi:.2f})"
         )
-    print(f"{n_real} real regression(s), {len(flags) - n_real} noise")
+    if degraded:
+        print(
+            f"{len(flags)} flag(s) NOT adjudicated — degraded session; "
+            "re-run on a quiet host"
+        )
+    else:
+        print(f"{n_real} real regression(s), {len(flags) - n_real} noise")
     if json_out:
         with open(json_out, "w") as f:
-            json.dump({"bench": bench_path, "rows": rows}, f, indent=1)
+            json.dump(
+                {
+                    "bench": bench_path,
+                    "sentinels": sentinel_report,
+                    "sentinel_median_ratio": round(sent_median, 3),
+                    "session_degraded": degraded,
+                    "rows": rows,
+                },
+                f,
+                indent=1,
+            )
             f.write("\n")
         print(f"disposition written to {json_out}")
-    return n_real
+    return len(flags) if degraded else n_real
 
 
 if __name__ == "__main__":
