@@ -7,6 +7,17 @@ adjudicated by machinery, not prose.
 Usage:
     python tools/bench_triage.py [bench.json]   # default bench_full.json
     python tools/bench_triage.py --json out.json bench_full.json
+    python tools/bench_triage.py --ab <git-ref> bench_full.json
+
+``--ab <git-ref>`` (r11): every flag that survives the clean re-time
+as REGRESSION is re-timed AGAIN on a worktree of ``git-ref`` (the
+same retime.py protocol, subprocess session). If the old tree's
+median is at least ~as slow (>= 90% of the new clean median), the
+code cannot be the cause — verdict becomes HOST_DRIFT with both
+medians in the artifact, and the row does not count toward the exit
+code. This closes the last prose gap: "byte-identical old code is
+just as slow today" is now a machine-emitted verdict, not a
+SCALING.md narrative.
 
 For each flagged query the verdict is:
   - NOISE      — clean median back inside the gate (ratio ≤ 1.3× or
@@ -125,6 +136,33 @@ def retime(names: list[str], runs: int = 3) -> dict[str, dict]:
     return out
 
 
+def ab_retime(ref: str, names: list[str]) -> dict[str, float]:
+    """Re-time ``names`` on a worktree of ``ref`` (subprocess retime.py
+    — its own clean Spark session, same warmup protocol). Returns
+    {query: median_sec}."""
+    import subprocess
+    import tempfile
+
+    wt = os.path.join(tempfile.gettempdir(), f"bench_ab_{ref[:12]}")
+    if not os.path.isdir(wt):
+        subprocess.run(
+            ["git", "worktree", "add", wt, ref],
+            cwd=REPO, check=True, capture_output=True,
+        )
+    out = subprocess.run(
+        [sys.executable, os.path.join(wt, "tools", "retime.py"), *names],
+        cwd=wt, capture_output=True, text=True, timeout=900,
+    )
+    for line in reversed(out.stdout.splitlines()):
+        if '"medians"' in line:
+            start = line.index("{")
+            return json.loads(line[start:])["medians"]
+    raise RuntimeError(
+        f"ab_retime: no medians line from {ref} retime; stderr tail: "
+        + out.stderr[-500:]
+    )
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_out = None
@@ -132,6 +170,11 @@ def main() -> int:
         json_out = sys.argv[sys.argv.index("--json") + 1]
         if json_out in args:
             args.remove(json_out)
+    ab_ref = None
+    if "--ab" in sys.argv:
+        ab_ref = sys.argv[sys.argv.index("--ab") + 1]
+        if ab_ref in args:
+            args.remove(ab_ref)
     bench_path = args[0] if args else os.path.join(REPO, "bench_full.json")
     flags = flagged_queries(bench_path)
     if not flags:
@@ -204,13 +247,37 @@ def main() -> int:
             f"({t / b:.2f}x), clean median {med:.2f}s ({med / b:.2f}x, "
             f"spread {lo:.2f}-{hi:.2f})"
         )
+    # --ab arm: a surviving REGRESSION on code that is just as slow
+    # at the reference tree is host drift, not a code regression
+    if ab_ref is not None and not degraded:
+        suspects = [r for r in rows if r["verdict"] == "REGRESSION"]
+        if suspects:
+            print(f"A/B re-time of {len(suspects)} suspect(s) at {ab_ref}...")
+            old = ab_retime(ab_ref, [r["query"] for r in suspects])
+            for r in suspects:
+                r["ab_ref"] = ab_ref
+                r["ab_median"] = old[r["query"]]
+                if old[r["query"]] >= r["clean_median"] * 0.9:
+                    r["verdict"] = "HOST_DRIFT"
+                    n_real -= 1
+                print(
+                    f"{r['verdict']:16s} {r['query']}: {ab_ref} median "
+                    f"{old[r['query']]:.2f}s vs HEAD clean "
+                    f"{r['clean_median']:.2f}s"
+                )
     if degraded:
         print(
             f"{len(flags)} flag(s) NOT adjudicated — degraded session; "
             "re-run on a quiet host"
         )
     else:
-        print(f"{n_real} real regression(s), {len(flags) - n_real} noise")
+        from collections import Counter
+
+        counts = Counter(r["verdict"] for r in rows)
+        print(
+            f"{n_real} real regression(s); "
+            + ", ".join(f"{v} {k}" for k, v in sorted(counts.items()))
+        )
     if json_out:
         with open(json_out, "w") as f:
             json.dump(
