@@ -282,3 +282,95 @@ def test_crash_window_replay_serves_exactly_once(
         ids = [v for _, v in rows]
         assert ranks == list(range(1, len(rows) + 1)), (qid, rows)
         assert len(set(ids)) == len(ids), (qid, rows)
+
+
+def test_stream_postings_append_exactly_once(
+    spark, tmp_path, clean_store, artifacts
+):
+    """The streaming ingest loop (streaming/ann.py): two micro-batch
+    epochs append postings+vectors; serving equals the batch-built
+    store. Then the WHOLE stream replays from a wiped checkpoint —
+    foreachBatch re-offers epochs 0 and 1 under the same ids, the
+    epoch-keyed ledger no-ops both, and the postings files are
+    byte-identical: exactly-once end to end."""
+    import time as _time
+
+    from var_elasticnet_bigdata_spark.operators.similarity import (
+        ivfpq_postings_refine_search,
+        ivfpq_postings_search,
+    )
+    from var_elasticnet_bigdata_spark.sources import load_table
+    from var_elasticnet_bigdata_spark.streaming.ann import (
+        stream_postings_append,
+    )
+
+    C, cb = artifacts
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    e.filter("vec_id < 250").coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/f1"
+    )
+    _time.sleep(1.1)
+    e.filter("vec_id >= 250").coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/f2"
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    spark.sql("DROP TABLE IF EXISTS spq__pq")
+    spark.sql("DROP TABLE IF EXISTS spq__pq_ledger")
+    spark.sql("DROP TABLE IF EXISTS spq__vec")
+    try:
+        q = stream_postings_append(
+            stream, "spq", str(tmp_path / "ckpt1"), C, cb, buckets=4,
+            store_path=str(tmp_path / "store"), store_vectors=True,
+        )
+        q.awaitTermination(180)
+        ledger = {
+            r["batch_id"] for r in spark.table("spq__pq_ledger").collect()
+        }
+        assert ledger == {"epoch-0", "epoch-1"}
+        probes = e.filter("vec_id % 200 = 0")
+        served = sorted(
+            tuple(r)
+            for r in ivfpq_postings_search(
+                spark, "spq", probes, C, cb, nprobe=2, topk=3
+            ).collect()
+        )
+        refined = sorted(
+            tuple(r)
+            for r in ivfpq_postings_refine_search(
+                spark, "spq", probes, C, cb, nprobe=2, topk=3
+            ).collect()
+        )
+        files = _postings_files(spark, "spq__pq")
+        assert served and refined and files
+
+        # full replay: fresh checkpoint, same source, same epoch ids
+        q2 = stream_postings_append(
+            (
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            ),
+            "spq", str(tmp_path / "ckpt2"), C, cb, buckets=4,
+            store_path=str(tmp_path / "store"), store_vectors=True,
+        )
+        q2.awaitTermination(180)
+        assert _postings_files(spark, "spq__pq") == files
+        assert {
+            r["batch_id"] for r in spark.table("spq__pq_ledger").collect()
+        } == ledger
+        served2 = sorted(
+            tuple(r)
+            for r in ivfpq_postings_search(
+                spark, "spq", probes, C, cb, nprobe=2, topk=3
+            ).collect()
+        )
+        assert served2 == served
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spq__pq")
+        spark.sql("DROP TABLE IF EXISTS spq__pq_ledger")
+        spark.sql("DROP TABLE IF EXISTS spq__vec")
