@@ -93,3 +93,48 @@ def test_kn3_probabilities_sum_below_one(spark):
     for r in rows:
         assert r["perplexity"] >= 1.0, r
         assert r["n_trigrams"] >= 1
+
+
+def test_kn_ngram_order3_equals_trigram_operator(spark):
+    """The arbitrary-order generalization at order=3 must reproduce
+    the hand-written trigram operator EXACTLY (same rows, same 6-dp
+    perplexities) — on the micro corpus and on real data."""
+    from var_elasticnet_bigdata_spark.operators.text import (
+        kn_ngram_perplexity,
+        kn_trigram_perplexity,
+    )
+    from var_elasticnet_bigdata_spark.sources import load_table
+
+    micro = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d a b"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    for docs in (micro, load_table(spark, SF, "documents").limit(60)):
+        a = sorted(
+            (r["doc_id"], r["n_trigrams"], r["perplexity"])
+            for r in kn_trigram_perplexity(docs, discount=0.75).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["n_ngrams"], r["perplexity"])
+            for r in kn_ngram_perplexity(
+                docs, order=3, discount=0.75
+            ).collect()
+        )
+        assert a == b and a
+
+
+def test_kn5_short_docs_omitted_and_bounds(spark):
+    from var_elasticnet_bigdata_spark.operators.text import (
+        kn_ngram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d")],  # doc 2 has no 5-gram
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in kn_ngram_perplexity(docs, order=5).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_ngrams"] == 3
+    assert out[1]["perplexity"] >= 1.0
+    with pytest.raises(ValueError, match="order"):
+        kn_ngram_perplexity(docs, order=1)

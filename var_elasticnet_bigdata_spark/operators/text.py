@@ -1149,6 +1149,222 @@ def duck_kn3_perplexity_sql(
     """
 
 
+def kn_ngram_perplexity(
+    df: DataFrame,
+    order: int = 5,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under interpolated Kneser-Ney of
+    ARBITRARY order (r11 — the 5-gram-KN form modern data-quality
+    perplexity filters actually run; `kn_trigram_perplexity` is the
+    order=3 special case and the two are pinned equal in
+    tests/test_kn3.py). Chen & Goodman continuation counts all the
+    way down: the top level uses raw n-gram counts; every level
+    n < N uses t_n = the number of distinct left-extensions among
+    the level-(n+1) TYPES (t_N ≡ c_N types), so
+
+        P_n(w|ctx) = (max(cnt_n−D, 0) + D·N1+(ctx·)·P_{n−1}(w|ctx'))
+                     / denom_n,   P_1(w) = t_1(w) / T.
+
+    Scale shape: ONE corpus shuffle into the order-N TYPES frame;
+    each lower level is a groupBy of the level above (strictly
+    shrinking, model-sided); the model is assembled by 2N−1
+    model-sized joins on the types frame and the token stream joins
+    it once on all N token columns. Docs with fewer than ``order``
+    tokens are omitted. Returns ``(id_col, n_ngrams, perplexity)``
+    with the 6-dp round."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if order < 2:
+        raise ValueError(f"order must be >= 2, got {order}")
+    from .dedup import norm_sql_spark
+
+    N = order
+    D = float(discount)
+    gcols = [f"g{i}" for i in range(1, N + 1)]  # g1 oldest .. gN = tok
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    toks = swap_cache(
+        "text.kn_tokens",
+        df.withColumn("__w", F.expr(words)).select(
+            F.col(id_col),
+            F.posexplode(F.expr("transform(__w, w -> w)")).alias("pos", "tok"),
+        ),
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    stream = toks.select(
+        id_col,
+        *[
+            F.lag("tok", N - i).over(w_doc).alias(gcols[i - 1])
+            for i in range(1, N)
+        ],
+        F.col("tok").alias(gcols[-1]),
+    ).filter(F.col(gcols[0]).isNotNull())
+    stream = swap_cache(f"text.kn{N}_stream", stream)
+
+    # level tables: tab[N] = raw types; tab[n] = distinct-left-ext
+    # counts of tab[n+1] (a strictly shrinking groupBy chain)
+    tab: dict[int, DataFrame] = {}
+    tab[N] = swap_cache(
+        f"text.kn{N}_types",
+        stream.groupBy(*gcols).agg(F.count(F.lit(1)).alias(f"cnt{N}")),
+    )
+    for n in range(N - 1, 0, -1):
+        src_cols = gcols[N - n :]  # last n token columns of the level above
+        tab[n] = tab[n + 1].groupBy(*src_cols).agg(
+            F.count(F.lit(1)).alias(f"cnt{n}")
+        )
+        if n > 1:
+            tab[n] = swap_cache(f"text.kn{N}_t{n}", tab[n])
+    T = tab[2].count()  # == sum of t1 == |level-2 types|
+    if T == 0:
+        raise ValueError(
+            f"kn_ngram_perplexity(order={order}): no {order}-grams in "
+            "the corpus (every doc has < order tokens)"
+        )
+
+    model = tab[N]
+    p = None
+    for n in range(1, N + 1):
+        keys = gcols[N - n :]
+        ctx_keys = keys[:-1]
+        if n == 1:
+            model = model.join(
+                tab[1].select(
+                    F.col(gcols[-1]), F.col("cnt1").alias("t1")
+                ),
+                gcols[-1],
+            )
+            p = F.col("t1") / F.lit(float(T))
+            continue
+        if n < N:
+            model = model.join(
+                tab[n].select(
+                    *keys, F.col(f"cnt{n}").alias(f"c_{n}")
+                ),
+                keys,
+            )
+            cnt = F.col(f"c_{n}")
+        else:
+            cnt = F.col(f"cnt{N}")
+        ctx = tab[n].groupBy(*ctx_keys).agg(
+            F.sum(f"cnt{n}").alias(f"denom{n}"),
+            F.count(F.lit(1)).alias(f"nfol{n}"),
+        )
+        model = model.join(ctx, ctx_keys)
+        p = (
+            F.greatest(cnt - F.lit(D), F.lit(0.0))
+            + F.lit(D) * F.col(f"nfol{n}") * p
+        ) / F.col(f"denom{n}")
+    model = model.select(*gcols, p.alias("__p"))
+    return (
+        stream.join(model, gcols)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.round(F.exp(-F.avg(F.log("__p"))), 6).alias("perplexity"),
+        )
+    )
+
+
+def duck_kn_ngram_perplexity_sql(
+    order: int = 5,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``kn_ngram_perplexity`` for any order —
+    programmatic CTE generation mirroring the level chain and the
+    EXACT nested parenthesization of the Spark fold."""
+    from .dedup import NORM_SQL_DUCK
+
+    N = order
+    D = float(discount)
+    g = [f"g{i}" for i in range(1, N + 1)]
+    lags = ",\n                   ".join(
+        f"LAG(tok, {N - i}) OVER (PARTITION BY {id_col} ORDER BY pos)"
+        f" AS {g[i - 1]}"
+        for i in range(1, N)
+    )
+    parts = [
+        f"""
+        WITH wl AS MATERIALIZED (
+          SELECT {id_col},
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '),
+                             x -> x <> '') AS l
+          FROM {table}),
+        toks AS MATERIALIZED (
+          SELECT {id_col}, CAST(p.pos AS INT) AS pos, l[p.pos] AS tok
+          FROM wl, UNNEST(range(1, len(l) + 1)) AS p(pos)),
+        nstream AS MATERIALIZED (
+          SELECT {id_col}, {", ".join(g)} FROM (
+            SELECT {id_col}, tok AS {g[-1]},
+                   {lags}
+            FROM toks) WHERE {g[0]} IS NOT NULL),
+        tab{N} AS MATERIALIZED (
+          SELECT {", ".join(g)}, COUNT(*) AS cnt{N}
+          FROM nstream GROUP BY ALL)"""
+    ]
+    for n in range(N - 1, 0, -1):
+        keys = ", ".join(g[N - n :])
+        parts.append(
+            f"""
+        tab{n} AS MATERIALIZED (
+          SELECT {keys}, COUNT(*) AS cnt{n}
+          FROM tab{n + 1} GROUP BY ALL)"""
+        )
+    parts.append(
+        """
+        tt AS MATERIALIZED (SELECT CAST(SUM(cnt1) AS DOUBLE) AS t FROM tab1)"""
+    )
+    for n in range(2, N + 1):
+        ctx_keys = ", ".join(g[N - n : -1])
+        parts.append(
+            f"""
+        ctx{n} AS MATERIALIZED (
+          SELECT {ctx_keys}, SUM(cnt{n}) AS denom{n},
+                 COUNT(*) AS nfol{n}
+          FROM tab{n} GROUP BY ALL)"""
+        )
+    # nested probability expression, innermost (unigram) first
+    p_sql = f"(tab1.cnt1 / tt.t)"
+    for n in range(2, N + 1):
+        cnt = f"tab{N}.cnt{N}" if n == N else f"tab{n}.cnt{n}"
+        p_sql = (
+            f"((GREATEST({cnt} - {D!r}, 0.0)"
+            f" + {D!r} * ctx{n}.nfol{n} * {p_sql}) / ctx{n}.denom{n})"
+        )
+    joins = []
+    for n in range(1, N):
+        keys = g[N - n :]
+        on = " AND ".join(f"tab{n}.{k} = tab{N}.{k}" for k in keys)
+        joins.append(f"JOIN tab{n} ON {on}")
+    for n in range(2, N + 1):
+        ctx_keys = g[N - n : -1]
+        on = " AND ".join(f"ctx{n}.{k} = tab{N}.{k}" for k in ctx_keys)
+        joins.append(f"JOIN ctx{n} ON {on}")
+    parts.append(
+        f"""
+        model AS MATERIALIZED (
+          SELECT {", ".join(f"tab{N}.{k}" for k in g)}, {p_sql} AS p
+          FROM tab{N}
+          {chr(10).join("          " + j for j in joins)}
+          CROSS JOIN tt)"""
+    )
+    on_score = " AND ".join(f"m.{k} = s.{k}" for k in g)
+    parts.append(
+        f"""
+        SELECT s.{id_col}, COUNT(*) AS n_ngrams,
+               ROUND(EXP(-AVG(LN(m.p))), 6) AS perplexity
+        FROM nstream s
+        JOIN model m ON {on_score}
+        GROUP BY 1
+    """
+    )
+    return ",".join(parts[:-1]) + parts[-1]
+
+
 # ---------------------------------------------------------------------------
 # vocabulary coverage — top-V vocab + per-document OOV rate
 # ---------------------------------------------------------------------------

@@ -490,6 +490,37 @@ def _register_kn3_perplexity_oracle() -> None:
 _register_kn3_perplexity_oracle()
 
 
+@query("text_kn5_perplexity", None)  # oracle registered below
+def text_kn5_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under 5-GRAM interpolated Kneser-Ney
+    (`text.kn_ngram_perplexity`, r11) — the order modern
+    data-quality perplexity filters actually run (CCNet/KenLM
+    lineage). Arbitrary-order generalization of the trigram build:
+    ONE corpus shuffle into the order-5 TYPES frame, each lower
+    level a strictly-shrinking groupBy of the level above
+    (continuation counts all the way down), the model assembled by
+    nine model-sized joins, the token stream joining it once on all
+    five token columns. The twin is generated programmatically for
+    the same order with the identical nested parenthesization; the
+    order=3 instance is pinned equal to the hand-written trigram
+    operator in tests/test_kn3.py."""
+    from .operators.text import kn_ngram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_ngram_perplexity(docs, order=5, discount=0.75)
+
+
+def _register_kn5_perplexity_oracle() -> None:
+    from .operators.text import duck_kn_ngram_perplexity_sql
+
+    ORACLE["text_kn5_perplexity"] = duck_kn_ngram_perplexity_sql(
+        order=5, discount=0.75
+    )
+
+
+_register_kn5_perplexity_oracle()
+
+
 @query("text_classifier_train", None)  # oracle registered below
 def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED classifier training (`text.train_quality_classifier`)
