@@ -269,3 +269,54 @@ def test_still_from_video_negative_id_guard(spark):
     )
     with pytest.raises(Exception, match="doc_id"):
         still_from_video_pairs(frames, bad_stills).collect()
+
+
+def test_stills_match_only_accepted_store_content(spark, tmp_path):
+    """Store-lookup semantics: after the video corpus dedups into
+    the store, a planted still matches ONLY its group's base video
+    (the store's accepted member) — the re-containered member it
+    would also match one-pass is deduped away; lookups never flag
+    dropped content."""
+    from var_elasticnet_bigdata_spark.operators.dedup import (
+        incremental_video_dedup_bucketed,
+        stills_against_video_store,
+    )
+    from var_elasticnet_bigdata_spark.operators.multimodal import (
+        STILL_FROM_VID_EVERY,
+        STILL_VID_FRAME,
+        VID_MIN_MATCH,
+        image_dhash,
+        synth_avi_payloads,
+        synth_still_payloads,
+        video_frame_dhash,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS tsvs__vfpb")
+    try:
+        docs = spark.range(0, 32).selectExpr("id AS doc_id")
+        frames = video_frame_dhash(synth_avi_payloads(docs))
+        for i, pred in enumerate(("doc_id < 16", "doc_id >= 16")):
+            incremental_video_dedup_bucketed(
+                frames.filter(pred), "tsvs",
+                min_matching_frames=VID_MIN_MATCH,
+                buckets=4, path=str(tmp_path / "store"), fresh=(i == 0),
+            )
+        stills = image_dhash(synth_still_payloads(docs))
+        rows = stills_against_video_store(stills, "tsvs").collect()
+        assert rows
+        by_still = {}
+        for r in rows:
+            by_still.setdefault(r["still_id"], []).append(r)
+        planted = {
+            i for i in range(32) if i % STILL_FROM_VID_EVERY == 0
+        }
+        assert set(by_still) == planted
+        for sid, matches in by_still.items():
+            # exactly ONE stored match: the base video, exact frame
+            assert len(matches) == 1, (sid, matches)
+            (m,) = matches
+            assert m["video_id"] == sid
+            assert m["frame_idx"] == STILL_VID_FRAME
+            assert m["hamming"] == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tsvs__vfpb")

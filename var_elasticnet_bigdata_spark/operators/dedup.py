@@ -1309,6 +1309,93 @@ def still_from_video_pairs(
     )
 
 
+def stills_against_video_store(
+    stills: DataFrame,
+    store_name: str,
+    still_id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_ids_per_bucket: int = 64,
+) -> DataFrame:
+    """CROSS-MODAL STORE LOOKUP (r11): check a still-image corpus
+    against the PERSISTED video-frame fingerprint store
+    (`incremental_video_dedup_bucketed`'s ``{store}__vfpb``) — the
+    curation-loop form of `still_from_video_pairs`: the video corpus
+    was already deduped batch-by-batch into the store, so a still
+    matches only ACCEPTED video content (a thumbnail of an already-
+    dropped re-encode doesn't re-flag), and the lookup pays nothing
+    for video history size beyond the probed buckets.
+
+    Shape: stills band exactly like stored frames (same composite
+    ``bk`` encoding), the store is read via broadcast semi on the
+    stills' bk set (bucketed on ``bk`` ⇒ ZERO store-side Exchange,
+    only matching buckets scanned), the hot-bucket gate counts
+    distinct identities over store-hits ∪ stills per bucket, and the
+    Hamming verify emits ``(still_id, video_id, frame_idx,
+    hamming)`` distinct. Lookup cost ∝ stills × bands + probed
+    store rows — independent of total store size."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    spark = stills.sparkSession
+    vfpb = f"{store_name}__vfpb"
+    recover_orphaned_compaction(spark, vfpb)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sb = swap_cache(
+        "dedup.stills_vs_store_bands",
+        stills.select(
+            F.col(still_id_col).alias("__sid"),
+            F.col(hash_col).alias("__sh"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" b -> (cast(b as bigint) << {band_bits})"
+                    f" | (shiftright({hash_col}, b * {band_bits}) & {mask}))"
+                )
+            ).alias("bk"),
+        ),
+    )
+    bks = sb.select("bk").distinct()
+    hits = swap_cache(
+        "dedup.stills_vs_store_hits",
+        spark.table(vfpb).join(F.broadcast(bks), "bk"),
+    )
+    gate_rows = sb.select(
+        "bk", F.concat(F.lit("s:"), F.col("__sid")).alias("fid")
+    ).unionByName(
+        hits.select(
+            "bk",
+            F.concat_ws(":", F.col("doc_id"), F.col("frame_idx")).alias(
+                "fid"
+            ),
+        )
+    )
+    ok_bk = (
+        gate_rows.groupBy("bk")
+        .agg(F.countDistinct("fid").alias("__nd"))
+        .filter(F.col("__nd") <= max_ids_per_bucket)
+        .select("bk")
+    )
+    return (
+        sb.join(ok_bk, "bk")
+        .join(hits, "bk")
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(__sh ^ h)").cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("__sid").alias("still_id"),
+            F.col("doc_id").alias("video_id"),
+            F.col("frame_idx"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
 def incremental_video_dedup_bucketed(
     frames: DataFrame,
     store_name: str,

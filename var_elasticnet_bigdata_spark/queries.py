@@ -2529,6 +2529,142 @@ def _register_video_incremental_oracle() -> None:
 _register_video_incremental_oracle()
 
 
+@query("dedup_still_from_video_store", None)  # oracle registered below
+def dedup_still_from_video_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL lookup against the PERSISTED video store (r11 —
+    the curation-loop form of `dedup_still_from_video`): the video
+    corpus first dedups batch-by-batch into the banded frame store
+    (`dedup.incremental_video_dedup_bucketed`, two id-ordered
+    batches), then the ENTIRE still corpus checks against the
+    store's ACCEPTED frames only (`dedup.stills_against_video_store`
+    — broadcast semi on the stills' band keys, ZERO store-side
+    Exchange, lookup cost independent of video-history size). The
+    planted still is a pixel-exact extraction of its group's BASE
+    video frame, and the base is exactly the member the store keeps
+    (redrawn + re-containered members deduped away), so every
+    planted still matches ONE stored video at hamming 0 — the
+    matches-only-accepted-content semantics is itself inside the
+    hash. Twin: the full two-stage store-build unroll (the
+    `dedup_video_incremental` CTE chain) composed with the still
+    luminance/hash chain, the store-side band semi, the union
+    hot-bucket gate, and the Hamming verify."""
+    from .operators.dedup import (
+        incremental_video_dedup_bucketed,
+        stills_against_video_store,
+    )
+    from .operators.multimodal import (
+        VID_MIN_MATCH,
+        image_dhash,
+        synth_avi_payloads,
+        synth_still_payloads,
+        video_frame_dhash,
+    )
+    from .plans.cachereg import swap_cache
+
+    store = "q_dedup_sfv_store"
+    path = _session_store_dir("spark_graft_sfv_store_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = swap_cache(
+        "q.dedup_sfv_frames",
+        video_frame_dhash(synth_avi_payloads(docs)),
+    )
+    for i, pred in enumerate(
+        (F.col("doc_id") < 250, F.col("doc_id") >= 250)
+    ):
+        incremental_video_dedup_bucketed(
+            frames.filter(pred), store,
+            min_matching_frames=VID_MIN_MATCH,
+            buckets=8, path=path, fresh=(i == 0),
+        )
+    stills = image_dhash(synth_still_payloads(docs))
+    return stills_against_video_store(stills, store)
+
+
+def _register_still_from_video_store_oracle() -> None:
+    from .operators.multimodal import (
+        VID_MIN_MATCH,
+        duck_still_dhash_cte,
+        duck_video_dhash_cte,
+    )
+
+    m = VID_MIN_MATCH
+    ORACLE["dedup_still_from_video_store"] = f"""
+        WITH {duck_video_dhash_cte("documents", "doc_id")},
+        bd AS (
+          SELECT doc_id, f, dh,
+                 (t.b::BIGINT << 16) | ((dh >> (t.b * 16)) & 65535) AS bk
+          FROM hh, UNNEST(range(0, 4)) t(b)),
+        b1 AS (SELECT * FROM bd WHERE doc_id < 250),
+        g1 AS (SELECT bk FROM b1 GROUP BY bk
+               HAVING COUNT(DISTINCT (doc_id, f)) <= 64),
+        p1 AS (
+          SELECT a.doc_id AS da, c.doc_id AS db, a.f AS fa, c.f AS fb
+          FROM b1 a JOIN g1 USING (bk) JOIN b1 c USING (bk)
+          WHERE a.doc_id < c.doc_id
+            AND bit_count(xor(a.dh, c.dh)) <= 3),
+        d1 AS (
+          SELECT db AS doc_id FROM (
+            SELECT da, db, COUNT(DISTINCT (fa, fb)) AS m
+            FROM p1 GROUP BY 1, 2)
+          WHERE m >= {m} GROUP BY 1),
+        store AS (SELECT * FROM b1
+                  WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+        b2 AS (SELECT * FROM bd WHERE doc_id >= 250),
+        u2 AS (
+          SELECT bk, doc_id, f FROM b2
+          UNION ALL
+          SELECT s.bk, s.doc_id, s.f FROM store s
+          WHERE s.bk IN (SELECT bk FROM b2)),
+        g2 AS (SELECT bk FROM u2 GROUP BY bk
+               HAVING COUNT(DISTINCT (doc_id, f)) <= 64),
+        in2p AS (
+          SELECT a.doc_id AS da, c.doc_id AS db, a.f AS fa, c.f AS fb
+          FROM b2 a JOIN g2 USING (bk) JOIN b2 c USING (bk)
+          WHERE a.doc_id < c.doc_id
+            AND bit_count(xor(a.dh, c.dh)) <= 3),
+        vs2p AS (
+          SELECT s.doc_id AS da, c.doc_id AS db, s.f AS fa, c.f AS fb
+          FROM store s JOIN g2 USING (bk) JOIN b2 c USING (bk)
+          WHERE bit_count(xor(s.dh, c.dh)) <= 3),
+        d2 AS (
+          SELECT db AS doc_id FROM (
+            SELECT da, db, COUNT(DISTINCT (fa, fb)) AS m
+            FROM in2p GROUP BY 1, 2) WHERE m >= {m}
+          UNION
+          SELECT db FROM (
+            SELECT da, db, COUNT(DISTINCT (fa, fb)) AS m
+            FROM vs2p GROUP BY 1, 2) WHERE m >= {m}),
+        keepstore AS (
+          SELECT bd.* FROM bd
+          WHERE bd.doc_id NOT IN (SELECT doc_id FROM d1)
+            AND bd.doc_id NOT IN (SELECT doc_id FROM d2)),
+        {duck_still_dhash_cte("documents", "doc_id").replace(
+            "sg AS", "sg AS"
+        )},
+        sbd AS (
+          SELECT doc_id AS sid, dh AS sdh,
+                 (t.b::BIGINT << 16) | ((dh >> (t.b * 16)) & 65535) AS bk
+          FROM sh, UNNEST(range(0, 4)) t(b)),
+        sbk AS (SELECT DISTINCT bk FROM sbd),
+        shits AS (SELECT s.* FROM keepstore s JOIN sbk USING (bk)),
+        gid AS (
+          SELECT bk, 's:' || sid::VARCHAR AS fid FROM sbd
+          UNION ALL
+          SELECT bk, doc_id::VARCHAR || ':' || f::VARCHAR AS fid
+          FROM shits),
+        gok AS (SELECT bk FROM gid GROUP BY bk
+                HAVING COUNT(DISTINCT fid) <= 64)
+        SELECT DISTINCT s.sid AS still_id, h.doc_id AS video_id,
+               CAST(h.f AS INT) AS frame_idx,
+               CAST(bit_count(xor(s.sdh, h.dh)) AS INT) AS hamming
+        FROM sbd s JOIN gok USING (bk) JOIN shits h USING (bk)
+        WHERE bit_count(xor(s.sdh, h.dh)) <= 3
+    """
+
+
+_register_still_from_video_store_oracle()
+
+
 @query("pipeline_multimodal_curation", None)  # oracle registered below
 def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MULTIMODAL curation pipeline — the composition a
