@@ -142,3 +142,49 @@ def test_pruned_inventory_strictly_shrinks(spark):
         c * len(p) for p, c in pruned.items()
     )
     assert len(pruned) < len(base)
+
+
+def test_encode_stats_match_per_doc_brute(spark):
+    """Per-doc encode stats equal a driver-side recount: segment
+    every doc's words with the SAME pruned model and compare counts
+    and the compression ratio."""
+    from var_elasticnet_bigdata_spark.operators.text import (
+        UNI_PIECE_MAX_LEN,
+        UNI_PRUNE_FRAC,
+        _unigram_pruned_model,
+        _unigram_vocab,
+        _viterbi_segment,
+        unigram_encode_stats,
+    )
+    from var_elasticnet_bigdata_spark.operators.dedup import norm_sql_spark
+    from var_elasticnet_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").limit(40)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["chars_per_piece"])
+        for r in unigram_encode_stats(docs, rounds=2).collect()
+    }
+    pruned, total, _ = _unigram_pruned_model(
+        docs, 2, UNI_PRUNE_FRAC, UNI_PIECE_MAX_LEN, "text"
+    )
+    words_expr = (
+        f"filter(split({norm_sql_spark('text')}, ' '), w -> w <> '')"
+    )
+    rows = docs.select(
+        "doc_id", F.expr(words_expr).alias("ws")
+    ).collect()
+    for r in rows:
+        ws = list(r["ws"])
+        nps = [
+            len(_viterbi_segment(w, pruned, total, UNI_PIECE_MAX_LEN))
+            for w in ws
+        ]
+        ncs = [len(w) for w in ws]
+        want = (
+            len(ws),
+            sum(nps),
+            round(sum(ncs) / sum(nps), 6),
+        )
+        assert got[r["doc_id"]] == want, (r["doc_id"], got[r["doc_id"]], want)
+    assert set(got) == {r["doc_id"] for r in rows}

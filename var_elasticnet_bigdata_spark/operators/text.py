@@ -2334,6 +2334,45 @@ def unigram_lm_prune_train(
 
     Returns the post-prune M-step counts ``(piece, c)`` — lazy, like
     `unigram_lm_train`."""
+    pruned, total2, vocab = _unigram_pruned_model(
+        df, rounds, prune_frac, piece_max_len, text_col
+    )
+    P = piece_max_len
+    sc = df.sparkSession.sparkContext
+    bm2 = sc.broadcast((pruned, total2))
+
+    def estep(batches, _P=P):
+        import pandas as pd
+
+        mdl, tot = bm2.value
+        for pdf in batches:
+            pieces: dict[str, int] = {}
+            for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                for p in _viterbi_segment(str(w), mdl, tot, _P):
+                    pieces[p] = pieces.get(p, 0) + int(cnt)
+            yield pd.DataFrame(
+                {"piece": list(pieces), "c": list(pieces.values())}
+            )
+
+    return (
+        vocab.mapInPandas(estep, "piece string, c long")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def _unigram_pruned_model(
+    df: DataFrame,
+    rounds: int,
+    prune_frac: float,
+    piece_max_len: int,
+    text_col: str,
+) -> tuple[dict, int, DataFrame]:
+    """EM rounds → exact leave-one-out losses → bottom-``prune_frac``
+    cut: returns ``(pruned model with char backstop, its total,
+    cached vocab frame)`` — the model both the post-prune E-step
+    (`unigram_lm_prune_train`) and the corpus encoder
+    (`unigram_encode_stats`) segment with."""
     import math
 
     P = piece_max_len
@@ -2389,27 +2428,68 @@ def unigram_lm_prune_train(
     k = int(len(multi) * prune_frac)
     drop = {p for _, p in ranked[:k]}
     pruned = {p: c for p, c in model.items() if p not in drop}
+    return pruned, sum(pruned.values()), vocab
 
-    total2 = sum(pruned.values())
-    bm2 = sc.broadcast((pruned, total2))
 
-    def estep(batches, _P=P):
+def unigram_encode_stats(
+    df: DataFrame,
+    rounds: int = UNI_EM_ROUNDS,
+    prune_frac: float = UNI_PRUNE_FRAC,
+    piece_max_len: int = UNI_PIECE_MAX_LEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE the corpus under the trained+pruned unigram model (r11
+    — completes the train→encode lifecycle the BPE family already
+    has): per document, the number of words, the number of pieces
+    its Viterbi segmentation produces under the pruned inventory,
+    and the chars-per-piece compression ratio — the number a
+    tokenizer owner watches when deciding whether a vocab ships.
+
+    Scale shape: segmentation happens ONCE PER DISTINCT WORD (one
+    Arrow pass over the cached (word, count) vocab emitting
+    ``(w, n_pieces, n_chars)``), then the document token stream
+    joins that word-level table and aggregates per doc — the corpus
+    is never segmented row by row. Returns
+    ``(id_col, n_words, n_pieces, chars_per_piece)`` (6-dp)."""
+    P = piece_max_len
+    pruned, total2, vocab = _unigram_pruned_model(
+        df, rounds, prune_frac, P, text_col
+    )
+    sc = df.sparkSession.sparkContext
+    bm = sc.broadcast((pruned, total2))
+
+    def seg_stats(batches, _P=P):
         import pandas as pd
 
-        mdl, tot = bm2.value
+        mdl, tot = bm.value
         for pdf in batches:
-            pieces: dict[str, int] = {}
-            for w, cnt in zip(pdf["w"], pdf["cnt"]):
-                for p in _viterbi_segment(str(w), mdl, tot, _P):
-                    pieces[p] = pieces.get(p, 0) + int(cnt)
-            yield pd.DataFrame(
-                {"piece": list(pieces), "c": list(pieces.values())}
-            )
+            ws, nps, ncs = [], [], []
+            for w in pdf["w"]:
+                w = str(w)
+                seg = _viterbi_segment(w, mdl, tot, _P)
+                ws.append(w)
+                nps.append(len(seg))
+                ncs.append(len(w))
+            yield pd.DataFrame({"w": ws, "np": nps, "nc": ncs})
 
+    wstats = vocab.select("w").mapInPandas(
+        seg_stats, "w string, np int, nc int"
+    )
+    from .dedup import norm_sql_spark
+
+    words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(words)).alias("w")
+    )
     return (
-        vocab.mapInPandas(estep, "piece string, c long")
-        .groupBy("piece")
-        .agg(F.sum("c").alias("c"))
+        toks.join(wstats, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.round(F.sum("nc") / F.sum("np"), 6).alias("chars_per_piece"),
+        )
     )
 
 
@@ -2548,6 +2628,31 @@ def duck_unigram_prune_sql(
     6-dp-rounded loss ranking with the (loss ASC, piece ASC)
     bottom-``prune_frac`` cut, and one more EM round on the pruned
     inventory feeding the top-N report."""
+    parts = _duck_unigram_prune_chain_parts(rounds, prune_frac, piece_max_len)
+    parts.append(
+        _duck_viterbi_cte("pvit", "words", "mp", "tp", piece_max_len)
+        + f""",
+    ep(piece, c) AS MATERIALIZED (
+      SELECT piece, SUM(cnt) FROM (
+        SELECT unnest(win[1].seg) AS piece, cnt
+        FROM pvit WHERE i = length(w))
+      GROUP BY 1
+    ),
+    tot_p AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM ep)
+    SELECT piece, CAST(c AS BIGINT) AS c,
+           ROUND(c / tot_p.total, 9) AS p
+    FROM ep, tot_p
+    ORDER BY c DESC, piece ASC LIMIT {top_n}"""
+    )
+    return ",".join(parts[:1] + parts[1:-1]) + "," + parts[-1]
+
+
+def _duck_unigram_prune_chain_parts(
+    rounds: int, prune_frac: float, piece_max_len: int
+) -> list[str]:
+    """EM prefix + the prune round through the pruned model ``mp``
+    and its total ``tp`` — shared by the prune-report twin and the
+    encode twin."""
     P = piece_max_len
     R = rounds
     parts = _duck_unigram_prefix_parts(rounds, P)
@@ -2591,19 +2696,42 @@ def duck_unigram_prune_sql(
     mp(piece, c) AS MATERIALIZED (
       SELECT piece, c FROM {mR}
       WHERE piece NOT IN (SELECT piece FROM dropped)),
-    tp AS MATERIALIZED (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM mp),"""
-        + _duck_viterbi_cte("pvit", "words", "mp", "tp", P)
+    tp AS MATERIALIZED (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM mp)"""
+    )
+    return parts
+
+
+def duck_unigram_encode_sql(
+    rounds: int = UNI_EM_ROUNDS,
+    prune_frac: float = UNI_PRUNE_FRAC,
+    piece_max_len: int = UNI_PIECE_MAX_LEN,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of ``unigram_encode_stats``: the full
+    EM+prune chain, then a per-distinct-word Viterbi under the
+    pruned model and the document-token join + per-doc rollup."""
+    from .dedup import NORM_SQL_DUCK
+
+    P = piece_max_len
+    parts = _duck_unigram_prune_chain_parts(rounds, prune_frac, P)
+    parts.append(
+        _duck_viterbi_cte("pvit", "words", "mp", "tp", P)
         + f""",
-    ep(piece, c) AS MATERIALIZED (
-      SELECT piece, SUM(cnt) FROM (
-        SELECT unnest(win[1].seg) AS piece, cnt
-        FROM pvit WHERE i = length(w))
-      GROUP BY 1
-    ),
-    tot_p AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM ep)
-    SELECT piece, CAST(c AS BIGINT) AS c,
-           ROUND(c / tot_p.total, 9) AS p
-    FROM ep, tot_p
-    ORDER BY c DESC, piece ASC LIMIT {top_n}"""
+    wp AS MATERIALIZED (
+      SELECT w, len(win[1].seg) AS np, length(w) AS nc
+      FROM pvit WHERE i = length(w)),
+    dtoks AS MATERIALIZED (
+      SELECT {id_col}, w FROM (
+        SELECT {id_col},
+               unnest(string_split({NORM_SQL_DUCK}, ' ')) AS w
+        FROM {table})
+      WHERE length(w) >= 1)
+    SELECT t.{id_col}, COUNT(*) AS n_words,
+           CAST(SUM(wp.np) AS BIGINT) AS n_pieces,
+           ROUND(CAST(SUM(wp.nc) AS DOUBLE) / SUM(wp.np), 6)
+             AS chars_per_piece
+    FROM dtoks t JOIN wp USING (w)
+    GROUP BY 1"""
     )
     return ",".join(parts[:1] + parts[1:-1]) + "," + parts[-1]

@@ -9184,6 +9184,33 @@ def _register_unigram_prune_oracle() -> None:
 _register_unigram_prune_oracle()
 
 
+@query("text_unigram_encode", None)  # oracle registered below
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus under the trained+pruned unigram model
+    (`text.unigram_encode_stats`, r11 — completes the train→encode
+    lifecycle beside `text_bpe_encode`): per document the word
+    count, the piece count its Viterbi segmentation produces under
+    the pruned inventory, and the chars-per-piece compression ratio.
+    Segmentation runs ONCE PER DISTINCT WORD (one Arrow pass over
+    the cached vocab), then the document token stream joins the
+    word-level stats — the corpus is never segmented row by row.
+    The twin replays the full EM+prune chain, the per-word Viterbi
+    under the pruned model, and the token join + rollup."""
+    from .operators.text import unigram_encode_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_encode_stats(d, rounds=2)
+
+
+def _register_unigram_encode_oracle() -> None:
+    from .operators.text import duck_unigram_encode_sql
+
+    ORACLE["text_unigram_encode"] = duck_unigram_encode_sql(rounds=2)
+
+
+_register_unigram_encode_oracle()
+
+
 _register_unigram_lm_oracle()
 
 
