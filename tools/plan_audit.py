@@ -32,6 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # post-aggregation quarter/day count — the same frontier the
 # reference materializes wholesale. Everything else must partition.
 ALLOW_GLOBAL_WINDOW = {
+    # r11: every window input is a <=20-row top-k frame (dense arm
+    # ranks AFTER TakeOrderedAndProject; sparse arm ranks bm25_topk's
+    # limit(20) output; the fuse ranks the <=40-row outer join)
+    "retrieval_hybrid_rrf",
     "flagship_quarterly_revenue_growth",  # ~40 quarter rows
     "a1_quarterly_rollup",
     "w5_rolling_origin_errors",  # quarterly axis

@@ -98,6 +98,43 @@ def bm25_topk(
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
 
 
+def duck_bm25_cte(
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """BM25 scoring CTE chain ending in ``bmscore({id_col}, n_terms,
+    bm25)`` — shared by the standalone twin and the hybrid-RRF twin
+    so both replay byte-identical formula/rounding."""
+    from .dedup import NORM_SQL_DUCK
+
+    # escape quotes the same way the Spark twin does (bm25_topk):
+    # an apostrophe in a term must not produce malformed oracle SQL
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"""w AS (
+          SELECT {id_col},
+                 list_filter(string_split({NORM_SQL_DUCK}, ' '), x -> x <> '') AS toks
+          FROM {table}),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM w),
+        tf AS (
+          SELECT {id_col}, len(toks) AS dl, t.tok, COUNT(*) AS tf
+          FROM w, UNNEST(toks) AS t(tok)
+          WHERE t.tok IN ({terms})
+          GROUP BY 1, 2, 3),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        bmscore AS (
+          SELECT {id_col}, COUNT(*) AS n_terms,
+                 ROUND(SUM(
+                   LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * {k1 + 1.0}
+                   / (tf.tf + {k1} * ({1.0 - b} + {b} * tf.dl / stats.avgdl))
+                 ), 6) AS bm25
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+          GROUP BY {id_col})"""
+
+
 def duck_bm25_sql(
     query_terms: list[str],
     k: int = 10,
@@ -108,34 +145,62 @@ def duck_bm25_sql(
 ) -> str:
     """DuckDB twin of ``bm25_topk`` — identical formula, rounding,
     and tie-break."""
-    from .dedup import NORM_SQL_DUCK
-
-    # escape quotes the same way the Spark twin does (bm25_topk):
-    # an apostrophe in a term must not produce malformed oracle SQL
-    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     return f"""
-        WITH w AS (
-          SELECT {id_col},
-                 list_filter(string_split({NORM_SQL_DUCK}, ' '), x -> x <> '') AS toks
-          FROM {table}),
-        stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM w),
-        tf AS (
-          SELECT {id_col}, len(toks) AS dl, t.tok, COUNT(*) AS tf
-          FROM w, UNNEST(toks) AS t(tok)
-          WHERE t.tok IN ({terms})
-          GROUP BY 1, 2, 3),
-        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
-        SELECT {id_col}, COUNT(*) AS n_terms,
-               ROUND(SUM(
-                 LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                 * tf.tf * {k1 + 1.0}
-                 / (tf.tf + {k1} * ({1.0 - b} + {b} * tf.dl / stats.avgdl))
-               ), 6) AS bm25
-        FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
-        GROUP BY {id_col}
+        WITH {duck_bm25_cte(query_terms, k1, b, id_col, table)}
+        SELECT {id_col}, n_terms, bm25
+        FROM bmscore
         ORDER BY bm25 DESC, {id_col}
         LIMIT {k}
     """
+
+
+def rrf_fuse(
+    arms: list[DataFrame],
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked
+    retrieval arms — the standard hybrid-search combiner: each arm is
+    a frame ``(id_col, rank)``; a document's fused score is
+    Σ_arms 1/(rrf_k + rank) with 0 for arms that didn't retrieve it.
+    Scores round to 6 dp BEFORE the final (rrf DESC, id ASC) rank so
+    an engine twin replaying the same formula sees the identical
+    argsort. Arms are model-sized (top-k lists), so the fuse is a
+    chain of tiny full-outer joins + one bounded window — nothing
+    corpus-scale moves. Returns
+    ``(id_col, rank, rrf, rank_0..rank_{n-1})``."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    renamed = [
+        a.select(F.col(id_col), F.col("rank").alias(f"rank_{i}"))
+        for i, a in enumerate(arms)
+    ]
+    j = reduce(
+        lambda x, y: x.join(y, id_col, "full_outer"), renamed
+    )
+    expr = None
+    for i in range(len(arms)):
+        t = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i}")),
+        ).otherwise(F.lit(0.0))
+        expr = t if expr is None else expr + t
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (
+        j.withColumn("rrf", F.round(expr, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            id_col,
+            "rank",
+            "rrf",
+            *[F.col(f"rank_{i}").cast("int").alias(f"rank_{i}")
+              for i in range(len(arms))],
+        )
+    )
 
 
 def bm25_reference(

@@ -6936,6 +6936,101 @@ def _register_bm25_oracle() -> None:
 _register_bm25_oracle()
 
 
+@query("retrieval_hybrid_rrf", None)  # oracle registered below
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion (r11) — the
+    sparse+dense combination every production search stack ships:
+    the SPARSE arm is BM25 top-20 for the fixed term set
+    (`retrieval.bm25_topk`), the DENSE arm is exact cosine top-20
+    against probe vector 0 (`similarity.cosine_topk` with the 6-dp
+    snap — doc i's embedding is row i of the embeddings table), and
+    the fused list is RRF = Σ 1/(60+rank) per arm
+    (`retrieval.rrf_fuse`, Cormack et al. 2009), 6-dp-rounded before
+    the final (rrf DESC, id ASC) rank. Both arms are top-k lists, so
+    the fuse is two tiny outer joins + one bounded window — the
+    corpus pays only the two arms' own scans. The twin replays the
+    BM25 CTE chain (shared generator with `text_bm25_topk`), the
+    normalized-dot dense ranking, and the RRF formula with identical
+    parenthesization; missing-arm zeros and rank ties are inside the
+    hash. Returns
+    ``(doc_id, rank, rrf, rank_0 sparse, rank_1 dense)``."""
+    from pyspark.sql import Window as W
+
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(docs, BM25_TERMS, k=20)
+    ws = W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    sparse_r = sparse.select(
+        "doc_id", F.row_number().over(ws).alias("rank")
+    )
+    probe = emb.filter(F.col("vec_id") == 0)
+    den = cosine_topk(emb, probe, k=1, exclude_self=True, round_dp=6)
+    # limit-FIRST: orderBy().limit() plans as TakeOrderedAndProject
+    # (per-partition heaps + driver merge of 20 rows) — a row_number
+    # window over the corpus-sized cosine frame would be a global
+    # single-partition sort (plan-audit-enforced)
+    wd = W.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    dense_r = (
+        den.select(F.col("vec_id").alias("doc_id"), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wd))
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse([sparse_r, dense_r], rrf_k=60, topk=10)
+
+
+def _register_hybrid_rrf_oracle() -> None:
+    from .operators.retrieval import duck_bm25_cte
+
+    ORACLE["retrieval_hybrid_rrf"] = f"""
+        WITH {duck_bm25_cte(BM25_TERMS)},
+        sr AS (
+          SELECT doc_id, rs FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                     AS rs
+            FROM bmscore) WHERE rs <= 20),
+        n AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding,
+                     y -> y::DOUBLE * y::DOUBLE)))) AS e
+          FROM embeddings),
+        q AS (SELECT e FROM n WHERE vec_id = 0),
+        dd AS (
+          SELECT n.vec_id,
+                 ROUND(list_dot_product(n.e, q.e), 6) AS c
+          FROM n, q WHERE n.vec_id <> 0),
+        dr AS (
+          SELECT vec_id, rd FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, vec_id ASC) AS rd
+            FROM dd) WHERE rd <= 20),
+        f AS (
+          SELECT COALESCE(s.doc_id, d.vec_id) AS doc_id, s.rs, d.rd
+          FROM sr s FULL JOIN dr d ON d.vec_id = s.doc_id),
+        scored AS (
+          SELECT doc_id,
+                 ROUND(COALESCE(1.0 / (60.0 + rs), 0.0)
+                       + COALESCE(1.0 / (60.0 + rd), 0.0), 6) AS rrf,
+                 rs, rd
+          FROM f)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)
+                    AS INT) AS rank,
+               rrf, CAST(rs AS INT) AS rank_0, CAST(rd AS INT) AS rank_1
+        FROM scored
+        QUALIFY rank <= 10
+    """
+
+
+_register_hybrid_rrf_oracle()
+
+
 @query("text_repetition", None)  # oracle registered below
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition filter
