@@ -63,12 +63,20 @@ RATIO = 1.3
 FLOOR_SEC = 0.5
 
 # Pin-stable, IO-light sentinels spanning three execution shapes
-# (broadcast join, text aggregation, Arrow/Gram CPU pass). The
-# session is DEGRADED when the median clean/pin ratio across them
-# exceeds SENTINEL_BAND — deliberately tighter than the 1.3x flag
-# gate: a host that can't hold known-stable sub-second queries
-# within 25% of pin can't adjudicate anything.
-SENTINELS = ["j1_align_join", "text_heavy_hitters", "ann_pca_power"]
+# (merge/as-of join, text aggregation, narrow Arrow/rolling-hash CPU
+# pass). The session is DEGRADED when the median clean/pin ratio
+# across them exceeds SENTINEL_BAND — deliberately tighter than the
+# 1.3x flag gate: a host that can't hold known-stable sub-second
+# queries within 25% of pin can't adjudicate anything.
+#
+# Selection is itself measured (r11): candidates were scored across
+# the round's two independent full bench sessions; the initial third
+# sentinel (ann_pca_power) ranged 0.98x-2.51x across sessions —
+# session-noise-sensitive, so it biased the gate toward degraded on
+# healthy hosts — and was replaced by text_fingerprint (0.85x/0.88x
+# across the same sessions; j2_asof_join 0.95x/0.99x,
+# text_heavy_hitters 0.66x/0.72x).
+SENTINELS = ["j2_asof_join", "text_heavy_hitters", "text_fingerprint"]
 SENTINEL_BAND = 1.25
 
 
