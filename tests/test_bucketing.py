@@ -629,3 +629,33 @@ def test_incremental_semantic_dedup_bucketed_store(spark, tmp_path):
             _restore(spark, old)
     finally:
         spark.sql("DROP TABLE IF EXISTS sem__vecs")
+
+
+def test_append_emits_at_most_buckets_files(spark, tmp_path):
+    """File-count contract (r12): write_bucketed pre-partitions on
+    the bucket columns, so EVERY append adds at most `buckets` data
+    files — not tasks x buckets. This is what bounds store file-count
+    growth between compactions at 100 TB append cadence."""
+    import glob
+    import pandas as pd
+
+    loc = str(tmp_path / "fcount")
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": range(2000), "v": range(2000)})
+    ).repartition(32)  # worst case: many tasks feeding the write
+    write_bucketed(df, "t_fcount", "k", buckets=8, sort_cols="k", path=loc)
+    first = len(glob.glob(f"{loc}/part-*"))
+    assert first <= 8
+    write_bucketed(
+        spark.createDataFrame(
+            pd.DataFrame({"k": range(2000, 4000), "v": range(2000)})
+        ).repartition(32),
+        "t_fcount", "k", buckets=8, sort_cols="k", mode="append",
+    )
+    assert len(glob.glob(f"{loc}/part-*")) - first <= 8
+    # layout survives: the self-join on k is still exchange-free
+    t = read_bucketed(spark, "t_fcount")
+    plan = t.join(t.withColumnRenamed("v", "v2"), "k")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan or "BroadcastExchange" in plan
+    spark.sql("DROP TABLE IF EXISTS t_fcount")

@@ -24,6 +24,7 @@ default in-memory catalog works — no Hive metastore required.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -49,6 +50,17 @@ def write_bucketed(
     (latent until the r7 crash-recovery test exercised an
     append-after-move)."""
     bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    # Pre-partition on the bucket columns into exactly `buckets`
+    # tasks: bucketBy assigns files per (task, bucket), so an
+    # unpartitioned write emits up to tasks x buckets files PER
+    # APPEND — the file-count growth that forces compaction. With the
+    # repartition (same HashPartitioning the bucket spec uses) every
+    # task holds exactly one bucket's rows and each append adds at
+    # most `buckets` files. The shuffle is batch-sized by the
+    # incremental-store contract (the store never rewrites; only the
+    # batch moves), so this trades a small exchange for a bounded
+    # file count at 100 TB append cadence.
+    df = df.repartition(buckets, *[F.col(c) for c in bcols])
     w = df.write.format("parquet").mode(mode).bucketBy(buckets, *bcols)
     if sort_cols is not None:
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
