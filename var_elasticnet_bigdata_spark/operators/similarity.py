@@ -326,12 +326,33 @@ def ivf_centroids(
     return C
 
 
+def _normalized_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``(id_col, e)`` with ``e`` the L2-normalized double vector —
+    THE shared normalize rule of every similarity/ANN operator
+    (sequential JVM fold == SQL list_sum order; zero vectors divide
+    by 1.0). Multi-pass operators build this projection ONCE and
+    stage it (``swap_cache``) so training/encode/audit passes reuse
+    one normalize instead of re-deriving it per pass — same doubles
+    either way, fewer corpus scans (guide §1.2/§5)."""
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
+    return v.select(
+        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
+    )
+
+
 def seed_centroids(
     df: DataFrame,
     nlist: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 12,
+    normed: DataFrame | None = None,
 ) -> np.ndarray:
     """Deterministic, SQL-replayable IVF centroids (no Lloyd
     iterations): cell j = the L2-normalized position-wise mean of the
@@ -347,18 +368,14 @@ def seed_centroids(
     aggregation-order float drift cannot leak into assignments; the
     final norm uses a sequential fold to match SQL's list_sum order.
     """
-    v = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
-    # zero vectors divide by 1 (contributing zeros, like ivf_assign's
-    # norms[norms == 0] = 1.0). NOTE: the SQL oracle twin
-    # (ann_ivf_fixed), like every ann_* oracle, assumes no zero
-    # vectors in the corpus — this guard is operator robustness only.
-    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
-    normed = v.select(
-        (F.col(id_col) % nlist).cast("int").alias("cell"),
-        F.transform("__v", lambda x: x / nrm).alias("e"),
+    # zero-vector handling (divide by 1, contributing zeros) lives in
+    # _normalized_vectors. NOTE: the SQL oracle twin (ann_ivf_fixed),
+    # like every ann_* oracle, assumes no zero vectors in the corpus —
+    # that guard is operator robustness only.
+    if normed is None:
+        normed = _normalized_vectors(df, id_col, vec_col)
+    normed = normed.select(
+        (F.col(id_col) % nlist).cast("int").alias("cell"), "e"
     )
     comp = (
         # lambda-bearing explode child: a bare posexplode("e") gets an
@@ -1056,6 +1073,7 @@ def kmeans_refine(
     centroids: np.ndarray | None = None,
     round_dp: int = 12,
     out_dp: int = 6,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """One DISTRIBUTED Lloyd step of spherical k-means: assign every
     vector to its argmax-cosine centroid (broadcast matmul), then
@@ -1086,18 +1104,22 @@ def kmeans_refine(
     the dot product exactly like every other assignment gate here —
     a flip needs two cells tied to ~1e-16.
     """
+    if normed is None:
+        # self-seeding runs TWO corpus passes (seed + assign): stage
+        # the normalized projection once so the second pass reuses it
+        # instead of re-scanning + re-normalizing (identical doubles)
+        normed = (
+            swap_cache(
+                "similarity.kmeans_normed",
+                _normalized_vectors(df, id_col, vec_col),
+            )
+            if centroids is None
+            else _normalized_vectors(df, id_col, vec_col)
+        )
     C = (
         centroids
         if centroids is not None
-        else seed_centroids(df, nlist, id_col, vec_col)
-    )
-    v = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
-    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
-    normed = v.select(
-        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
+        else seed_centroids(df, nlist, id_col, vec_col, normed=normed)
     )
     members = with_assigned_cell(normed, C, vec_expr="e").select("cell", "e")
     comp = (
@@ -1281,14 +1303,21 @@ def kmeans_train(
     Deterministic: seed centroids + argmax assignment + rounded
     means, same contract as the hash-gated single step.
     """
+    # one staged normalize feeds the seed pass AND every Lloyd
+    # iteration — without it each iteration re-scans the corpus and
+    # re-derives the normalize projection (iters+1 redundant passes)
+    normed = swap_cache(
+        "similarity.kmeans_normed", _normalized_vectors(df, id_col, vec_col)
+    )
     C = (
         centroids
         if centroids is not None
-        else seed_centroids(df, nlist, id_col, vec_col)
+        else seed_centroids(df, nlist, id_col, vec_col, normed=normed)
     ).copy()
     for _ in range(iters):
         rows = kmeans_refine(
-            df, nlist, id_col=id_col, vec_col=vec_col, centroids=C
+            df, nlist, id_col=id_col, vec_col=vec_col, centroids=C,
+            normed=normed,
         ).collect()
         C_new = C.copy()
         touched = set()
@@ -1997,19 +2026,17 @@ def ivfpq_train(
     (nlist×d and k×d doubles) and serialize to the pinned-artifact
     JSON (`tools/gen_ivfpq_pinned.py`) for serve-only deployments.
     """
-    rows = kmeans_refine(df, nlist, id_col=id_col, vec_col=vec_col).collect()
+    # one staged normalize feeds seed + Lloyd + the residual pass
+    normed = swap_cache(
+        "similarity.ivfpq_normed", _normalized_vectors(df, id_col, vec_col)
+    )
+    rows = kmeans_refine(
+        df, nlist, id_col=id_col, vec_col=vec_col, normed=normed
+    ).collect()
     C = centroid_matrix(rows, nlist)
     dim = C.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    v = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
-    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
-    normed = v.select(
-        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
-    )
     resid = with_assigned_cell(normed, C, vec_expr="e").withColumn(
         "r",
         F.expr(
@@ -2113,14 +2140,7 @@ def ivfpq_postings_append(
     d = C.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
-    v = batch.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
-    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
-    normed = v.select(
-        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
-    )
+    normed = _normalized_vectors(batch, id_col, vec_col)
     resid = with_assigned_cell(normed, C, vec_expr="e").withColumn(
         "r",
         F.expr(
@@ -2128,6 +2148,12 @@ def ivfpq_postings_append(
             " (x, c) -> x - c)"
         ),
     )
+    if store_vectors:
+        # the assign/residual pass feeds TWO sinks (postings + the
+        # __vec sidecar): stage it once so the second write re-reads
+        # the staged rows instead of re-running normalize + assign
+        # over the batch (identical doubles either way)
+        resid = swap_cache("similarity.ivfpq_append_resid", resid)
     coded = pq_encode(
         resid.select(id_col, "cell", "r"),
         m=m,
@@ -2526,6 +2552,7 @@ def ivfpq_search(
     round_dp: int = 6,
     exclude_self: bool = False,
     sample_mod: int = 1,
+    normed: DataFrame | None = None,
 ) -> DataFrame:
     """The FULL IVF-PQ vector-index chain as one composition
     (VERDICT r6 item 7) — what a production 100 TB vector store
@@ -2560,10 +2587,21 @@ def ivfpq_search(
     """
     from ..plans.guards import guarded_collect
 
+    # staged normalize: the self-training call makes FOUR passes over
+    # the corpus (centroid seed, Lloyd assign, codebook seed, encode/
+    # serve) that all start from the same normalized projection —
+    # stage it once (callers like the recall audit pass their own so
+    # the exact arm shares it too)
+    if normed is None:
+        normed = swap_cache(
+            "similarity.ivfpq_normed",
+            _normalized_vectors(df, id_col, vec_col),
+        )
+
     # --- train (or accept) the coarse quantizer --------------------
     if centroids is None:
         rows = kmeans_refine(
-            df, nlist, id_col=id_col, vec_col=vec_col
+            df, nlist, id_col=id_col, vec_col=vec_col, normed=normed
         ).collect()
         C = centroid_matrix(rows, nlist)
     else:
@@ -2574,15 +2612,7 @@ def ivfpq_search(
     sub = d // m
     ncells = C.shape[0]
 
-    # --- one narrow pass: normalize -> assign -> residual ----------
-    v = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
-    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
-    normed = v.select(
-        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
-    )
+    # --- one narrow pass: assign -> residual ------------------------
     resid = with_assigned_cell(normed, C, vec_expr="e").withColumn(
         "r",
         F.expr(
@@ -2590,6 +2620,11 @@ def ivfpq_search(
             " (x, c) -> x - c)"
         ),
     )
+    if codebook is None:
+        # self-seeding consumes resid twice (codebook group-means,
+        # then the encode/serve arm): stage it so the serve arm reads
+        # the staged assignment instead of re-running it
+        resid = swap_cache("similarity.ivfpq_resid", resid)
 
     # --- residual PQ codebook + encode (still the same pass) -------
     cb = (
@@ -2920,12 +2955,18 @@ def ivfpq_recall_top1(
     # pass, so the audit's cost is the exact arm (the part sample_mod
     # bounds) plus a probe-count-bounded ADC arm (≤ max_probes, a
     # constant at scale).
+    # ONE staged normalize shared by the index arm's train/encode
+    # passes AND the exact arm's brute-force scan below — previously
+    # each arm re-derived it from the raw corpus per pass
+    normed = swap_cache(
+        "similarity.ivfpq_normed", _normalized_vectors(df, id_col, vec_col)
+    )
     idx = ivfpq_search(
         df, nlist=nlist, m=m, k=k, nprobe=nprobe, topk=1,
         id_col=id_col, vec_col=vec_col, probe_mod=probe_mod,
         centroids=centroids, codebook=codebook,
         max_probes=max_probes, round_dp=round_dp, exclude_self=True,
-        sample_mod=sample_mod,
+        sample_mod=sample_mod, normed=normed,
     ).select(F.col("qid"), F.col(id_col).alias("ivfpq_id"))
 
     from ..plans.guards import guarded_collect
@@ -2966,15 +3007,6 @@ def ivfpq_recall_top1(
         Q[qi] = [t / n for t in x]
     pid_arr = np.array(pids, dtype=np.int64)
     scale = float(10**round_dp)
-
-    v = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
-    nrm = F.when(sq == 0, F.lit(1.0)).otherwise(F.sqrt(sq))
-    normed = v.select(
-        F.col(id_col), F.transform("__v", lambda x: x / nrm).alias("e")
-    )
 
     def exact_top1(it):
         for pdf in it:
