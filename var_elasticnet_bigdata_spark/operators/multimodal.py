@@ -557,6 +557,24 @@ def _phash_luma(doc_id: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _spread_for_decode(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread the id frame over the session's core count (hash on the
+    id — deterministic under task retry, unlike round-robin) before
+    a synth/decode Arrow pass WHEN the scan carries fewer partitions:
+    the codec passes are CPU-bound Python work, and a single-file
+    input otherwise serializes the whole corpus decode on one task
+    (guide §2.5's unsplittable-input fix — repartition right after
+    the read). No exchange is added when the input already carries
+    >= cores partitions (the 100 TB case, where scans arrive with
+    thousands of splits). Payloads are derived per-row from the id,
+    so placement cannot change a byte."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def synth_gray_bmp_payloads(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -585,7 +603,9 @@ def synth_gray_bmp_payloads(
     schema = StructType(
         [StructField(id_col, LongType()), StructField("payload", BinaryType())]
     )
-    return df.select(id_col).mapInPandas(run, schema)
+    return _spread_for_decode(df.select(id_col), id_col).mapInPandas(
+        run, schema
+    )
 
 
 def dhash_from_rgb(rgb: np.ndarray, hash_w: int = 9, hash_h: int = 8) -> int:
@@ -826,7 +846,9 @@ def synth_wav_payloads(
     schema = StructType(
         [StructField(id_col, LongType()), StructField("payload", BinaryType())]
     )
-    return df.select(id_col).mapInPandas(run, schema)
+    return _spread_for_decode(df.select(id_col), id_col).mapInPandas(
+        run, schema
+    )
 
 
 def audio_fingerprint(
@@ -2110,7 +2132,9 @@ def synth_avi_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = StructType(
         [StructField(id_col, LongType()), StructField("payload", BinaryType())]
     )
-    return df.select(id_col).mapInPandas(run, schema)
+    return _spread_for_decode(df.select(id_col), id_col).mapInPandas(
+        run, schema
+    )
 
 
 def video_frame_dhash(
@@ -2305,7 +2329,9 @@ def synth_still_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     schema = StructType(
         [StructField(id_col, LongType()), StructField("payload", BinaryType())]
     )
-    return df.select(id_col).mapInPandas(run, schema)
+    return _spread_for_decode(df.select(id_col), id_col).mapInPandas(
+        run, schema
+    )
 
 
 def duck_still_dhash_cte(

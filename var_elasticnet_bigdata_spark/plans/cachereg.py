@@ -68,19 +68,30 @@ def release_session(spark) -> int:
     return len(frames)
 
 
-def swap_cache(slot: str, df: DataFrame) -> DataFrame:
+def swap_cache(slot: str, df: DataFrame, eager: bool = False) -> DataFrame:
     """Persist ``df`` as the single live cache for (session, slot),
     unpersisting whatever previously held that slot. Returns the
     persisted frame.
 
+    ``eager=True`` materializes the cache with one count() before
+    returning. Use it when the FIRST consumers of the staged frame
+    are concurrent jobs (broadcast-exchange builds run on their own
+    threads): a lazily persisted frame gives concurrent first readers
+    no shared computation — each job recomputes the full lineage and
+    one winner populates the block (measured: the video-store queries
+    ran their single-task synth+decode chain 3x concurrently, ~11 s
+    of work for 3.7 s of data). Eager costs the one pass the first
+    consumer would have paid anyway; every concurrent reader then
+    hits the cache.
+
     ``SPARK_GRAFT_NO_STAGED_CACHE=1`` makes this a no-op (returns
-    ``df`` unpersisted): plan-snapshot/audit tooling sets it so
-    signatures are computed on the CANONICAL uncached plan shape —
-    CacheManager substitution of a registered staged frame hides that
-    subtree's Exchange/Sort/Window nodes inside an InMemoryTableScan,
-    and whether substitution fires depends on registration timing
-    relative to other queries, which made in-suite signatures drift
-    from the lock."""
+    ``df`` unpersisted, no eager pass): plan-snapshot/audit tooling
+    sets it so signatures are computed on the CANONICAL uncached plan
+    shape — CacheManager substitution of a registered staged frame
+    hides that subtree's Exchange/Sort/Window nodes inside an
+    InMemoryTableScan, and whether substitution fires depends on
+    registration timing relative to other queries, which made
+    in-suite signatures drift from the lock."""
     if os.environ.get("SPARK_GRAFT_NO_STAGED_CACHE"):
         return df
     key = (id(df.sparkSession), slot)
@@ -107,6 +118,8 @@ def swap_cache(slot: str, df: DataFrame) -> DataFrame:
                 old.unpersist()
             except Exception:
                 pass
+    if eager:
+        df.count()
     return df
 
 

@@ -2333,11 +2333,18 @@ def dedup_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     fresh=True overwrite (the VERDICT r8 noise discipline)."""
     from .operators.dedup import incremental_fingerprint_dedup_bucketed
     from .operators.multimodal import image_dhash, synth_gray_bmp_payloads
+    from .plans.cachereg import swap_cache
 
     store = "q_dedup_fp_store"
     path = _session_store_dir("spark_graft_fp_store_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashed = image_dhash(synth_gray_bmp_payloads(docs))
+    # both store batches (and their concurrent broadcast builds) read
+    # the fingerprints: stage the synth+decode chain once, eagerly
+    hashed = swap_cache(
+        "q.dedup_fp_incremental_hashed",
+        image_dhash(synth_gray_bmp_payloads(docs)),
+        eager=True,
+    )
     kept = []
     for i, pred in enumerate((F.col("doc_id") < 250, F.col("doc_id") >= 250)):
         s = incremental_fingerprint_dedup_bucketed(
@@ -2442,9 +2449,13 @@ def dedup_video_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE synth+hash pass: both store stages' survivor joins and the
     # final is_dup join re-read this frame — uncached, the Arrow
     # synth+decode chain would re-run per consumer
+    # eager: the first consumers are concurrent (broadcast-exchange
+    # builds on their own threads) — lazily persisted, each of them
+    # recomputed the full synth+decode chain (see swap_cache docstring)
     frames = swap_cache(
         "q.dedup_video_incremental_frames",
         video_frame_dhash(synth_avi_payloads(docs)),
+        eager=True,
     )
     kept = []
     for i, pred in enumerate((F.col("doc_id") < 250, F.col("doc_id") >= 250)):
@@ -2567,6 +2578,7 @@ def dedup_still_from_video_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = swap_cache(
         "q.dedup_sfv_frames",
         video_frame_dhash(synth_avi_payloads(docs)),
+        eager=True,  # concurrent first consumers — see swap_cache
     )
     for i, pred in enumerate(
         (F.col("doc_id") < 250, F.col("doc_id") >= 250)
