@@ -217,12 +217,18 @@ def positional_shingle_hashes(
     `exploded_shingle_hashes` plan-shape contract — a lambda-free
     child gets the whole shingle pipeline re-inlined into a
     scan-level inferred filter)."""
+    from ..plans.spread import spread_to_cores
+
     sh = (
         f"transform(sequence(1, greatest(size(__words)-{n}+1, 1)),"
         f" i -> cast(conv(substring(md5(concat_ws(' ', slice(__words, i, {n}))),1,{POS_SHINGLE_HEX}),16,10) as bigint))"
     )
     return (
-        df.withColumn("__words", F.split(normalized_text(text_col), " "))
+        # the normalize/split/md5 chain is the expensive narrow pass
+        # of the whole substring family — floor its parallelism at
+        # the core count (single-file scans otherwise serialize it)
+        spread_to_cores(df, id_col)
+        .withColumn("__words", F.split(normalized_text(text_col), " "))
         .select(
             F.col(id_col),
             F.posexplode(F.expr(sh)).alias("__p0", out_col),
@@ -303,6 +309,7 @@ def substring_dedup(
         positional_shingle_hashes(
             df, n=width, id_col=id_col, text_col=text_col
         ),
+        eager=True,  # concurrent first consumers (both join arms)
     )
     keep = (
         ps.groupBy("s")
@@ -371,6 +378,7 @@ def substring_overlap_spans(
         positional_shingle_hashes(
             df, n=width, id_col=id_col, text_col=text_col
         ),
+        eager=True,  # concurrent first consumers (both join arms)
     )
     if against is None:
         gate_src = ps
@@ -380,6 +388,7 @@ def substring_overlap_spans(
             positional_shingle_hashes(
                 against, n=width, id_col=id_col, text_col=text_col
             ),
+            eager=True,
         )
         gate_src = ps.unionByName(ps_part)
     keep = (
@@ -658,6 +667,11 @@ def incremental_substring_dedup_bucketed(
         positional_shingle_hashes(
             batch, n=width, id_col=id_col, text_col=text_col
         ),
+        # eager: the gate/join/store-append consumers fan out as
+        # concurrent AQE stages and broadcast builds — lazily
+        # persisted, each re-ran the whole shingle chain (profiled:
+        # 11 concurrent single-task recomputes of the same lineage)
+        eager=True,
     )
     # Gate = ONE COUNT(DISTINCT id) over the UNION of (s, id) rows
     # from store and batch, scoped to the batch's shingle set — the
@@ -675,14 +689,26 @@ def incremental_substring_dedup_bucketed(
         seen = ps.select("s", id_col).unionByName(probed)
     else:
         seen = ps.select("s", id_col)
-    keep = (
+    # keep feeds gated AND the store-side arm; gated feeds both match
+    # arms (cand twice on the store batch, part once) — as separate
+    # AQE stage-jobs with different projections below the exchange,
+    # so ReuseExchange cannot collapse them and each arm re-ran the
+    # gate aggregation (profiled: the same 33-task subtree executing
+    # 4x concurrently). Stage both once.
+    keep = swap_cache(
+        "dedup.incremental_substring_keep",
         seen.groupBy("s")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") <= max_docs_per_shingle)
-        .select("s")
+        .select("s"),
+        eager=True,
     )
 
-    gated = ps.join(keep, "s", "left_semi")
+    gated = swap_cache(
+        "dedup.incremental_substring_gated",
+        ps.join(keep, "s", "left_semi"),
+        eager=True,
+    )
     cand = gated.select(
         F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "s"
     )
