@@ -81,7 +81,17 @@ def with_shingle_hashes(
     per row (normalize → split → n-gram → md5): inline composition
     re-evaluates the normalization per reference, which doubles scan
     CPU — measured 2× on the sf0.1 bench."""
+    from ..plans.spread import spread_to_cores
+
     words = F.split(normalized_text(text_col), " ")
+    # floor the expensive normalize/split/md5 chain's parallelism at
+    # the core count (single-file scans otherwise serialize it); the
+    # consumers shuffle on band/bucket keys right after, so the added
+    # exchange replaces no narrow pipeline at scale (conditional no-op
+    # on multi-split scans)
+    # key on the frame's first column (the callers' id column; any
+    # stable column distributes correctly — the key only places rows)
+    df = spread_to_cores(df, df.columns[0])
     df = df.withColumn("__words", words)
     return df.withColumn(
         out_col, F.expr(shingle_hashes_from_words("__words", n))

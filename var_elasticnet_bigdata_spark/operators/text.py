@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.cachereg import swap_cache
+from ..plans.spread import spread_to_cores
 
 from .dedup import NORM_SQL_DUCK, NORM_SQL_SPARK, shingle_hashes
 
@@ -214,7 +215,9 @@ def unigram_logprob(
     # (VERDICT r4 "what's wrong" #1)
     toks = swap_cache(
         "text.unigram_tokens",
-        df.select(F.col(id_col), F.explode(F.expr(words)).alias("tok")),
+        spread_to_cores(df, id_col).select(
+            F.col(id_col), F.explode(F.expr(words)).alias("tok")
+        ),
     )
     # grand total = the token count itself (Σ over vocab of cnt), so
     # no vocabulary aggregate is needed at all; per-token counts come
@@ -516,7 +519,7 @@ def line_dedup(
         )
     else:
         words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
-        staged = df.withColumn("__w", F.expr(words))
+        staged = spread_to_cores(df, id_col).withColumn("__w", F.expr(words))
     # three consumers read the staged frame (segment build feeds both
     # the doc-frequency agg and the regroup, plus the keep-every-doc
     # base) — persist the DOC-level frame so the normalize/split runs
@@ -671,7 +674,7 @@ def bigram_logprob(
     # (ADVICE r4 / VERDICT r4 "what's wrong" #1)
     toks = swap_cache(
         "text.bigram_tokens",
-        df.withColumn("__w", F.expr(words)).select(
+        spread_to_cores(df, id_col).withColumn("__w", F.expr(words)).select(
             F.col(id_col),
             F.posexplode(F.expr("transform(__w, w -> w)")).alias("pos", "tok"),
         ),
@@ -887,7 +890,7 @@ def kn_bigram_perplexity(
     words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
     toks = swap_cache(
         "text.kn_tokens",
-        df.withColumn("__w", F.expr(words)).select(
+        spread_to_cores(df, id_col).withColumn("__w", F.expr(words)).select(
             F.col(id_col),
             F.posexplode(F.expr("transform(__w, w -> w)")).alias("pos", "tok"),
         ),
@@ -1028,7 +1031,7 @@ def kn_trigram_perplexity(
     words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
     toks = swap_cache(
         "text.kn_tokens",
-        df.withColumn("__w", F.expr(words)).select(
+        spread_to_cores(df, id_col).withColumn("__w", F.expr(words)).select(
             F.col(id_col),
             F.posexplode(F.expr("transform(__w, w -> w)")).alias("pos", "tok"),
         ),
@@ -1187,7 +1190,7 @@ def kn_ngram_perplexity(
     words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
     toks = swap_cache(
         "text.kn_tokens",
-        df.withColumn("__w", F.expr(words)).select(
+        spread_to_cores(df, id_col).withColumn("__w", F.expr(words)).select(
             F.col(id_col),
             F.posexplode(F.expr("transform(__w, w -> w)")).alias("pos", "tok"),
         ),
@@ -1404,7 +1407,9 @@ def vocab_coverage(
     # cache before the main pass reads it); registry-bounded
     toks = swap_cache(
         "text.vocab_tokens",
-        df.select(F.col(id_col), F.explode(F.expr(words)).alias("tok")),
+        spread_to_cores(df, id_col).select(
+            F.col(id_col), F.explode(F.expr(words)).alias("tok")
+        ),
     )
     vocab = (
         toks.groupBy("tok")
