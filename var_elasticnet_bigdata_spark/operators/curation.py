@@ -380,7 +380,9 @@ def quality_top_fraction(
     staged = (
         # the score chain (normalize/split/lang/quality/shingles) is
         # the pipeline's expensive narrow pass — floor its parallelism
-        spread_to_cores(docs, "doc_id")
+        # (keyed on the CALLER'S id column — ADVICE r12: hardcoding
+        # doc_id broke any frame using a different id)
+        spread_to_cores(docs, id_col)
         .withColumn("__norm", normalized_text())
         .withColumn("__words", F.split(F.col("__norm"), " "))
     )

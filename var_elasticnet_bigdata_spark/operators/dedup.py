@@ -75,7 +75,11 @@ def shingle_hashes(text_sql: str, n: int = 3) -> str:
 
 
 def with_shingle_hashes(
-    df: DataFrame, n: int = 3, out_col: str = "__sh", text_col: str = "text"
+    df: DataFrame,
+    n: int = 3,
+    out_col: str = "__sh",
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Stage the shingle pipeline so each expensive step runs ONCE
     per row (normalize → split → n-gram → md5): inline composition
@@ -88,10 +92,10 @@ def with_shingle_hashes(
     # the core count (single-file scans otherwise serialize it); the
     # consumers shuffle on band/bucket keys right after, so the added
     # exchange replaces no narrow pipeline at scale (conditional no-op
-    # on multi-split scans)
-    # key on the frame's first column (the callers' id column; any
-    # stable column distributes correctly — the key only places rows)
-    df = spread_to_cores(df, df.columns[0])
+    # on multi-split scans). Keyed on the EXPLICIT id column (ADVICE
+    # r12: the positional first column could be the text itself —
+    # expensive hash, null/empty skew).
+    df = spread_to_cores(df, id_col)
     df = df.withColumn("__words", words)
     return df.withColumn(
         out_col, F.expr(shingle_hashes_from_words("__words", n))
@@ -1000,7 +1004,7 @@ def minhash_signatures(
         f"array_min(transform(__sh, h -> (({MINHASH_A[i]}L * h + {MINHASH_B[i]}L) % {MINHASH_P}L)))"
         for i in range(num_hashes)
     )
-    return with_shingle_hashes(df, n, text_col=text_col).select(
+    return with_shingle_hashes(df, n, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.expr(f"array({sig_terms})").alias("sig")
     )
 
@@ -1597,7 +1601,7 @@ def jaccard_pairs(
     ``candidates`` (from LSH) only those pairs are verified — the
     scale path; without, brute-force all pairs (oracle path, small sf
     only)."""
-    sh = with_shingle_hashes(df, n, text_col=text_col).select(
+    sh = with_shingle_hashes(df, n, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.col("__sh").alias("sh")
     )
     if candidates is not None:
@@ -1644,7 +1648,7 @@ def simhash(
         f"(v, b) -> CASE WHEN v >= 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END), "
         f"cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    return with_shingle_hashes(df, n, text_col=text_col).select(
+    return with_shingle_hashes(df, n, text_col=text_col, id_col=id_col).select(
         F.col(id_col), F.expr(assemble).alias("simhash")
     )
 
@@ -1956,7 +1960,7 @@ def incremental_near_dup(
     # store side; recompute wins).
     sigged = swap_cache(
         "dedup.incremental_sigs",
-        with_shingle_hashes(batch, n, text_col=text_col).select(
+        with_shingle_hashes(batch, n, text_col=text_col, id_col=id_col).select(
             F.col(id_col),
             F.expr(_sig_expr(num_hashes)).alias("sig"),
             F.col("__sh").alias("sh"),
@@ -2111,7 +2115,7 @@ def incremental_near_dup_bucketed(
 
     sigged = swap_cache(
         "dedup.incremental_bucketed_sigs",
-        with_shingle_hashes(batch, n, text_col=text_col).select(
+        with_shingle_hashes(batch, n, text_col=text_col, id_col=id_col).select(
             F.col(id_col),
             F.expr(_sig_expr(num_hashes)).alias("sig"),
             F.col("__sh").alias("sh"),

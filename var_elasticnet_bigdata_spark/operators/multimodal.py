@@ -558,21 +558,17 @@ def _phash_luma(doc_id: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 
 def _spread_for_decode(df: DataFrame, id_col: str) -> DataFrame:
-    """Spread the id frame over the session's core count (hash on the
-    id — deterministic under task retry, unlike round-robin) before
-    a synth/decode Arrow pass WHEN the scan carries fewer partitions:
-    the codec passes are CPU-bound Python work, and a single-file
-    input otherwise serializes the whole corpus decode on one task
-    (guide §2.5's unsplittable-input fix — repartition right after
-    the read). No exchange is added when the input already carries
-    >= cores partitions (the 100 TB case, where scans arrive with
-    thousands of splits). Payloads are derived per-row from the id,
-    so placement cannot change a byte."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(id_col))
-    return df
+    """Spread the id frame over the session's core count before a
+    synth/decode Arrow pass: the codec passes are CPU-bound Python
+    work, and a single-file input otherwise serializes the whole
+    corpus decode on one task (guide §2.5's unsplittable-input fix —
+    repartition right after the read). Payloads are derived per-row
+    from the id, so placement cannot change a byte. Thin alias of the
+    shared ``plans.spread.spread_to_cores`` (ADVICE r12: this was a
+    duplicated copy of the same helper)."""
+    from ..plans.spread import spread_to_cores
+
+    return spread_to_cores(df, id_col)
 
 
 def synth_gray_bmp_payloads(

@@ -335,8 +335,21 @@ def _normalized_vectors(
     by 1.0). Multi-pass operators build this projection ONCE and
     stage it (``swap_cache``) so training/encode/audit passes reuse
     one normalize instead of re-deriving it per pass — same doubles
-    either way, fewer corpus scans (guide §1.2/§5)."""
-    v = df.select(
+    either way, fewer corpus scans (guide §1.2/§5).
+
+    Parallelism floor (r13): the single-file embeddings scan arrives
+    as ONE partition, so every narrow chain built on this projection
+    — normalize → assign → residual → PQ encode before a bucketed
+    append, the seed-centroid explode, the batch side of the semantic
+    store — serialized on one task (profiled: 1.4-1.8 s single-task
+    map stages inside ann_ivfpq_postings / ann_ivfpq_refine /
+    dedup_semantic_incremental at sf0.1). ``spread_to_cores`` floors
+    it at the core count, conditionally: no exchange is added when
+    the scan already carries ≥ cores splits (the 100 TB case) or the
+    input is not scan-level lineage (guide §2.5)."""
+    from ..plans.spread import spread_to_cores
+
+    v = spread_to_cores(df.select(id_col, vec_col), id_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
@@ -1345,6 +1358,7 @@ def incremental_semantic_dedup_bucketed(
     path: str | None = None,
     max_cell_rows: int = 2_000_000,
     on_survivors=None,
+    fresh: bool = False,
 ) -> DataFrame:
     """Incremental SemDeDup against a persisted per-cell vector store
     — the semantic member of the incremental-dedup trio (exact key
@@ -1380,10 +1394,24 @@ def incremental_semantic_dedup_bucketed(
     # dedup.incremental_exact_dedup_bucketed for the loss scenario)
     from ..sources.compaction import recover_orphaned_compaction
 
+    # ``fresh=True`` rebuilds the store in place (overwrite on the
+    # first batch) — the noise-discipline contract of the other
+    # incremental stores (VERDICT r8 item 5): callers that re-create
+    # their store per run reuse ONE table+path instead of paying a
+    # DROP TABLE + mkdtemp round per invocation.
     recover_orphaned_compaction(spark, vecs_t)
-    exists = spark.catalog.tableExists(vecs_t)
+    exists = spark.catalog.tableExists(vecs_t) and not fresh
 
-    v = batch.select(
+    from ..plans.spread import spread_to_cores
+
+    # same parallelism floor as _normalized_vectors (single-file
+    # batch scans otherwise serialize the normalize/assign chain on
+    # one task), and EAGER staging: the first consumers fan out as
+    # concurrent jobs (the batch_cells broadcast build, the in-batch
+    # pass, the hot-cell gate), each of which would recompute the
+    # full lazily-persisted lineage (profiled: 1.0 s single-task
+    # broadcast build at sf0.1)
+    v = spread_to_cores(batch.select(id_col, vec_col), id_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     sq = F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
@@ -1396,6 +1424,7 @@ def incremental_semantic_dedup_bucketed(
             "__v",
             F.transform("__v", lambda x: x / nrm).alias("e"),
         ),
+        eager=True,
     )
     # in-batch drops: the id-greedy per-cell rule on the batch alone,
     # reusing the staged assignment (one corpus scan, not two)

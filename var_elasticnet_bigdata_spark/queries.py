@@ -9145,22 +9145,24 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the store exchange-free and never re-reads old batches — and the
     id-greedy rule makes incremental survivors EXACTLY the one-shot
     `dedup_semantic` survivors over the union, which is the twin."""
-    import tempfile
-
     from .operators.similarity import (
         incremental_semantic_dedup_bucketed,
         seed_centroids,
         with_assigned_cell,
     )
 
+    # store path allocated ONCE per process; the first batch passes
+    # fresh=True so every run overwrites in place — the same
+    # noise-discipline fix the other incremental stores got at r8
+    # (the former DROP TABLE + mkdtemp per run paid a metastore +
+    # directory-churn round inside the timed window)
     store = "q_sem_store"
-    spark.sql(f"DROP TABLE IF EXISTS {store}__vecs")
-    path = tempfile.mkdtemp(prefix="spark_graft_sem_store_")
+    path = _session_store_dir("spark_graft_sem_store_")
     emb = load_table(spark, sf_dir, "embeddings")
     C = seed_centroids(emb, 16)
     s1 = incremental_semantic_dedup_bucketed(
         emb.filter(F.col("vec_id") < 250), store, C, eps=0.4,
-        buckets=8, path=path,
+        buckets=8, path=path, fresh=True,
     )
     s2 = incremental_semantic_dedup_bucketed(
         emb.filter(F.col("vec_id") >= 250), store, C, eps=0.4,
