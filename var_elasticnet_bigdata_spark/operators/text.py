@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.cachereg import swap_cache
+from ..plans.cachereg import pin_frame, swap_cache
 from ..plans.spread import spread_to_cores
 
 from .dedup import NORM_SQL_DUCK, NORM_SQL_SPARK, shingle_hashes
@@ -803,8 +803,18 @@ def perplexity_curriculum(
     ``(id_col, perplexity, bucket)``."""
     from .shard import global_rank
 
-    scored = bigram_perplexity(df, lam=lam, id_col=id_col).select(
-        F.col(id_col), F.round("perplexity", 6).alias("perplexity")
+    # stage the scored frame: its lineage is the full four-window
+    # interpolated-bigram chain, and it has TWO consumers (the exact
+    # count below and global_rank's range/rank pass) — unstaged, the
+    # whole chain executed twice per action cycle (profiled ~1.6 s of
+    # the 3.3 s wall at sf0.1 re-running it inside global_rank's
+    # prefix-count collect). The count() doubles as the cache
+    # materializer, so the rank pass reads staged rows (§1.2/§5).
+    scored = swap_cache(
+        "text.ppl_curriculum_scored",
+        bigram_perplexity(df, lam=lam, id_col=id_col).select(
+            F.col(id_col), F.round("perplexity", 6).alias("perplexity")
+        ),
     )
     n = scored.count()
     ranked = global_rank(
@@ -1044,22 +1054,20 @@ def kn_trigram_perplexity(
         .filter(F.col("u").isNotNull())
         .select(id_col, "u", "v", "tok"),
     )
-    tri = swap_cache(
-        "text.kn3_types",
+    # pinned, not cached, and T deferred into the save DAG — the same
+    # plan-size/latency treatment as kn_ngram_perplexity (see there)
+    tri = pin_frame(
         tri_stream.groupBy("u", "v", "tok").agg(
             F.count(F.lit(1)).alias("c3")
-        ),
+        )
     )
-    t2 = swap_cache(
-        "text.kn3_cont",
-        tri.groupBy("v", "tok").agg(F.count(F.lit(1)).alias("t2")),
-    )
-    T = t2.count()
-    if T == 0:
+    if tri.isEmpty():
         raise ValueError(
             "kn_trigram_perplexity: no trigrams in the corpus (every "
             "doc has < 3 tokens) — the continuation table is undefined"
         )
+    t2 = tri.groupBy("v", "tok").agg(F.count(F.lit(1)).alias("t2"))
+    tcnt = t2.agg(F.count(F.lit(1)).cast("double").alias("__T"))
     ctx3 = tri.groupBy("u", "v").agg(
         F.sum("c3").alias("cctx"), F.count(F.lit(1)).alias("n1f3")
     )
@@ -1068,7 +1076,7 @@ def kn_trigram_perplexity(
     )
     t1 = t2.groupBy("tok").agg(F.count(F.lit(1)).alias("t1"))
     D = float(discount)
-    p1 = F.col("t1") / F.lit(float(T))
+    p1 = F.col("t1") / F.col("__T")
     p2 = (
         F.greatest(F.col("t2") - F.lit(D), F.lit(0.0))
         + F.lit(D) * F.col("nfol") * p1
@@ -1082,6 +1090,7 @@ def kn_trigram_perplexity(
         .join(t2, ["v", "tok"])
         .join(tv, "v")
         .join(t1, "tok")
+        .crossJoin(F.broadcast(tcnt))
         .select("u", "v", "tok", p3.alias("__p"))
     )
     return (
@@ -1207,60 +1216,78 @@ def kn_ngram_perplexity(
     stream = swap_cache(f"text.kn{N}_stream", stream)
 
     # level tables: tab[N] = raw types; tab[n] = distinct-left-ext
-    # counts of tab[n+1] (a strictly shrinking groupBy chain)
+    # counts of tab[n+1] (a strictly shrinking groupBy chain). The
+    # types frame is PINNED (materialize + cut lineage), not merely
+    # cached: the level chain references it ~2 times per level, so a
+    # persisted-but-lazy lineage compounds to 2^N embedded copies of
+    # the corpus chain in the final plan — measured 651 KB of plan /
+    # 308 scan leaves / 4.5 s of pure planning per action at order 5
+    # (§3.3: materialize to truncate). Model-sized by Heaps' law.
     tab: dict[int, DataFrame] = {}
-    tab[N] = swap_cache(
-        f"text.kn{N}_types",
-        stream.groupBy(*gcols).agg(F.count(F.lit(1)).alias(f"cnt{N}")),
+    tab[N] = pin_frame(
+        stream.groupBy(*gcols).agg(F.count(F.lit(1)).alias(f"cnt{N}"))
     )
-    for n in range(N - 1, 0, -1):
-        src_cols = gcols[N - n :]  # last n token columns of the level above
-        tab[n] = tab[n + 1].groupBy(*src_cols).agg(
-            F.count(F.lit(1)).alias(f"cnt{n}")
-        )
-        if n > 1:
-            tab[n] = swap_cache(f"text.kn{N}_t{n}", tab[n])
-    T = tab[2].count()  # == sum of t1 == |level-2 types|
-    if T == 0:
+    if tab[N].isEmpty():  # cheap on the pinned frame
         raise ValueError(
             f"kn_ngram_perplexity(order={order}): no {order}-grams in "
             "the corpus (every doc has < order tokens)"
         )
+    for n in range(N - 1, 0, -1):
+        src_cols = gcols[N - n :]  # last n token columns of the level above
+        # NOT persisted: every consumer sits inside the ONE final
+        # action, where ReuseExchange already dedupes the level's
+        # groupBy — measured: clearing these caches before the save
+        # changed nothing (3.16 s vs 3.38 s), they only cost the
+        # cache-write pass.
+        tab[n] = tab[n + 1].groupBy(*src_cols).agg(
+            F.count(F.lit(1)).alias(f"cnt{n}")
+        )
+    # T = |level-2 types| — deferred into the save DAG as a 1-row
+    # broadcast (Σ cnt1, the twin's tt CTE) instead of a build-time
+    # count() action that serially re-ran the whole level chain
+    # before the save could start.
+    tcnt = tab[1].agg(F.sum("cnt1").cast("double").alias("__T"))
 
-    model = tab[N]
-    p = None
+    # model assembled BOTTOM-UP per level (r13, VERDICT r12 item 6):
+    # M_n = the level-n probability P_n keyed on the last n tokens,
+    # built as tab[n] ⋈ ctx-stats(tab[n]) ⋈ M_{n−1}. Every join except
+    # the final level is LEVEL-SIZED (tab[2] ≪ tab[N] by Heaps' law);
+    # the old form carried the full order-N types frame through all
+    # 2N−2 joins — at order 5 that re-shuffled the largest frame 8
+    # times (profiled: ten 0.6-1.5 s assembly jobs at sf0.1). The
+    # per-level probability is the same fixed parenthesization folded
+    # through intermediate columns — identical IEEE doubles, so the
+    # hash-gated twin is unchanged (§2.3/§2.4).
+    model = None
     for n in range(1, N + 1):
         keys = gcols[N - n :]
-        ctx_keys = keys[:-1]
         if n == 1:
-            model = model.join(
-                tab[1].select(
-                    F.col(gcols[-1]), F.col("cnt1").alias("t1")
-                ),
-                gcols[-1],
+            model = tab[1].crossJoin(F.broadcast(tcnt)).select(
+                F.col(gcols[-1]),
+                (F.col("cnt1") / F.col("__T")).alias("__p"),
             )
-            p = F.col("t1") / F.lit(float(T))
             continue
-        if n < N:
-            model = model.join(
-                tab[n].select(
-                    *keys, F.col(f"cnt{n}").alias(f"c_{n}")
-                ),
-                keys,
-            )
-            cnt = F.col(f"c_{n}")
-        else:
-            cnt = F.col(f"cnt{N}")
+        ctx_keys = keys[:-1]
         ctx = tab[n].groupBy(*ctx_keys).agg(
             F.sum(f"cnt{n}").alias(f"denom{n}"),
             F.count(F.lit(1)).alias(f"nfol{n}"),
         )
-        model = model.join(ctx, ctx_keys)
-        p = (
-            F.greatest(cnt - F.lit(D), F.lit(0.0))
-            + F.lit(D) * F.col(f"nfol{n}") * p
-        ) / F.col(f"denom{n}")
-    model = model.select(*gcols, p.alias("__p"))
+        model = (
+            tab[n]
+            .join(ctx, ctx_keys)
+            .join(model, keys[1:])
+            .select(
+                *keys,
+                (
+                    (
+                        F.greatest(F.col(f"cnt{n}") - F.lit(D), F.lit(0.0))
+                        + F.lit(D) * F.col(f"nfol{n}") * F.col("__p")
+                    )
+                    / F.col(f"denom{n}")
+                ).alias("__p"),
+            )
+        )
+    model = model.select(*gcols, F.col("__p"))
     return (
         stream.join(model, gcols)
         .groupBy(id_col)

@@ -123,6 +123,34 @@ def swap_cache(slot: str, df: DataFrame, eager: bool = False) -> DataFrame:
     return df
 
 
+def pin_frame(df: DataFrame) -> DataFrame:
+    """Materialize a MODEL-SIZED frame and CUT its lineage
+    (``localCheckpoint(eager=True)``).
+
+    ``swap_cache`` substitutes an InMemoryRelation at EXECUTION, but
+    the LOGICAL plan of every downstream reference still embeds the
+    frame's full lineage — a frame referenced k times through a
+    recursive assembly (the KN level chain references each level's
+    types frame ~2 times per level, compounding to 2^N copies of the
+    corpus chain) blows the final plan up combinatorially. Measured
+    on text_kn5_perplexity at sf0.1: 651 KB of plan text, 308 scan
+    leaves, and a 4.5 s noop save with EVERY cache already hot —
+    pure Catalyst analysis/optimization/canonicalization time. The
+    guide's remedy (§3.3) is to materialize the intermediate;
+    localCheckpoint pins the rows in the block manager and replaces
+    the lineage with a LogicalRDD leaf, collapsing every downstream
+    reference to a scan.
+
+    Only for frames that are MODEL-sized (bounded by vocabulary /
+    type counts, not corpus size): checkpointed blocks trade lineage
+    fault-tolerance for plan size, the right trade for sub-GB frames.
+    Disabled in ``SPARK_GRAFT_NO_STAGED_CACHE`` canonical mode so
+    plan audits see the full uncached structure."""
+    if os.environ.get("SPARK_GRAFT_NO_STAGED_CACHE"):
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 def live_cache_count(slot_prefix: str = "") -> int:
     """Number of live cache slots whose name starts with
     ``slot_prefix`` — test hook for the ≤1-live-cache invariant."""
