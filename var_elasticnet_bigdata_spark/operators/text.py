@@ -1519,7 +1519,8 @@ def bpe_pair_counts(
     from .dedup import norm_sql_spark
 
     norm = norm_sql_spark(text_col)
-    words = df.select(
+    _src = spread_to_cores(df, "doc_id") if "doc_id" in df.columns else df
+    words = _src.select(
         F.explode(F.split(F.expr(norm), " ")).alias("w")
     ).filter(F.length("w") >= 2)
     wc = words.groupBy("w").agg(F.count("*").alias("wcnt"))
@@ -1691,7 +1692,7 @@ def train_quality_classifier(
     ntok = f"size(filter(split({norm}, ' '), w -> w <> ''))"
     feats = swap_cache(
         "text.classifier_feats",
-        df.selectExpr(
+        (spread_to_cores(df, "doc_id") if "doc_id" in df.columns else df).selectExpr(
             f"{label_sql} AS y",
             "CAST(1.0 AS DOUBLE) AS x0",
             # divide by CAST doubles: a bare 256.0 literal is DECIMAL
@@ -1836,8 +1837,11 @@ def bpe_train(
     from ..plans.guards import release_local_checkpoint
 
     norm = norm_sql_spark(text_col)
+    # §2.5 parallelism floor on the corpus tokenize head (same as
+    # _unigram_vocab; the word-count shuffle follows immediately)
+    _src = spread_to_cores(df, "doc_id") if "doc_id" in df.columns else df
     vocab = (
-        df.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
+        _src.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
         .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -2138,8 +2142,11 @@ def bpe_encode_token_counts(
     from .dedup import norm_sql_spark
 
     norm = norm_sql_spark(text_col)
+    # §2.5 parallelism floor on the corpus tokenize head (same as
+    # _unigram_vocab; the word-count shuffle follows immediately)
+    _src = spread_to_cores(df, "doc_id") if "doc_id" in df.columns else df
     vocab = (
-        df.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
+        _src.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
         .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -2254,15 +2261,25 @@ def _viterbi_segment(
     return out
 
 
-def _unigram_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _unigram_vocab(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """The (word, count) frame every unigram-LM stage trains on —
     corpus pays ONE shuffle here; cached so the EM rounds and the
     prune pass re-read it for free."""
     from .dedup import norm_sql_spark
 
     norm = norm_sql_spark(text_col)
+    # floor the corpus tokenize pass's parallelism (§2.5): a
+    # single-file scan otherwise runs the normalize/split/explode for
+    # the WHOLE corpus on one task before the word-count shuffle
+    # (measured at the ×30 replica: text_unigram_encode 8-vs-32-core
+    # ratio 0.95 — zero scaling — with this head serialized)
+    # (spread only when the frame actually carries the id column —
+    # ad-hoc text-only frames in tests/tools keep the old shape)
+    src = spread_to_cores(df, id_col) if id_col in df.columns else df
     vocab = (
-        df.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
+        src.select(F.explode(F.split(F.expr(norm), " ")).alias("w"))
         .filter(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -2511,7 +2528,9 @@ def unigram_encode_stats(
     from .dedup import norm_sql_spark
 
     words = f"filter(split({norm_sql_spark(text_col)}, ' '), w -> w <> '')"
-    toks = df.select(
+    # same §2.5 floor as the vocab head: the corpus-side tokenize
+    # otherwise runs single-task on a single-file scan
+    toks = spread_to_cores(df, id_col).select(
         F.col(id_col), F.explode(F.expr(words)).alias("w")
     )
     return (
